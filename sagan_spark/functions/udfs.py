@@ -1,0 +1,86 @@
+"""Arrow-batched pandas UDFs wrapping the extraction primitives.
+
+These are the only Python-side operators in the engine's hot path, and
+they are evaluated once per event (never per rule) and only on the
+candidate subset that already passed the cheap JVM-side prefilters —
+mirroring the reference's parse-once caching
+(reference src/processors/engine.c:797-806).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sagan_spark.functions.extract import (
+    DEFAULT_SAGAN_PORT,
+    int_to_biased_hilo,
+    json_flatten,
+    parse_ip,
+)
+
+# array<struct> of positional IP hits; hi/lo are biased 64-bit halves of
+# the 128-bit address for CIDR range predicates (see extract.int_to_biased_hilo)
+IP_HIT_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("ip", T.StringType()),
+            T.StructField("port", T.IntegerType()),
+            T.StructField("hi", T.LongType()),
+            T.StructField("lo", T.LongType()),
+        ]
+    )
+)
+
+PARSE_IP_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("ips", IP_HIT_TYPE),
+        T.StructField("proto", T.IntegerType()),
+    ]
+)
+
+
+def make_parse_ip_udf(sagan_port: int = DEFAULT_SAGAN_PORT):
+    """pandas UDF: text -> struct<ips: array<struct>, proto: int>."""
+
+    @F.pandas_udf(PARSE_IP_RESULT_TYPE)
+    def parse_ip_udf(texts: pd.Series) -> pd.DataFrame:
+        ips_out = []
+        proto_out = []
+        for msg in texts:
+            hits, proto = parse_ip(msg if msg is not None else "", sagan_port)
+            row = []
+            for h in hits:
+                hi, lo = int_to_biased_hilo(h.ip_int)
+                row.append({"ip": h.ip, "port": h.port, "hi": hi, "lo": lo})
+            ips_out.append(row)
+            proto_out.append(proto)
+        return pd.DataFrame({"ips": ips_out, "proto": proto_out})
+
+    return parse_ip_udf
+
+
+@F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+def json_flatten_udf(texts: pd.Series) -> pd.Series:
+    """pandas UDF: text -> map<string,string> of dotted keys
+    (reference src/parsers/json.c:40-134)."""
+    return texts.map(lambda m: json_flatten(m) if m is not None else {})
+
+
+def make_python_regex_udf(pattern: str, flags_str: str):
+    """Fallback matcher for PCRE patterns Java regex can't express:
+    batch-compiled Python re over Arrow batches
+    (engine analog of reference src/pcre-s.c:39-68)."""
+    import re as _re
+
+    fl = 0
+    for ch in flags_str:
+        fl |= {"i": _re.I, "s": _re.S, "m": _re.M, "x": _re.X}.get(ch, 0)
+    compiled = _re.compile(pattern, fl)
+
+    @F.pandas_udf(T.BooleanType())
+    def regex_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda s: bool(compiled.search(s)) if s is not None else False)
+
+    return regex_udf

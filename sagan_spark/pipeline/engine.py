@@ -1,0 +1,238 @@
+"""The batch engine: scan -> extract-once -> columnar rule fan-out ->
+stateful correlation -> routed alerts.
+
+Spark-first re-expression of the reference's per-event rule loop
+(reference Sagan_Engine, src/processors/engine.c:92-1558):
+
+- The reference iterates rules per event on 50 worker threads; here ALL
+  rules compile into parallel boolean columns inside one projection, so
+  one codegen'd pass evaluates the whole ruleset per partition.
+- Cheap-first ordering (program/content before pcre; reference
+  doc/source/high-performance.rst:79-94) becomes a two-phase plan:
+  phase 1 evaluates every predicate that needs no extraction (pure
+  JVM expressions, pushdown-friendly); only rows with >=1 candidate
+  match reach phase 2, which runs the Arrow-batched Parse_IP UDF and
+  the flow checks — the Spark analog of the reference's lazy
+  parse-once cache (engine.c:797-806).
+- The single wide dependency is the correlation shuffle keyed by
+  (sid, track-key) — the analog of the reference's shared-memory
+  counter arrays (thread boundary ≙ exchange).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sagan_spark.functions.udfs import json_flatten_udf, make_parse_ip_udf
+from sagan_spark.pipeline.correlate import apply_after_threshold, apply_xbits
+from sagan_spark.rules.compiler import EngineConfig, EventCols, RuleCompiler
+from sagan_spark.rules.ir import RuleIR
+
+# columns carried through to the sinks
+PASSTHROUGH = ["event_key", "ts", "host", "program", "facility", "level", "tag", "message"]
+
+ALERT_FIELDS = [
+    "rule_idx",
+    "sid",
+    "rev",
+    "src_ip",
+    "src_port",
+    "dst_ip",
+    "dst_port",
+    "proto",
+    "username",
+    "event_id",
+    "md5",
+    "sha1",
+    "sha256",
+    "track_threshold",
+    "track_after",
+]
+
+
+@dataclass
+class EngineResult:
+    """All hit rows with suppression flags; alerts() filters to routed ones."""
+
+    hits: DataFrame  # one row per (event, matched rule), flags attached
+
+    def alerts(self) -> DataFrame:
+        return self.hits.filter(
+            ~F.col("suppressed_after")
+            & ~F.col("suppressed_threshold")
+            & F.col("xbit_ok")
+            & ~F.col("noalert")
+        )
+
+
+class SaganSparkEngine:
+    def __init__(self, rules: list[RuleIR], config: EngineConfig | None = None):
+        self.rules = rules
+        self.config = config or EngineConfig()
+        self.compiler = RuleCompiler(rules, self.config)
+
+    # -- canonical frame ------------------------------------------------------
+
+    @staticmethod
+    def frame_from_pages(pages: DataFrame) -> DataFrame:
+        """Adapt the Common-Crawl-style pages table (url, warc_ts, html,
+        text, lang) to the canonical event frame (SURVEY §1.2 mapping:
+        text≙syslog_message, url host≙syslog_host, lang≙syslog_program,
+        warc_ts≙event time)."""
+        return pages.select(
+            F.col("url").alias("event_key"),
+            F.col("warc_ts").alias("ts"),
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.col("lang").alias("program"),
+            F.lit("").alias("facility"),
+            F.lit("").alias("level"),
+            F.lit("").alias("tag"),
+            F.col("text").alias("message"),
+        )
+
+    def _event_cols(self, df: DataFrame, with_extraction: bool) -> EventCols:
+        cols = EventCols(
+            event_key=F.col("event_key"),
+            ts=F.col("ts"),
+            host=F.col("host"),
+            program=F.col("program"),
+            facility=F.col("facility"),
+            level=F.col("level"),
+            tag=F.col("tag"),
+            message=F.col("message"),
+        )
+        if self.compiler.needs_json:
+            cols.json = F.col("_json")
+        if with_extraction:
+            if self.compiler.needs_parse_ip:
+                cols.ips = F.col("_ips")
+                cols.ip_proto = F.col("_ip_proto")
+            cols.hash_cols = {h: F.col(f"_hash_{h}") for h in self.compiler.needed_hashes}
+        return cols
+
+    # -- pipeline --------------------------------------------------------------
+
+    def run(self, frame: DataFrame) -> EngineResult:
+        comp = self.compiler
+        df = frame
+
+        # F14 ignore-list pre-drop (pushed into the scan by Catalyst)
+        ig = comp.ignore_predicate(F.col("message"))
+        df = df.filter(~ig)
+
+        # input-stage JSON detect+flatten (reference engine.c:250-263 runs
+        # this once per event before the rule loop)
+        if comp.needs_json:
+            df = df.withColumn("_json", json_flatten_udf(F.col("message")))
+
+        # ---- phase 1: cheap predicates for every rule (pure Catalyst) ----
+        cheap_cols_ctx = self._event_cols(df, with_extraction=False)
+        cheap_names = []
+        proj = [F.col(c) for c in df.columns]
+        for i, r in enumerate(self.rules):
+            name = f"_c{i}"
+            proj.append(comp.cheap_predicate(r, cheap_cols_ctx).alias(name))
+            cheap_names.append(name)
+        df = df.select(*proj)
+
+        any_cheap = F.lit(False)
+        for name in cheap_names:
+            any_cheap = any_cheap | F.col(name)
+        cand = df.filter(any_cheap)
+
+        # ---- phase 2: extraction on candidates only ----
+        if comp.needs_parse_ip:
+            parse_ip_udf = make_parse_ip_udf(self.config.sagan_port)
+            cand = cand.withColumn("_pi", parse_ip_udf(F.col("message")))
+            cand = cand.withColumn("_ips", F.col("_pi.ips")).withColumn(
+                "_ip_proto", F.col("_pi.proto")
+            ).drop("_pi")
+        for h in comp.needed_hashes:
+            cand = cand.withColumn(
+                f"_hash_{h}",
+                comp.hash_extraction_cols(F.col("message"))[h],
+            )
+
+        full_ctx = self._event_cols(cand, with_extraction=True)
+
+        structs = [
+            comp.alert_struct(r, full_ctx, F.col(f"_c{i}"))
+            for i, r in enumerate(self.rules)
+        ]
+
+        # pass-rule short circuit (F15, engine.c:1448-1453): a hit survives
+        # iff no pass rule at a SMALLER ruleset position matched the event
+        pass_idx_exprs = [
+            F.when(s.getField("match"), F.lit(r.position))
+            for r, s in zip(self.rules, structs)
+            if r.action == "pass"
+        ]
+        if pass_idx_exprs:
+            pass_min = F.least(*pass_idx_exprs) if len(pass_idx_exprs) > 1 else pass_idx_exprs[0]
+        else:
+            pass_min = F.lit(None).cast("int")
+
+        alert_structs = [s for r, s in zip(self.rules, structs) if r.action != "pass"]
+        hits = (
+            cand.withColumn("_pass_min", pass_min)
+            .withColumn("_alerts", F.array(*alert_structs))
+            .select(
+                *PASSTHROUGH,
+                F.col("_pass_min"),
+                F.explode(
+                    F.filter(F.col("_alerts"), lambda s: s.getField("match"))
+                ).alias("_a"),
+            )
+            .filter(
+                F.col("_pass_min").isNull()
+                | (F.col("_a.rule_idx") < F.col("_pass_min"))
+            )
+            .select(
+                *PASSTHROUGH,
+                *[F.col(f"_a.{f}").alias(f) for f in ALERT_FIELDS],
+            )
+        )
+
+        # ---- correlation ----
+        # stage A: rules without xbit conditions
+        cond_sids = [
+            r.sid for r in self.rules if any(x.action in ("isset", "isnotset") for x in r.xbits)
+        ]
+        stage_a = hits.filter(~F.col("sid").isin(cond_sids)) if cond_sids else hits
+        stage_a = apply_after_threshold(stage_a, [r for r in self.rules if r.sid not in cond_sids])
+        stage_a = stage_a.withColumn("xbit_ok", F.lit(True))
+
+        if cond_sids:
+            survived_a = stage_a.filter(
+                ~F.col("suppressed_after") & ~F.col("suppressed_threshold")
+            )
+            stage_b = hits.filter(F.col("sid").isin(cond_sids))
+            stage_b = apply_xbits(stage_b, self.rules, survived=survived_a)
+            stage_b_ok = stage_b.filter(F.col("xbit_ok"))
+            stage_b_ok = apply_after_threshold(
+                stage_b_ok, [r for r in self.rules if r.sid in cond_sids]
+            )
+            stage_b_no = (
+                stage_b.filter(~F.col("xbit_ok"))
+                .withColumn("suppressed_after", F.lit(False))
+                .withColumn("suppressed_threshold", F.lit(False))
+            )
+            all_hits = stage_a.unionByName(stage_b_ok).unionByName(stage_b_no)
+        else:
+            all_hits = stage_a
+
+        # flexbit/xbit noalert suppression flags (reference src/output.c:88-99)
+        noalert_sids = [
+            r.sid
+            for r in self.rules
+            if any(x.action == "set" for x in r.xbits) and "noalert" in getattr(r, "flags", [])
+        ]
+        all_hits = all_hits.withColumn(
+            "noalert",
+            F.col("sid").isin(noalert_sids) if noalert_sids else F.lit(False),
+        )
+
+        return EngineResult(hits=all_hits)

@@ -1,0 +1,385 @@
+"""RuleIR -> Catalyst compiler.
+
+Turns a list of :class:`RuleIR` into:
+
+- a shared *extraction plan* (which once-per-event columns any rule needs:
+  JSON flatten map, Parse_IP positional cache, per-type hash columns) —
+  the Spark analog of the reference's parse-once caching
+  (reference src/processors/engine.c:736-806);
+- a per-rule *cheap predicate* Column (prefilters + content + meta_content
+  + pcre + json matchers + event_id + alert_time — everything evaluable
+  before field extraction), evaluation order mirroring the engine's
+  cheap-to-expensive discipline (reference
+  doc/source/high-performance.rst:79-94, src/processors/engine.c:272-276);
+- a per-rule *alert struct* Column carrying the final match boolean
+  (cheap AND flow AND localhost-corrected extraction) plus all extracted
+  fields the sinks need (reference Send_Alert src/send-alert.c:50-119);
+- driver-side correlation specs (threshold/after/xbits) and routing
+  metadata consumed by :mod:`sagan_spark.pipeline.correlate` / ``route``.
+
+The rule fan-out is columnar: all rules become parallel boolean columns
+inside one projection, so Catalyst CSEs shared subexpressions and
+whole-stage codegen fuses the entire ruleset into one pass over the data
+— there is no per-rule loop at execution time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sagan_spark.functions import textmatch as tm
+from sagan_spark.functions.extract import (
+    DEFAULT_SAGAN_PORT,
+    hash_regex,
+)
+from sagan_spark.rules.ir import CidrGroup, PortGroup, RuleIR
+
+
+@dataclass
+class EngineConfig:
+    """Engine-level knobs (reference etc/sagan.yaml 'sagan-core')."""
+
+    sagan_port: int = DEFAULT_SAGAN_PORT  # reference src/config-yaml.c:227
+    sagan_host: str = "0.0.0.0"
+    # substring ignore-list applied pre-engine (F14, reference src/ignore.c:31-50)
+    ignore_list: list[str] = field(default_factory=list)
+
+
+@dataclass
+class EventCols:
+    """The canonical event frame the compiler binds against."""
+
+    event_key: Column  # unique per event (url); deterministic tiebreaker
+    ts: Column  # event time (warc_ts)
+    host: Column  # syslog_host analog
+    program: Column
+    facility: Column
+    level: Column
+    tag: Column
+    message: Column  # the text all matching runs on
+    json: Column | None = None  # map<string,string> (flattened)
+    ips: Column | None = None  # array<struct<ip,port,hi,lo>>
+    ip_proto: Column | None = None  # proto token from Parse_IP
+    hash_cols: dict[str, Column] = field(default_factory=dict)  # md5/sha1/sha256
+
+
+# ---------------------------------------------------------------------------
+# per-rule building blocks
+# ---------------------------------------------------------------------------
+
+
+def _rule_message(r: RuleIR, cols: EventCols) -> Column:
+    """Per-rule view of the message: json_map 'message' override
+    (reference src/processors/engine.c:323-488) then append_program
+    (reference src/processors/engine.c:593-627, 'msg | program')."""
+    msg = cols.message
+    for jm in r.json_maps:
+        if jm.field == "message" and cols.json is not None:
+            msg = F.coalesce(F.try_element_at(cols.json, F.lit(jm.key)), msg)
+    if r.append_program:
+        msg = F.when(
+            cols.program.isNotNull() & (cols.program != ""),
+            F.concat(msg, F.lit(" | "), cols.program),
+        ).otherwise(msg)
+    return msg
+
+
+def _json_map_value(r: RuleIR, cols: EventCols, fld: str) -> Column | None:
+    if cols.json is None:
+        return None
+    for jm in r.json_maps:
+        if jm.field == fld:
+            return F.try_element_at(cols.json, F.lit(jm.key))
+    return None
+
+
+def _json_predicates(r: RuleIR, cols: EventCols) -> Column:
+    """json_content / json_strstr / json_pcre
+    (reference src/json-content.c:47-172, src/json-pcre.c:46-103).
+    Missing key => rule fails, even for negated matches
+    (reference src/json-content.c:157-163)."""
+    pred = F.lit(True)
+    if cols.json is None:
+        if r.json_contents or r.json_pcres:
+            return F.lit(False)
+        return pred
+    for jc in r.json_contents:
+        v = F.try_element_at(cols.json, F.lit(jc.key))
+        hay = F.lower(v) if jc.nocase else v
+        m = hay.contains(F.lit(jc.value)) if jc.strstr else (hay == F.lit(jc.value))
+        m = ~m if jc.negated else m
+        pred = pred & v.isNotNull() & F.coalesce(m, F.lit(False))
+    for jp in r.json_pcres:
+        v = F.try_element_at(cols.json, F.lit(jp.key))
+        pred = pred & F.coalesce(v.rlike(jp.python_flags_pattern), F.lit(False))
+    return pred
+
+
+def _cidr_group_predicate(hi: Column, lo: Column, groups: list[CidrGroup]) -> Column:
+    """CIDR membership on biased (hi, lo) 128-bit halves.
+
+    Positive entries OR together; negated entries are AND NOT
+    (reference Check_Flow src/flow.c:48-504)."""
+    from sagan_spark.functions.extract import int_to_biased_hilo
+
+    def in_range(g: CidrGroup) -> Column:
+        lo_hi, lo_lo = int_to_biased_hilo(g.lo)
+        hi_hi, hi_lo = int_to_biased_hilo(g.hi)
+        ge = (hi > F.lit(lo_hi)) | ((hi == F.lit(lo_hi)) & (lo >= F.lit(lo_lo)))
+        le = (hi < F.lit(hi_hi)) | ((hi == F.lit(hi_hi)) & (lo <= F.lit(hi_lo)))
+        return ge & le
+
+    pred = F.lit(True)
+    positives = [g for g in groups if not g.negated]
+    if positives:
+        any_pos = F.lit(False)
+        for g in positives:
+            any_pos = any_pos | in_range(g)
+        pred = pred & any_pos
+    for g in groups:
+        if g.negated:
+            pred = pred & ~F.coalesce(in_range(g), F.lit(False))
+    return pred
+
+
+def _port_group_predicate(port: Column, groups: list[PortGroup]) -> Column:
+    pred = F.lit(True)
+    positives = [g for g in groups if not g.negated]
+    if positives:
+        any_pos = F.lit(False)
+        for g in positives:
+            any_pos = any_pos | port.between(g.lo, g.hi)
+        pred = pred & any_pos
+    for g in groups:
+        if g.negated:
+            pred = pred & ~F.coalesce(port.between(g.lo, g.hi), F.lit(False))
+    return pred
+
+
+class RuleCompiler:
+    """Compile a ruleset once on the driver; reuse across batches."""
+
+    def __init__(self, rules: list[RuleIR], config: EngineConfig | None = None):
+        self.rules = rules
+        self.config = config or EngineConfig()
+
+    # -- extraction plan ----------------------------------------------------
+
+    @property
+    def needs_json(self) -> bool:
+        return any(r.needs_json for r in self.rules)
+
+    @property
+    def needs_parse_ip(self) -> bool:
+        return any(r.needs_parse_ip for r in self.rules)
+
+    @property
+    def needed_hashes(self) -> set[str]:
+        return {r.parse_hash for r in self.rules if r.parse_hash}
+
+    def hash_extraction_cols(self, msg: Column) -> dict[str, Column]:
+        """Built-in regexp_extract equivalents of Parse_Hash (JVM-side)
+        (reference src/parsers/hash.c:41-153)."""
+        return {
+            h: F.regexp_extract(msg, hash_regex(h), 1) for h in self.needed_hashes
+        }
+
+    # -- predicates ----------------------------------------------------------
+
+    def cheap_predicate(self, r: RuleIR, cols: EventCols) -> Column:
+        """Everything evaluable without Parse_IP, in engine order
+        (reference src/processors/engine.c:492-787)."""
+        msg = _rule_message(r, cols)
+        pred = cols.message.isNotNull() & (F.length(cols.message) > 0)  # F13
+        pred = pred & tm.program_predicate(cols.program, r.programs)  # F1
+        pred = pred & tm.isin_predicate(cols.facility, r.facilities)  # F2
+        pred = pred & tm.isin_predicate(cols.level, r.levels)
+        pred = pred & tm.isin_predicate(cols.tag, r.tags)
+        if r.contents:
+            pred = pred & tm.content_predicate(msg, r.contents)  # F3
+        if r.meta_contents:
+            pred = pred & tm.meta_content_predicate(msg, r.meta_contents)  # F5
+        if r.pcres:
+            pred = pred & tm.pcre_predicate(msg, r.pcres)  # F4
+        pred = pred & _json_predicates(r, cols)  # F6-F8
+        if r.event_ids:
+            decoded = self._decoded_event_id(r, cols)
+            pred = pred & tm.event_id_predicate(msg, decoded, r.event_ids)  # F9
+        if r.alert_time is not None:
+            pred = pred & tm.alert_time_predicate(cols.ts, r.alert_time)  # F11
+        return pred
+
+    def _decoded_event_id(self, r: RuleIR, cols: EventCols) -> Column:
+        jm = _json_map_value(r, cols, "event_id")
+        return jm if jm is not None else F.lit("")
+
+    # -- extraction (per rule, evaluated on candidate subset) ----------------
+
+    def _parsed_hit(self, cols: EventCols, pos: int):
+        """lookup_cache[pos-1] when status==true (engine.c:812-843)."""
+        if pos <= 0 or cols.ips is None:
+            return None
+        return F.try_element_at(cols.ips, F.lit(pos))  # null when out of range
+
+    def _localhost_fix(self, ip: Column, cols: EventCols) -> Column:
+        """Never emit localhost as src/dst — replace with syslog_host
+        (reference src/processors/engine.c:856-877, is_notlocalhost
+        src/util.c:1398-1460)."""
+        is_local = ip.startswith("127.") | (ip == "::1")
+        return F.when(ip.isNull() | (ip == "") | is_local, cols.host).otherwise(ip)
+
+    def extraction_exprs(self, r: RuleIR, cols: EventCols) -> dict[str, Column]:
+        """Final per-rule field values, replicating engine.c:788-921 order:
+        json_map/normalize wins; else Parse_IP positional cache; else
+        syslog_host. default_src/dst_port overrides a Parse_IP port when no
+        json port was decoded (port_*_is_valid only set by decode);
+        default_proto overrides everything."""
+        out: dict[str, Column] = {}
+        src_hit = self._parsed_hit(cols, r.parse_src_ip_pos)
+        dst_hit = self._parsed_hit(cols, r.parse_dst_ip_pos)
+
+        jm_src = _json_map_value(r, cols, "src_ip")
+        jm_dst = _json_map_value(r, cols, "dst_ip")
+
+        src_candidates = [c for c in (jm_src, src_hit.getField("ip") if src_hit is not None else None) if c is not None]
+        dst_candidates = [c for c in (jm_dst, dst_hit.getField("ip") if dst_hit is not None else None) if c is not None]
+        src_ip = F.coalesce(*src_candidates, cols.host) if src_candidates else cols.host
+        dst_ip = F.coalesce(*dst_candidates, cols.host) if dst_candidates else cols.host
+        out["src_ip"] = self._localhost_fix(src_ip, cols)
+        out["dst_ip"] = self._localhost_fix(dst_ip, cols)
+
+        # hi/lo for flow checks: only meaningful for parsed hits
+        out["src_hi"] = src_hit.getField("hi") if src_hit is not None else F.lit(None).cast("long")
+        out["src_lo"] = src_hit.getField("lo") if src_hit is not None else F.lit(None).cast("long")
+        out["dst_hi"] = dst_hit.getField("hi") if dst_hit is not None else F.lit(None).cast("long")
+        out["dst_lo"] = dst_hit.getField("lo") if dst_hit is not None else F.lit(None).cast("long")
+
+        jm_sport = _json_map_value(r, cols, "src_port")
+        jm_dport = _json_map_value(r, cols, "dst_port")
+
+        def port_expr(jm: Column | None, default_port: int, hit) -> Column:
+            rest: Column
+            if default_port:  # default overrides Parse_IP port (engine.c:905-918)
+                rest = F.lit(default_port)
+            elif hit is not None:
+                rest = F.coalesce(hit.getField("port"), F.lit(self.config.sagan_port))
+            else:
+                rest = F.lit(self.config.sagan_port)
+            if jm is not None:
+                return F.coalesce(jm.try_cast("int"), rest)
+            return rest
+
+        out["src_port"] = port_expr(jm_sport, r.default_src_port, src_hit)
+        out["dst_port"] = port_expr(jm_dport, r.default_dst_port, dst_hit)
+
+        # proto: default_proto wins; else Parse_IP literal-token proto (engine.c:921)
+        if r.default_proto:
+            out["proto"] = F.lit(r.default_proto)
+        elif cols.ip_proto is not None and r.needs_parse_ip:
+            out["proto"] = F.coalesce(cols.ip_proto, F.lit(0))
+        else:
+            jm_proto = _json_map_value(r, cols, "proto")
+            out["proto"] = F.coalesce(jm_proto.try_cast("int"), F.lit(0)) if jm_proto is not None else F.lit(0)
+
+        jm_user = _json_map_value(r, cols, "username")
+        out["username"] = jm_user if jm_user is not None else F.lit("")
+
+        msg = _rule_message(r, cols)
+        if r.event_ids:
+            out["event_id"] = tm.event_id_extract(msg, self._decoded_event_id(r, cols), r.event_ids)
+        else:
+            out["event_id"] = self._decoded_event_id(r, cols)
+
+        for h in ("md5", "sha1", "sha256"):
+            if r.parse_hash == h and h in cols.hash_cols:
+                out[h] = cols.hash_cols[h]
+            else:
+                jm_h = _json_map_value(r, cols, h)
+                out[h] = jm_h if jm_h is not None else F.lit("")
+        return out
+
+    def flow_predicate(self, r: RuleIR, ext: dict[str, Column]) -> Column:
+        """Rule header nets/ports/proto gate (reference src/flow.c:48-504).
+
+        An 'any' group is always true.  Non-any groups require the field
+        to have been extracted (null hi/lo fails, like the reference
+        failing on unresolvable ips)."""
+        f = r.flow
+        pred = F.lit(True)
+        if f.src_nets:
+            pred = pred & F.coalesce(
+                _cidr_group_predicate(ext["src_hi"], ext["src_lo"], f.src_nets),
+                F.lit(False),
+            )
+        if f.dst_nets:
+            pred = pred & F.coalesce(
+                _cidr_group_predicate(ext["dst_hi"], ext["dst_lo"], f.dst_nets),
+                F.lit(False),
+            )
+        if f.src_ports:
+            pred = pred & _port_group_predicate(ext["src_port"], f.src_ports)
+        if f.dst_ports:
+            pred = pred & _port_group_predicate(ext["dst_port"], f.dst_ports)
+        if f.proto:
+            pred = pred & (ext["proto"] == F.lit(f.proto))
+        return pred
+
+    # -- alert struct ---------------------------------------------------------
+
+    def alert_struct(self, r: RuleIR, cols: EventCols, cheap: Column) -> Column:
+        """struct<match, rule_idx, sid, rev, extracted fields, track keys>."""
+        ext = self.extraction_exprs(r, cols)
+        match = cheap & self.flow_predicate(r, ext)
+        track_thr = self.track_key_expr(r.threshold.track, ext) if r.threshold else F.lit("")
+        track_aft = self.track_key_expr(r.after.track, ext) if r.after else F.lit("")
+        return F.struct(
+            match.alias("match"),
+            F.lit(r.position).alias("rule_idx"),
+            F.lit(r.sid).alias("sid"),
+            F.lit(r.rev).alias("rev"),
+            ext["src_ip"].alias("src_ip"),
+            ext["src_port"].cast("int").alias("src_port"),
+            ext["dst_ip"].alias("dst_ip"),
+            ext["dst_port"].cast("int").alias("dst_port"),
+            ext["proto"].cast("int").alias("proto"),
+            F.coalesce(ext["username"], F.lit("")).alias("username"),
+            F.coalesce(ext["event_id"], F.lit("")).alias("event_id"),
+            F.coalesce(ext["md5"], F.lit("")).alias("md5"),
+            F.coalesce(ext["sha1"], F.lit("")).alias("sha1"),
+            F.coalesce(ext["sha256"], F.lit("")).alias("sha256"),
+            track_thr.alias("track_threshold"),
+            track_aft.alias("track_after"),
+        )
+
+    @staticmethod
+    def track_key_expr(track: list[str], ext: dict[str, Column]) -> Column:
+        """'src|sport|dst|dport|user' with untracked fields empty/0 —
+        byte-identical to the reference's hash_string
+        (reference src/threshold.c:111, src/after.c:108)."""
+        src = ext["src_ip"] if "by_src" in track else F.lit("")
+        dst = ext["dst_ip"] if "by_dst" in track else F.lit("")
+        user = ext["username"] if "by_username" in track else F.lit("")
+        sport = ext["src_port"].cast("long") if "by_srcport" in track else F.lit(0)
+        dport = ext["dst_port"].cast("long") if "by_dstport" in track else F.lit(0)
+        return F.format_string("%s|%d|%s|%d|%s", src, sport, dst, dport, user)
+
+    # -- ruleset-level helpers -------------------------------------------------
+
+    def pass_rules(self) -> list[RuleIR]:
+        return [r for r in self.rules if r.action == "pass"]
+
+    def alert_rules(self) -> list[RuleIR]:
+        return [r for r in self.rules if r.action != "pass"]
+
+    def ignore_predicate(self, message: Column) -> Column:
+        """F14 ignore-list pre-drop (reference src/ignore.c:31-50):
+        drop the line when ANY listed substring occurs."""
+        if not self.config.ignore_list:
+            return F.lit(False)
+        hit = F.lit(False)
+        for s in self.config.ignore_list:
+            hit = hit | message.contains(F.lit(s))
+        return hit

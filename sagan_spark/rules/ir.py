@@ -1,0 +1,238 @@
+"""RuleIR — the compiled in-memory form of a Sagan rule.
+
+The reference stores each parsed rule in a flat C struct
+(``_Rule_Struct``, reference src/rules.h:102-407) filled by a
+4000-line option loop (reference src/rules.c:102-4125).  Here the IR is
+a set of small dataclasses; the Spark compiler
+(:mod:`sagan_spark.rules.compiler`) turns a list of these into Catalyst
+Column expressions + correlation/routing specs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ContentSpec:
+    """One ``content:`` literal with its modifiers.
+
+    Matches reference semantics at src/content.c:42-179:
+    offset/depth/distance/within slice the *message* (not relative to the
+    previous match position), ``nocase`` lowercases, leading ``!`` negates.
+    """
+
+    literal: str
+    negated: bool = False
+    nocase: bool = False
+    offset: int = 0
+    depth: int = 0
+    distance: int = 0
+    within: int = 0
+
+
+@dataclass
+class PcreSpec:
+    """One ``pcre:"/regex/flags"`` (reference src/rules.c:3008-3100).
+
+    ``flags`` is the raw trailing flag string (i, s, m, x supported).
+    """
+
+    pattern: str
+    flags: str = ""
+
+    @property
+    def python_flags_pattern(self) -> str:
+        """Inline-flag form usable by both java.util.regex and python re."""
+        inline = "".join(ch for ch in self.flags if ch in "ismx")
+        return f"(?{inline}){self.pattern}" if inline else self.pattern
+
+
+@dataclass
+class MetaContentSpec:
+    """``meta_content: "pre %sagan% post", $VAR;`` — OR over expanded
+    literals, AND across meta_contents (reference src/meta-content.c:51-224).
+    Each literal is template with %sagan% replaced by one list item
+    (Replace_Sagan, reference src/util.c:919-959)."""
+
+    literals: list[str]
+    negated: bool = False
+    nocase: bool = False
+    offset: int = 0
+    depth: int = 0
+    distance: int = 0
+    within: int = 0
+
+
+@dataclass
+class JsonContentSpec:
+    """``json_content: "key","value"`` (reference src/json-content.c:47-172).
+
+    strstr=True -> substring match (json_strstr), else exact equality.
+    Missing key => rule fails (even when negated the reference returns
+    false on missing key, src/json-content.c:157-163).
+    """
+
+    key: str
+    value: str
+    negated: bool = False
+    nocase: bool = False
+    strstr: bool = False
+
+
+@dataclass
+class JsonPcreSpec:
+    """``json_pcre: "key","/regex/flags"`` (reference src/json-pcre.c:46-103)."""
+
+    key: str
+    pattern: str
+    flags: str = ""
+
+    @property
+    def python_flags_pattern(self) -> str:
+        inline = "".join(ch for ch in self.flags if ch in "ismx")
+        return f"(?{inline}){self.pattern}" if inline else self.pattern
+
+
+@dataclass
+class JsonMapSpec:
+    """``json_map: "field","key"`` — overwrite an event field from the
+    flattened JSON before matching (reference src/processors/engine.c:323-488,
+    type constants src/rules.h:29-45)."""
+
+    field: str  # src_ip,dst_ip,src_port,dst_port,username,message,program,event_id,proto,md5,...
+    key: str
+
+
+@dataclass
+class PortGroup:
+    """One port test from the rule header: lo==hi for exact."""
+
+    lo: int
+    hi: int
+    negated: bool = False
+
+
+@dataclass
+class CidrGroup:
+    """One network test from the rule header; lo/hi are inclusive integer
+    bounds of the range (IPv4 mapped into the v6 integer space like the
+    reference's 16-byte ip_bits, src/sagan.h:395-409)."""
+
+    lo: int
+    hi: int
+    negated: bool = False
+
+
+@dataclass
+class FlowSpec:
+    """Compiled rule header ``src_net sport -> dst_net dport``
+    (reference src/flow.c:48-504, parse src/rules.c:516-937)."""
+
+    src_nets: list[CidrGroup] = field(default_factory=list)  # empty => any
+    src_ports: list[PortGroup] = field(default_factory=list)
+    dst_nets: list[CidrGroup] = field(default_factory=list)
+    dst_ports: list[PortGroup] = field(default_factory=list)
+    proto: int = 0  # 0=any, 1/6/17
+
+
+@dataclass
+class ThresholdSpec:
+    """``threshold: type limit|suppress, track by_..., count N, seconds T``
+    (reference src/threshold.c:54-234, parse src/rules.c:3292-3325)."""
+
+    ttype: str  # "limit" | "suppress"
+    track: list[str]  # subset of by_src,by_dst,by_username,by_srcport,by_dstport
+    count: int
+    seconds: int
+
+
+@dataclass
+class AfterSpec:
+    """``after: track by_..., count N, seconds T``
+    (reference src/after.c:51-229; '&'-combined track src/rules.c:3415-3451)."""
+
+    track: list[str]
+    count: int
+    seconds: int
+
+
+@dataclass
+class XbitSpec:
+    """``xbits: set|unset|isset|isnotset, name X, track ip_src|ip_dst|ip_pair
+    [, expire N]`` (reference src/xbit.c:54-105, src/xbit-mmap.c)."""
+
+    action: str  # set|unset|isset|isnotset
+    name: str
+    track: str  # ip_src | ip_dst | ip_pair
+    expire: int = 0
+
+
+@dataclass
+class TimeSpec:
+    """``alert_time: days 0123456, hours 0800-1700``
+    (reference src/aetas.c:48-143, parse src/rules.c:3146-3251).
+    days: set of 0..6 (0=Sunday, matching localtime tm_wday);
+    hour range as HHMM ints, rollover allowed (start > end)."""
+
+    days: set[int]
+    start: int
+    end: int
+
+
+@dataclass
+class RuleIR:
+    """One compiled rule (reference _Rule_Struct, src/rules.h:102-407)."""
+
+    sid: int
+    rev: int = 1
+    msg: str = ""
+    action: str = "alert"  # alert | drop | pass
+    classtype: str = ""
+    priority: int = 0  # 0 => take from classification map
+    reference: list[str] = field(default_factory=list)
+
+    # prefilters (reference src/processors/engine.c:492-581)
+    programs: list[str] = field(default_factory=list)  # glob alternatives
+    facilities: list[str] = field(default_factory=list)
+    levels: list[str] = field(default_factory=list)
+    tags: list[str] = field(default_factory=list)
+    syslog_priorities: list[str] = field(default_factory=list)
+
+    contents: list[ContentSpec] = field(default_factory=list)
+    pcres: list[PcreSpec] = field(default_factory=list)
+    meta_contents: list[MetaContentSpec] = field(default_factory=list)
+    json_contents: list[JsonContentSpec] = field(default_factory=list)
+    json_pcres: list[JsonPcreSpec] = field(default_factory=list)
+    json_maps: list[JsonMapSpec] = field(default_factory=list)
+    event_ids: list[str] = field(default_factory=list)
+
+    flow: FlowSpec = field(default_factory=FlowSpec)
+    alert_time: TimeSpec | None = None
+
+    # extraction requests (engine.c:797-921)
+    parse_src_ip_pos: int = 0  # 1-based position into Parse_IP cache; 0 = off
+    parse_dst_ip_pos: int = 0
+    parse_hash: str = ""  # md5 | sha1 | sha256
+    parse_proto: bool = False
+    parse_proto_program: bool = False
+    default_proto: int = 0
+    default_src_port: int = 0
+    default_dst_port: int = 0
+
+    threshold: ThresholdSpec | None = None
+    after: AfterSpec | None = None
+    xbits: list[XbitSpec] = field(default_factory=list)
+
+    append_program: bool = False  # P9: match against "message | program"
+
+    # ordinal position in the loaded ruleset (pass-rule short circuit F15)
+    position: int = 0
+
+    @property
+    def needs_parse_ip(self) -> bool:
+        return self.parse_src_ip_pos > 0 or self.parse_dst_ip_pos > 0
+
+    @property
+    def needs_json(self) -> bool:
+        return bool(self.json_contents or self.json_pcres or self.json_maps)
