@@ -1,38 +1,794 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator from SURVEY.md §2 (engine
+primitives re-expressed over the driver's log-like `events` table and
+`documents`/`embeddings` corpora) or one large-scale training-data op;
+``oracle_sql()`` holds the ANSI-SQL equivalent DuckDB runs on the same
+parquet.  Column names/aliases match pairwise; floats are rounded on
+both sides; exact Sagan state-machine semantics (first-event-anchored
+windows etc.) are pinned by tests/oracle.py in pytest — the SQL-gate
+entries use the closed-form event-time formulations documented in
+SURVEY.md §2.5/§2.9.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: the Sagan engine itself over the events table (sf0.001)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_RULES = """\
+alert any any any -> any any (msg:"error burst"; program: error; threshold: type suppress, track by_username, count 3, seconds 86400; classtype: misc-attack; sid:6000001; rev:1;)
+alert any any any -> any any (msg:"purchase json k"; program: purchase; json_content:".k","7"; json_nocase; classtype: misc-activity; sid:6000002; rev:1;)
+alert any any any -> any any (msg:"signup after"; program: signup; after: track by_username, count 2, seconds 604800; classtype: misc-activity; sid:6000003; rev:1;)
+pass any any any -> any any (msg:"pass views"; program: view; sid:6000004; rev:1;)
+alert any any any -> any any (msg:"catchall nonview"; content:!"never-in-data"; classtype: not-suspicious; sid:6000005; rev:1;)
+"""
+
+
+def _events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the events table to the engine's canonical frame:
+    event_type≙program, user_id≙host/username source, props≙message."""
+    ev = _ev(spark, sf_dir)
+    return ev.select(
+        F.col("event_id").cast("string").alias("event_key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("user-"), F.col("user_id")).alias("host"),
+        F.col("event_type").alias("program"),
+        F.lit("").alias("facility"),
+        F.lit("").alias("level"),
+        F.lit("").alias("tag"),
+        F.col("props").alias("message"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse -> match -> correlate -> route pipeline over
+    /root/testdata/sf0.001 events with an embedded 5-rule set."""
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.pipeline.route import assemble_alerts, eve_view, rule_metadata_df
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(_FLAGSHIP_RULES)
+    engine = SaganSparkEngine(rules)
+    frame = _events_frame(spark, "/root/testdata/sf0.001")
+    alerts = engine.run(frame).alerts()
+    meta = rule_metadata_df(spark, rules)
+    return eve_view(assemble_alerts(alerts, meta))
+
+
+# ---------------------------------------------------------------------------
+# engine-operator queries (SURVEY §2) over the driver tables
+# ---------------------------------------------------------------------------
+
+
+def q_s5_pipe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: '|'-delimited frame decode with per-field defaulting
+    (reference src/input-pipe.c:41-347)."""
+    ev = _ev(spark, sf_dir)
+    line = F.concat_ws(
+        "|",
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.col("props"),
+    )
+    parts = F.split(line, r"\|")
+    return (
+        ev.select(
+            F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit("unknown")).alias("program"),
+            F.try_element_at(parts, F.lit(3)).alias("evt_date"),
+        )
+        .groupBy("program", "evt_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_f1_program_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: glob program prefilter (engine.c:492-509; Wildcard util.c:970)."""
+    from sagan_spark.functions.textmatch import program_predicate
+
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.filter(program_predicate(F.col("event_type"), ["p*", "s?gnup"]))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_f2_isin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: '|'-alternative exact match (engine.c:511-581)."""
+    from sagan_spark.functions.textmatch import isin_predicate
+
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.filter(isin_predicate(F.col("event_type"), ["error", "signup"]))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+def q_f3_content_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: content with offset/depth slicing + negation, exact C
+    arithmetic (reference src/content.c:42-179)."""
+    from sagan_spark.functions.textmatch import content_predicate
+    from sagan_spark.rules.ir import ContentSpec
+
+    docs = _docs(spark, sf_dir)
+    specs = [
+        ContentSpec("filter", offset=7, depth=60),
+        ContentSpec("slow", negated=True),
+    ]
+    return (
+        docs.filter(content_predicate(F.col("text"), specs))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_f4_pcre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: pcre match anywhere (reference src/pcre-s.c:39-68)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("text").rlike("(?i)(fast|slow) (query|scan)"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_f5_meta_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: meta_content OR-list within container, AND across
+    (reference src/meta-content.c:51-224)."""
+    from sagan_spark.functions.textmatch import meta_content_predicate
+    from sagan_spark.rules.ir import MetaContentSpec
+
+    docs = _docs(spark, sf_dir)
+    specs = [
+        MetaContentSpec(literals=["merge sort", "hash join", "table scan"]),
+        MetaContentSpec(literals=["slow"], negated=True),
+    ]
+    return (
+        docs.filter(meta_content_predicate(F.col("text"), specs))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_f6_json_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/P2: JSON key lookup + value compare (reference
+    src/json-content.c:47-172, src/parsers/json.c:136-151)."""
+    ev = _ev(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .filter(F.col("k") >= 90)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+def q_f11_alert_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: day-of-week + HHMM window gate (reference src/aetas.c:48-143).
+    dow computed as (epoch_days+4) % 7 (0=Sunday) so the formula is
+    dialect-portable."""
+    ev = _ev(spark, sf_dir)
+    epoch = F.unix_timestamp("ts")
+    dow = ((epoch / 86400).cast("long") + 4) % 7
+    hhmm = F.hour("ts") * 100 + F.minute("ts")
+    return (
+        ev.filter(dow.isin(1, 2, 3, 4, 5) & (hhmm >= 800) & (hhmm <= 1700))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_p3_parse_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: positional IP/port extraction from log text (reference
+    src/parsers/ip.c:88-958; full token zoo pinned in pytest)."""
+    ev = _ev(spark, sf_dir)
+    msg = F.format_string(
+        "login from 10.%d.%d.%d:%d accepted",
+        (F.col("user_id") % 200).cast("int"),
+        (F.col("event_id") % 250).cast("int"),
+        ((F.col("event_id") * 7) % 250).cast("int"),
+        ((F.col("event_id") * 131) % 60000 + 1024).cast("int"),
+    )
+    ip = F.regexp_extract(msg, r"(\d+\.\d+\.\d+\.\d+):(\d+)", 1)
+    port = F.regexp_extract(msg, r"(\d+\.\d+\.\d+\.\d+):(\d+)", 2).cast("long")
+    return (
+        ev.select(F.col("event_id"), ip.alias("src_ip"), port.alias("src_port"))
+        .filter(F.col("src_port") > 50000)
+    )
+
+
+def q_p4_parse_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: first md5-shaped hex token (reference src/parsers/hash.c:41-153)."""
+    docs = _docs(spark, sf_dir)
+    msg = F.concat(F.lit("object "), F.md5(F.col("text")), F.lit(" stored"))
+    return docs.select(
+        F.col("doc_id"),
+        F.regexp_extract(msg, "([0-9a-f]{32})", 1).alias("md5"),
+    )
+
+
+def q_j1_cidr_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: blacklist CIDR membership as a broadcast range join
+    (reference src/processors/blacklist.c:70-230, probe engine.c:1147)."""
+    ev = _ev(spark, sf_dir)
+    # deterministic synthetic ip int: 10.0.0.0/8 space
+    ip_num = F.lit(167772160) + (F.col("user_id") * 65536 + F.col("event_id") % 65536)
+    ranges = spark.createDataFrame(
+        [
+            (167772160 + 0 * 65536, 167772160 + 3 * 65536 - 1, "bad-block-a"),
+            (167772160 + 10 * 65536, 167772160 + 12 * 65536 - 1, "bad-block-b"),
+        ],
+        "lo long, hi long, label string",
+    )
+    tagged = ev.select(F.col("event_id"), ip_num.alias("ip_num")).join(
+        F.broadcast(ranges),
+        (F.col("ip_num") >= F.col("lo")) & (F.col("ip_num") <= F.col("hi")),
+    )
+    return tagged.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_j7_classification_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: classtype -> priority broadcast lookup at alert assembly
+    (reference src/classifications.c, Classtype_Lookup)."""
+    ev = _ev(spark, sf_dir)
+    cls = spark.createDataFrame(
+        [
+            ("error", "system-error", 1),
+            ("purchase", "money-move", 2),
+            ("signup", "identity-new", 2),
+            ("click", "activity", 3),
+            ("view", "activity", 3),
+        ],
+        "event_type string, classtype string, severity int",
+    )
+    return (
+        ev.join(F.broadcast(cls), "event_type", "left")
+        .groupBy("classtype", "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_a1_threshold_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: threshold type limit — at most N alerts per key per window;
+    event-time tumbling form (SURVEY §2.5; exact first-event-anchored
+    form pinned in pytest vs tests/oracle.py)."""
+    ev = _ev(spark, sf_dir)
+    win = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", win).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_allowed"))
+    )
+
+
+def q_a2_threshold_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: threshold type suppress — gap-based sessionization (utime
+    slides every event, reference src/threshold.c:126-146), first N per
+    session alert."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_type") == "error")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(wo)
+    new_sess = F.when(gap.isNull() | (gap > 86400), 1).otherwise(0)
+    sess = F.sum(new_sess).over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    df = ev.withColumn("sess", sess)
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    return (
+        df.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_alerts"), F.max("sess").alias("n_sessions"))
+    )
+
+
+def q_a3_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: after — suppress until count exceeds N within the window
+    (reference src/after.c:51-229): running count per session > N."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_type") == "click")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(wo)
+    new_sess = F.when(gap.isNull() | (gap > 86400), 1).otherwise(0)
+    sess = F.sum(new_sess).over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    df = ev.withColumn("sess", sess)
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    run = F.count(F.lit(1)).over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("run", run)
+        .filter(F.col("run") > 3)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_after_alerts"))
+    )
+
+
+def q_a4_xbit_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: xbit set -> isset as a time-range self-join: 'error' sets
+    the bit per user, a later 'purchase' within 1h sees it set
+    (reference src/xbit-mmap.c:60-264)."""
+    ev = _ev(spark, sf_dir)
+    sets = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("ts").alias("set_ts")
+    )
+    checks = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id"), F.col("ts").alias("chk_ts")
+    )
+    hit = (
+        checks.join(sets, "user_id")
+        .filter(
+            (F.col("set_ts") < F.col("chk_ts"))
+            & (F.unix_timestamp("chk_ts") - F.unix_timestamp("set_ts") <= 3600)
+        )
+        .select("user_id", "event_id")
+        .distinct()
+    )
+    return hit.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
+def q_a9_track_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: per-source last-seen tracking (reference
+    src/processors/track-clients.c)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_a10_client_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: per-client counters (reference src/processors/client-stats.c)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+def q_k3_eve_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K8: EVE alert assembly — flow_id bit layout
+    (reference FlowGetId src/util.c:1316-1320) + severity join."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_type") == "error")
+    ts = F.col("ts").cast("timestamp")
+    sec = F.unix_timestamp(ts)
+    usec = F.unix_micros(ts) % 1_000_000
+    flow_id = (sec % 65536) * 65536 + (usec % 65536)
+    return ev.select(
+        F.col("event_id"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+        flow_id.alias("flow_id"),
+        F.lit("alert").alias("event_type"),
+        F.concat(F.lit("user-"), F.col("user_id")).alias("src_host"),
+        F.lit(1).alias("alert_gid"),
+        F.lit("system-error").alias("alert_category"),
+    )
+
+
+def q_k7_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: rule-classified fan-out — per-sink routed counts
+    (reference Output() src/output.c:63-149)."""
+    ev = _ev(spark, sf_dir)
+    eve = ev.filter(F.col("event_type").isin("error", "purchase")).select(
+        F.lit("eve").alias("sink"), F.col("event_id")
+    )
+    fast = ev.filter(F.col("event_type") == "error").select(
+        F.lit("fast").alias("sink"), F.col("event_id")
+    )
+    syslog = ev.filter(F.col("value") > 150).select(
+        F.lit("syslog").alias("sink"), F.col("event_id")
+    )
+    return (
+        eve.unionByName(fast)
+        .unionByName(syslog)
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n_routed"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.dedup import exact_dup_groups
+
+    docs = _docs(spark, sf_dir)
+    g = exact_dup_groups(docs)
+    return g.agg(
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        F.coalesce(F.sum("dup_count"), F.lit(0)).alias("n_dup_docs"),
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_pairs(docs, k=8, n_bands=4)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=8, n_bands=4, threshold=0.3)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (pandas-UDF bit math — rows-only oracle check)."""
+    from sagan_spark.ops.dedup import simhash_near_dups
+
+    docs = _docs(spark, sf_dir)
+    return simhash_near_dups(docs, k=4, max_hamming=8)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed ANN (scale path) — rows-only oracle check."""
+    from sagan_spark.ops.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries, k=5, n_planes=6, n_tables=3, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    return lang_id(docs).groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    return quality_score(docs)
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.textstats import token_counts
+
+    docs = _docs(spark, sf_dir)
+    return token_counts(docs)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.textstats import fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return fingerprint(docs, k=16)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload byte length + content digest
+    (decode kernels stubbed; batch plumbing real, see ops/multimodal.py)."""
+    from sagan_spark.ops.multimodal import attach_binary, decode_metadata
+
+    docs = _docs(spark, sf_dir)
+    meta = decode_metadata(attach_binary(docs))
+    return meta.select("id", "n_bytes", "content_sha")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s5_pipe_decode": q_s5_pipe_decode,
+        "f1_program_prefilter": q_f1_program_prefilter,
+        "f2_isin_prefilter": q_f2_isin_prefilter,
+        "f3_content_modifiers": q_f3_content_modifiers,
+        "f4_pcre": q_f4_pcre,
+        "f5_meta_content": q_f5_meta_content,
+        "f6_json_content": q_f6_json_content,
+        "f11_alert_time": q_f11_alert_time,
+        "p3_parse_ip": q_p3_parse_ip,
+        "p4_parse_hash": q_p4_parse_hash,
+        "j1_cidr_range_join": q_j1_cidr_range_join,
+        "j7_classification_join": q_j7_classification_join,
+        "a1_threshold_limit": q_a1_threshold_limit,
+        "a2_threshold_suppress": q_a2_threshold_suppress,
+        "a3_after": q_a3_after,
+        "a4_xbit_interval_join": q_a4_xbit_interval_join,
+        "a9_track_clients": q_a9_track_clients,
+        "a10_client_stats": q_a10_client_stats,
+        "k3_eve_assembly": q_k3_eve_assembly,
+        "k7_sink_fanout": q_k7_sink_fanout,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingles = (
+        "SELECT DISTINCT doc_id, shingle FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-7,1)+1),"
+        " i -> substr(text, i, 8))) AS shingle FROM documents)"
+        " WHERE length(shingle) = 8"
+    )
+    sigs = (
+        f"WITH sh AS ({shingles}), "
+        "sig AS (SELECT doc_id, "
+        " min(md5('b0|' || shingle)) AS sig0, min(md5('b1|' || shingle)) AS sig1,"
+        " min(md5('b2|' || shingle)) AS sig2, min(md5('b3|' || shingle)) AS sig3 "
+        "FROM sh GROUP BY doc_id), "
+        "stacked AS ("
+        " SELECT doc_id, 0 AS band, sig0 AS sig FROM sig UNION ALL"
+        " SELECT doc_id, 1, sig1 FROM sig UNION ALL"
+        " SELECT doc_id, 2, sig2 FROM sig UNION ALL"
+        " SELECT doc_id, 3, sig3 FROM sig)"
+    )
+    pairs = (
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " count(*) AS n_shared_bands "
+        "FROM stacked a JOIN stacked b ON a.band = b.band AND a.sig = b.sig"
+        " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    )
+    session_cte = (
+        "WITH o AS (SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL"
+        " OR epoch(ts) - lag(epoch(ts)) OVER w > 86400 THEN 1 ELSE 0 END AS new_sess"
+        " FROM events WHERE event_type = '{etype}'"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS sess FROM o)"
+    )
+    return {
+        "s5_pipe_decode": (
+            "SELECT program, evt_date, count(*) AS n FROM ("
+            "SELECT string_split(concat_ws('|', CAST(user_id AS VARCHAR), event_type,"
+            " strftime(ts, '%Y-%m-%d'), props), '|') AS parts FROM events)"
+            " t(parts), (SELECT 1) _ "
+            ", LATERAL (SELECT coalesce(parts[2], 'unknown') AS program,"
+            " parts[3] AS evt_date) p GROUP BY 1, 2"
+        ),
+        "f1_program_prefilter": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE regexp_matches(event_type, '^(?:p.*|s.gnup)$') GROUP BY 1"
+        ),
+        "f2_isin_prefilter": (
+            "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users "
+            "FROM events WHERE event_type IN ('error','signup') GROUP BY 1"
+        ),
+        "f3_content_modifiers": (
+            "SELECT lang, count(*) AS n FROM ("
+            "SELECT lang, CASE WHEN length(text) > 7 THEN substr(text, 8) ELSE '' END AS s1"
+            ", text FROM documents) "
+            "WHERE position('filter' IN substr(s1, 1, 61)) > 0"
+            " AND position('slow' IN text) = 0 GROUP BY 1"
+        ),
+        "f4_pcre": (
+            "SELECT source, count(*) AS n FROM documents "
+            "WHERE regexp_matches(text, '(?i)(fast|slow) (query|scan)') GROUP BY 1"
+        ),
+        "f5_meta_content": (
+            "SELECT lang, count(*) AS n FROM documents "
+            "WHERE (position('merge sort' IN text) > 0 OR position('hash join' IN text) > 0"
+            " OR position('table scan' IN text) > 0)"
+            " AND position('slow' IN text) = 0 GROUP BY 1"
+        ),
+        "f6_json_content": (
+            "SELECT event_type, count(*) AS n, sum(k) AS sum_k FROM ("
+            "SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
+            " FROM events) WHERE k >= 90 GROUP BY 1"
+        ),
+        "f11_alert_time": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE ((CAST(floor(epoch(ts)/86400) AS BIGINT) + 4) % 7) IN (1,2,3,4,5)"
+            " AND (hour(ts)*100 + minute(ts)) BETWEEN 800 AND 1700 GROUP BY 1"
+        ),
+        "p3_parse_ip": (
+            "SELECT event_id, regexp_extract(msg, '(\\d+\\.\\d+\\.\\d+\\.\\d+):(\\d+)', 1) AS src_ip,"
+            " CAST(regexp_extract(msg, '(\\d+\\.\\d+\\.\\d+\\.\\d+):(\\d+)', 2) AS BIGINT) AS src_port"
+            " FROM (SELECT event_id, printf('login from 10.%d.%d.%d:%d accepted',"
+            " user_id % 200, event_id % 250, (event_id*7) % 250,"
+            " (event_id*131) % 60000 + 1024) AS msg FROM events)"
+            " WHERE CAST(regexp_extract(msg, '(\\d+\\.\\d+\\.\\d+\\.\\d+):(\\d+)', 2) AS BIGINT) > 50000"
+        ),
+        "p4_parse_hash": (
+            "SELECT doc_id, regexp_extract('object ' || md5(text) || ' stored',"
+            " '([0-9a-f]{32})', 1) AS md5 FROM documents"
+        ),
+        "j1_cidr_range_join": (
+            "SELECT label, count(*) AS n FROM ("
+            "SELECT 167772160 + (user_id * 65536 + event_id % 65536) AS ip_num FROM events) e "
+            "JOIN (VALUES (167772160, 167772160 + 3*65536 - 1, 'bad-block-a'),"
+            " (167772160 + 10*65536, 167772160 + 12*65536 - 1, 'bad-block-b'))"
+            " r(lo, hi, label) ON e.ip_num BETWEEN r.lo AND r.hi GROUP BY 1"
+        ),
+        "j7_classification_join": (
+            "SELECT classtype, severity, count(*) AS n FROM events e LEFT JOIN "
+            "(VALUES ('error','system-error',1), ('purchase','money-move',2),"
+            " ('signup','identity-new',2), ('click','activity',3), ('view','activity',3))"
+            " c(event_type, classtype, severity) USING (event_type) GROUP BY 1, 2"
+        ),
+        "a1_threshold_limit": (
+            "SELECT user_id, count(*) AS n_allowed FROM ("
+            "SELECT user_id, row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)"
+            " ORDER BY ts, event_id) AS rn FROM events) WHERE rn <= 3 GROUP BY 1"
+        ),
+        "a2_threshold_suppress": (
+            session_cte.format(etype="error")
+            + ", r AS (SELECT user_id, sess, row_number() OVER (PARTITION BY user_id, sess"
+            " ORDER BY ts, event_id) AS rn FROM s) "
+            "SELECT user_id, count(*) AS n_alerts,"
+            " (SELECT max(sess) FROM s s2 WHERE s2.user_id = r.user_id) AS n_sessions"
+            " FROM r WHERE rn <= 2 GROUP BY user_id"
+        ),
+        "a3_after": (
+            session_cte.format(etype="click")
+            + ", r AS (SELECT user_id, count(*) OVER (PARTITION BY user_id, sess"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run FROM s) "
+            "SELECT user_id, count(*) AS n_after_alerts FROM r WHERE run > 3 GROUP BY 1"
+        ),
+        "a4_xbit_interval_join": (
+            "SELECT user_id, count(*) AS n_flagged FROM ("
+            "SELECT DISTINCT c.user_id, c.event_id FROM "
+            "(SELECT user_id, event_id, ts AS chk_ts FROM events WHERE event_type = 'purchase') c "
+            "JOIN (SELECT user_id, ts AS set_ts FROM events WHERE event_type = 'error') s "
+            "USING (user_id) WHERE s.set_ts < c.chk_ts"
+            " AND epoch(c.chk_ts) - epoch(s.set_ts) <= 3600) GROUP BY 1"
+        ),
+        "a9_track_clients": (
+            "SELECT user_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,"
+            " count(*) AS n_events FROM events GROUP BY 1"
+        ),
+        "a10_client_stats": (
+            "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,"
+            " count(DISTINCT event_type) AS n_types FROM events GROUP BY 1"
+        ),
+        "k3_eve_assembly": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS timestamp,"
+            " (CAST(floor(epoch(ts)) AS BIGINT) % 65536) * 65536"
+            " + (CAST(epoch_us(ts) AS BIGINT) % 1000000) % 65536 AS flow_id,"
+            " 'alert' AS event_type, 'user-' || CAST(user_id AS VARCHAR) AS src_host,"
+            " 1 AS alert_gid, 'system-error' AS alert_category"
+            " FROM events WHERE event_type = 'error'"
+        ),
+        "k7_sink_fanout": (
+            "SELECT sink, count(*) AS n_routed FROM ("
+            "SELECT 'eve' AS sink, event_id FROM events WHERE event_type IN ('error','purchase')"
+            " UNION ALL SELECT 'fast', event_id FROM events WHERE event_type = 'error'"
+            " UNION ALL SELECT 'syslog', event_id FROM events WHERE value > 150)"
+            " GROUP BY 1"
+        ),
+        "dedup_exact": (
+            "SELECT count(*) AS n_dup_groups, coalesce(sum(dup_count), 0) AS n_dup_docs FROM ("
+            "SELECT md5(text) AS h, count(*) AS dup_count FROM documents"
+            " GROUP BY 1 HAVING count(*) > 1)"
+        ),
+        "dedup_minhash_lsh": f"{sigs}, {pairs} SELECT doc_a, doc_b, n_shared_bands FROM pairs",
+        "dedup_ngram_jaccard": (
+            f"{sigs}, {pairs}, "
+            "sh2 AS (SELECT DISTINCT doc_id, shingle FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-7,1)+1),"
+            " i -> substr(text, i, 8))) AS shingle FROM documents)"
+            " WHERE length(shingle) = 8), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1), "
+            "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p"
+            " JOIN sh2 a ON a.doc_id = p.doc_a JOIN sh2 b ON b.doc_id = p.doc_b"
+            " AND b.shingle = a.shingle GROUP BY 1, 2) "
+            "SELECT i.doc_a, i.doc_b, round(CAST(i.n_inter AS DOUBLE)"
+            " / (na.n + nb.n - i.n_inter), 6) AS jaccard "
+            "FROM inter i JOIN sizes na ON na.doc_id = i.doc_a"
+            " JOIN sizes nb ON nb.doc_id = i.doc_b "
+            "WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3"
+        ),
+        "ann_cosine_topk": (
+            "SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+            " list_cosine_similarity(q.embedding, c.embedding) AS cosine,"
+            " row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            " list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank"
+            " FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)"
+            " WHERE rank <= 5"
+        ),
+        "text_langid": (
+            "SELECT pred_lang, count(*) AS n FROM ("
+            "SELECT CASE WHEN best <= 0 THEN 'und'"
+            " WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'"
+            " WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es'"
+            " ELSE 'und' END AS pred_lang FROM ("
+            "SELECT greatest(s_en, s_de, s_fr, s_es) AS best, s_en, s_de, s_fr, s_es FROM ("
+            "SELECT"
+            " (length(p) - length(replace(p, ' the ', ''))) / 5.0"
+            " + (length(p) - length(replace(p, ' and ', ''))) / 5.0"
+            " + (length(p) - length(replace(p, ' of ', ''))) / 4.0 AS s_en,"
+            " (length(p) - length(replace(p, ' der ', ''))) / 5.0"
+            " + (length(p) - length(replace(p, ' und ', ''))) / 5.0"
+            " + (length(p) - length(replace(p, ' die ', ''))) / 5.0 AS s_de,"
+            " (length(p) - length(replace(p, ' le ', ''))) / 4.0"
+            " + (length(p) - length(replace(p, ' et ', ''))) / 4.0"
+            " + (length(p) - length(replace(p, ' les ', ''))) / 5.0 AS s_fr,"
+            " (length(p) - length(replace(p, ' el ', ''))) / 4.0"
+            " + (length(p) - length(replace(p, ' y ', ''))) / 3.0"
+            " + (length(p) - length(replace(p, ' los ', ''))) / 5.0 AS s_es"
+            " FROM (SELECT ' ' || text || ' ' AS p FROM documents)))) GROUP BY 1"
+        ),
+        "text_quality": (
+            "SELECT doc_id, n_chars, n_words, round(avg_word_len, 6) AS avg_word_len,"
+            " round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,"
+            " round((len_ok + word_ok + punct_ok + least(stop_ratio * 5, 1.0)) / 4, 6) AS quality"
+            " FROM (SELECT doc_id, n_chars, n_words,"
+            " CASE WHEN n_words > 0 THEN CAST(n_chars - n_words + 1 AS DOUBLE)/n_words ELSE 0 END AS avg_word_len,"
+            " CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END AS punct_ratio,"
+            " CASE WHEN n_words > 0 THEN n_stop/n_words ELSE 0 END AS stop_ratio,"
+            " CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END AS len_ok,"
+            " CASE WHEN n_words > 0 AND CAST(n_chars - n_words + 1 AS DOUBLE)/n_words"
+            "  BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END AS word_ok,"
+            " CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars <= 0.2"
+            "  THEN 1.0 ELSE 0.0 END AS punct_ok"
+            " FROM (SELECT doc_id, length(text) AS n_chars,"
+            " CASE WHEN length(trim(text)) = 0 THEN 0"
+            "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,"
+            " length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,"
+            " (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5.0"
+            " + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3.0"
+            " + (length(' '||text||' ') - length(replace(' '||text||' ', ' and ', ''))) / 5.0"
+            " + (length(' '||text||' ') - length(replace(' '||text||' ', ' of ', ''))) / 4.0"
+            " + (length(' '||text||' ') - length(replace(' '||text||' ', ' to ', ''))) / 4.0 AS n_stop"
+            " FROM documents))"
+        ),
+        "text_tokens": (
+            "SELECT doc_id,"
+            " CASE WHEN length(trim(text)) = 0 THEN 0"
+            "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,"
+            " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens"
+            " FROM documents"
+        ),
+        "text_fingerprint": (
+            "SELECT doc_id, min(md5(g)) AS fingerprint FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-15,1)+1),"
+            " i -> substr(text, i, 16))) AS g FROM documents) GROUP BY 1"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,"
+            " sha256(text) AS content_sha FROM documents"
+        ),
+        # dedup_simhash, ann_lsh_topk: pandas-UDF / hyperplane ops — rows-only
+    }

@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+engine pipeline (parse -> match -> correlate -> route) over a generated
+pages corpus, and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys report the north-rule metric (end-to-end routed rows/sec)
+and corpus sizes.  Scaling evidence (local[8] vs local[32]) comes from
+tools/bench_scaling.py and is recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES_ROWS = int(os.environ.get("SAGAN_BENCH_PAGES_ROWS", "200000"))
+PAGES_CACHE = f"/tmp/sagan_spark_bench/pages_{BENCH_PAGES_ROWS}.parquet"
+
+# headline subset of the contract queries — the heavy/representative ones
+HEADLINE = [
+    "f3_content_modifiers",
+    "f4_pcre",
+    "f6_json_content",
+    "p4_parse_hash",
+    "j1_cidr_range_join",
+    "a1_threshold_limit",
+    "a2_threshold_suppress",
+    "a4_xbit_interval_join",
+    "k3_eve_assembly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def ensure_pages(path: str, n_rows: int) -> str:
+    if not Path(path).exists():
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        from sagan_spark.data.pages import write_pages
+
+        write_pages(path, n_rows=n_rows)
+    return path
+
+
+def run_engine_bench(spark) -> dict:
+    from fixtures.vars import VARIABLES
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.pipeline.route import assemble_alerts, eve_view, rule_metadata_df
+    from sagan_spark.rules.parser import parse_rules
+
+    pages_path = ensure_pages(PAGES_CACHE, BENCH_PAGES_ROWS)
+    rules = parse_rules(
+        Path(__file__).parent.joinpath("fixtures/ruleset.rules").read_text(), VARIABLES
+    )
+    pages = spark.read.parquet(pages_path)
+    n_events = pages.count()  # warm the scan/page cache out of the timed section
+
+    t0 = time.monotonic()
+    engine = SaganSparkEngine(rules)
+    alerts = engine.run(engine.frame_from_pages(pages)).alerts()
+    routed = eve_view(assemble_alerts(alerts, rule_metadata_df(spark, rules)))
+    n_routed = routed.count()
+    dt = time.monotonic() - t0
+    return {
+        "engine_sec": round(dt, 3),
+        "engine_events": n_events,
+        "engine_routed_rows": n_routed,
+        "events_per_sec": round(n_events / dt, 1),
+        "routed_rows_per_sec": round(n_routed / dt, 1),
+    }
+
+
+def main() -> None:
+    from sagan_spark.session import build_spark
+
+    import __spark_entry__ as E
+
+    spark = build_spark(app="sagan_spark_bench", cores=CPUS, driver_memory="48g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        times[name] = round(time.monotonic() - t0, 3)
+
+    engine_stats = run_engine_bench(spark)
+    total = round(sum(times.values()) + engine_stats["engine_sec"], 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "end-to-end routed-rows/sec (parse->enrich->route->aggregate)",
+        "value": total,
+        "unit": "sec",
+        "queries": {**times, "engine_pipeline": engine_stats["engine_sec"]},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **engine_stats,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

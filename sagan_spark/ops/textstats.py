@@ -1,0 +1,113 @@
+"""Text-analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything here is pure built-in expressions (whole-stage codegen) so
+the same formulas are expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny n-gram/stopword marker sets per language (heuristic lang-id)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def _count_occurrences(col, needle: str):
+    """# occurrences of a literal via length arithmetic (JVM-side)."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def word_count(col):
+    """Whitespace token count: words = spaces_removed delta + 1."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-word scoring language-ID: per language, count marker-word
+    occurrences (space-padded to approximate word boundaries); predict
+    the argmax, 'und' (undetermined) when all scores are 0."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_count_occurrences(padded, f" {m} ") for m in markers), F.lit(0.0)
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = docs.select(F.col(id_col), *scores.values())
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # first-wins on ties, fixed lang order
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return df.select(
+        id_col,
+        pred.otherwise(F.lit("und")).alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features and
+    a composite [0,1] score (heuristics in the C4/Gopher-rules family)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = word_count(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_stop = sum(
+        (_count_occurrences(padded, f" {m} ") for m in ["the", "a", "and", "of", "to"]),
+        F.lit(0.0),
+    )
+    avg_word_len = F.when(n_words > 0, (n_chars - n_words + 1) / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    word_ok = F.when((avg_word_len >= 2) & (avg_word_len <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (len_ok + word_ok + punct_ok + F.least(stop_ratio * 5, F.lit(1.0))) / 4
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens
+    (letter runs | digit runs | single non-alnum)."""
+    t = F.col(text_col)
+    ws = word_count(t).cast("long")
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).cast("long")
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 16, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: lexicographic min of md5 over character
+    k-grams (winnowing-style rolling-window digest).  Identical
+    fingerprints => near-identical prefixes/content blocks."""
+    seq = F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1)))
+    grams = F.transform(seq, lambda i: F.md5(F.col(text_col).substr(i, F.lit(k))))
+    return docs.select(
+        F.col(id_col),
+        F.array_min(grams).alias("fingerprint"),
+    )

@@ -78,8 +78,9 @@ def _proto_name() -> F.Column:
 def assemble_alerts(alerts: DataFrame, meta: DataFrame) -> DataFrame:
     """K8: event columns + rule metadata -> the routed alert table."""
     joined = alerts.join(F.broadcast(meta), ["sid", "rev"], "left")
-    sec = F.col("ts").cast("long")
-    usec = (F.col("ts").cast("double") * 1_000_000).cast("long") % 1_000_000
+    ts = F.col("ts").cast("timestamp")  # NTZ inputs -> session-tz instants
+    sec = ts.cast("long")
+    usec = F.unix_micros(ts) % 1_000_000
     flow_id = (
         sec.bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16)
     ) + usec.bitwiseAND(F.lit(0xFFFF))
