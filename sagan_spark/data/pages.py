@@ -124,5 +124,7 @@ def generate_pages(n_rows: int = 20_000, seed: int = 42) -> pa.Table:
 
 def write_pages(path: str, n_rows: int = 20_000, seed: int = 42) -> str:
     table = generate_pages(n_rows, seed)
-    pq.write_table(table, path)
+    # small row groups => the single file scans as many parallel splits
+    # (a real Iceberg table gives the same via its file/row-group layout)
+    pq.write_table(table, path, row_group_size=max(8192, n_rows // 64))
     return path

@@ -64,8 +64,17 @@ def make_parse_ip_udf(sagan_port: int = DEFAULT_SAGAN_PORT):
 @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
 def json_flatten_udf(texts: pd.Series) -> pd.Series:
     """pandas UDF: text -> map<string,string> of dotted keys
-    (reference src/parsers/json.c:40-134)."""
-    return texts.map(lambda m: json_flatten(m) if m is not None else {})
+    (reference src/parsers/json.c:40-134).
+
+    The '{ in first 3 chars' detection gate
+    (reference src/processors/engine.c:250-263) runs vectorized so
+    non-JSON rows (the vast majority of any log corpus) never enter
+    per-row Python."""
+    out = pd.Series([{}] * len(texts), index=texts.index, dtype=object)
+    mask = texts.str.slice(0, 3).str.contains("{", regex=False).fillna(False)
+    if mask.any():
+        out[mask] = texts[mask].map(json_flatten)
+    return out
 
 
 def make_python_regex_udf(pattern: str, flags_str: str):

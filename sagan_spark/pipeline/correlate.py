@@ -3,10 +3,20 @@
 The reference keeps per-(rule, track-key) counters in mmap'd shared
 arrays updated in arrival order (reference src/threshold.c:54-234,
 src/after.c:51-229, src/xbit-mmap.c).  Here the same state machines run
-distributed: hits shuffle once on (sid, group_key) and each group is
-replayed in canonical event-time order ``(ts, event_key)`` inside an
-Arrow-batched ``applyInPandas``.  Canonical ordering makes the result
-deterministic under any partitioning/parallelism (SURVEY §7.5).
+distributed: hits shuffle ONCE on a colocation key (sid, track-key),
+each shuffle partition is sorted in canonical event-time order
+``(ts, event_key)``, and a single ``mapInPandas`` pass replays every
+key's subsequence with a per-key state dict carried across Arrow
+batches.  Canonical ordering makes the result deterministic under any
+partitioning/parallelism (SURVEY §7.5).
+
+Why mapInPandas and not groupBy().applyInPandas: the track key is
+usually a source IP, so a corpus has ~as many groups as distinct IPs.
+applyInPandas materializes one pandas DataFrame per group — per-group
+constant costs dominate when groups are tiny (millions of 3-row
+groups).  One sorted pass per shuffle partition does the same replay
+with zero per-group overhead, and it is exactly how the reference
+consumes its arrival-ordered stream.
 
 Exact semantics replicated:
 
@@ -24,20 +34,25 @@ Exact semantics replicated:
 - **xbits**: set/unset happen only for events that survived
   after+threshold (engine.c:1415-1427); isset/isnotset conditions are
   part of routing (checked before after/threshold) honoring expiry
-  (xbit-mmap.c:181-264).
+  (xbit-mmap.c:181-264).  Within one event, rules are replayed in
+  ruleset position order and a rule's condition check precedes its own
+  set (engine.c:999-1024 vs 1415-1427).
 
-Scale note: one group = one (sid, track-key) — the same serialization
-the reference imposes via its mutex; groups are independent so the
-shuffle parallelizes across keys.  Rules carrying BOTH after and
-threshold collapse to one group per sid (the two state machines are
-coupled), which is also the reference's behavior (single shared array).
+Scale note: the shuffle parallelizes across (sid, track-key); rules
+carrying BOTH after and threshold colocate per sid (the two state
+machines share the event subsequence, engine.c:1377-1389) — the same
+serialization the reference imposes via its shared arrays.  Hot keys
+cost one partition's sort, not a driver loop.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sagan_spark.rules.ir import RuleIR
 
@@ -61,71 +76,8 @@ def _corr_spec_map(rules: list[RuleIR]) -> dict[int, dict]:
     return out
 
 
-def _replay_group(pdf: pd.DataFrame, specs: dict[int, dict]) -> pd.DataFrame:
-    """Replay one (sid, group_key) partition in canonical order."""
-    # canonical order: full-precision event time, event_key tiebreak;
-    # state arithmetic uses whole seconds like the reference (strftime %s)
-    pdf = pdf.sort_values(["ts", "event_key"], kind="mergesort")
-    sid = int(pdf["sid"].iloc[0])
-    spec = specs.get(sid)
-    n = len(pdf)
-    sup_after = [False] * n
-    sup_thresh = [False] * n
-    if spec is None:
-        pdf["suppressed_after"] = sup_after
-        pdf["suppressed_threshold"] = sup_thresh
-        return pdf
-
-    after_spec = spec["after"]
-    thr_spec = spec["threshold"]
-    a_state: dict[str, list] = {}  # key -> [count, utime]
-    t_state: dict[str, list] = {}
-
-    ts = pdf["ts_epoch"].to_numpy()
-    a_keys = pdf["track_after"].to_numpy()
-    t_keys = pdf["track_threshold"].to_numpy()
-
-    for i in range(n):
-        t = int(ts[i])
-        suppressed = False
-
-        if after_spec is not None:
-            a_count, a_secs = after_spec
-            st = a_state.get(a_keys[i])
-            if st is None:
-                a_state[a_keys[i]] = [1, t]
-                suppressed = True  # after.c:78 default true until count > N
-            else:
-                st[0] += 1
-                oldtime = t - st[1]
-                flag = True
-                if oldtime > a_secs:  # gap reset (after.c:132-137)
-                    st[0], st[1] = 1, t
-                    flag = True
-                if a_count < st[0]:  # exceeded: alert + slide (after.c:140-144)
-                    st[1] = t
-                    flag = False
-                suppressed = flag
-            sup_after[i] = suppressed
-
-        if thr_spec is not None and not suppressed:  # engine.c:1386 gate
-            ttype, t_count, t_secs = thr_spec
-            st = t_state.get(t_keys[i])
-            if st is None:
-                t_state[t_keys[i]] = [1, t]
-            else:
-                st[0] += 1
-                oldtime = t - st[1]
-                if ttype == "suppress":  # utime slides (threshold.c:126-130)
-                    st[1] = t
-                if oldtime > t_secs:  # window reset (threshold.c:141-146)
-                    st[0], st[1] = 1, t
-                if t_count < st[0]:  # (threshold.c:148-150)
-                    sup_thresh[i] = True
-
-    pdf["suppressed_after"] = sup_after
-    pdf["suppressed_threshold"] = sup_thresh
-    return pdf
+def _shuffle_partitions(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
 def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
@@ -145,8 +97,9 @@ def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
     plain = hits.filter(~F.col("sid").isin(corr_sids))
     corr = hits.filter(F.col("sid").isin(corr_sids))
 
-    # one group per (sid, track-key) when only one machine is active;
-    # coupled machines (both after+threshold) collapse to per-sid groups
+    # colocation key: one shuffle key per (sid, track-key) when one machine
+    # is active; coupled machines (both after+threshold) colocate per sid
+    # because the after gate mutes threshold updates (engine.c:1377-1389)
     both_sids = [s for s, v in specs.items() if v["after"] and v["threshold"]]
     after_only = [s for s, v in specs.items() if v["after"] and not v["threshold"]]
     group_key = (
@@ -159,9 +112,7 @@ def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
         "ts_epoch", F.col("ts").cast("long")
     )
 
-    base_fields = [f for f in corr.schema.fields if f.name != "corr_group"]
-    from pyspark.sql import types as T
-
+    base_fields = [f for f in corr.schema.fields if f.name not in ("corr_group", "ts_epoch")]
     out_struct = T.StructType(
         base_fields
         + [
@@ -169,13 +120,77 @@ def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
             T.StructField("suppressed_threshold", T.BooleanType()),
         ]
     )
+    out_cols = [f.name for f in out_struct.fields]
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop(columns=["corr_group"])
-        return _replay_group(pdf, specs)
+    def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # state survives across Arrow batches of one shuffle partition;
+        # keys are dicts keyed (sid, track-key) like the reference's
+        # (hash, sid) slots (threshold.c:111-113, after.c:108-110)
+        a_state: dict = {}
+        t_state: dict = {}
+        for pdf in batches:
+            n = len(pdf)
+            sids = pdf["sid"].to_numpy()
+            ts = pdf["ts_epoch"].to_numpy()
+            a_keys = pdf["track_after"].to_numpy()
+            t_keys = pdf["track_threshold"].to_numpy()
+            sup_after = [False] * n
+            sup_thresh = [False] * n
+            for i in range(n):
+                sid = sids[i]
+                spec = specs.get(sid)
+                if spec is None:
+                    continue
+                t = int(ts[i])
+                suppressed = False
+                after_spec = spec["after"]
+                if after_spec is not None:
+                    a_count, a_secs = after_spec
+                    k = (sid, a_keys[i])
+                    st = a_state.get(k)
+                    if st is None:
+                        a_state[k] = [1, t]
+                        suppressed = True  # after.c:78 default true until count > N
+                    else:
+                        st[0] += 1
+                        oldtime = t - st[1]
+                        flag = True
+                        if oldtime > a_secs:  # gap reset (after.c:132-137)
+                            st[0], st[1] = 1, t
+                            flag = True
+                        if a_count < st[0]:  # exceeded: alert + slide (after.c:140-144)
+                            st[1] = t
+                            flag = False
+                        suppressed = flag
+                    sup_after[i] = suppressed
 
-    replayed = corr.groupBy("sid", "corr_group").applyInPandas(fn, schema=out_struct)
-    replayed = replayed.drop("ts_epoch")
+                thr_spec = spec["threshold"]
+                if thr_spec is not None and not suppressed:  # engine.c:1386 gate
+                    ttype, t_count, t_secs = thr_spec
+                    k = (sid, t_keys[i])
+                    st = t_state.get(k)
+                    if st is None:
+                        t_state[k] = [1, t]
+                    else:
+                        st[0] += 1
+                        oldtime = t - st[1]
+                        if ttype == "suppress":  # utime slides (threshold.c:126-130)
+                            st[1] = t
+                        if oldtime > t_secs:  # window reset (threshold.c:141-146)
+                            st[0], st[1] = 1, t
+                        if t_count < st[0]:  # (threshold.c:148-150)
+                            sup_thresh[i] = True
+
+            pdf = pdf.copy()
+            pdf["suppressed_after"] = sup_after
+            pdf["suppressed_threshold"] = sup_thresh
+            yield pdf[out_cols]
+
+    replayed = (
+        corr.repartition(_shuffle_partitions(corr), "sid", "corr_group")
+        .sortWithinPartitions("ts", "event_key")
+        .mapInPandas(replay, schema=out_struct)
+    )
 
     plain = plain.withColumn("suppressed_after", F.lit(False)).withColumn(
         "suppressed_threshold", F.lit(False)
@@ -210,9 +225,10 @@ def apply_xbits(
     events allowed to set/unset bits (reference engine.c:1415-1427).
 
     Returns hits with an ``xbit_ok`` boolean.  Exact event-time replay per
-    (bit name, key): set/unset/check events merge-sorted on
-    (ts, event_key); a check sees a bit as set iff the latest set before
-    it is not unset and not expired (reference src/xbit-mmap.c:181-264).
+    (bit name, key): set/unset/check events sorted on
+    (ts, event_key, rule position, check-before-set); a check sees a bit
+    as set iff the latest set before it is not unset and not expired
+    (reference src/xbit-mmap.c:181-264).
     """
     cond_rules = [r for r in rules if any(x.action in ("isset", "isnotset") for x in r.xbits)]
     if not cond_rules:
@@ -234,6 +250,9 @@ def apply_xbits(
                     xbit_key_expr(x.track).alias("bit_key"),
                     F.col("ts").cast("double").alias("ts_d"),
                     F.col("event_key"),
+                    # within one event: rule order, a rule's own check
+                    # precedes its set (engine.c:999-1024 vs 1415-1427)
+                    F.lit(r.position * 2 + 1).alias("seq"),
                     F.lit(x.action).alias("kind"),
                     F.lit(x.expire).alias("expire"),
                     F.lit(None).cast("string").alias("hit_id"),
@@ -254,6 +273,7 @@ def apply_xbits(
                     xbit_key_expr(x.track).alias("bit_key"),
                     F.col("ts").cast("double").alias("ts_d"),
                     F.col("event_key"),
+                    F.lit(r.position * 2).alias("seq"),
                     F.lit("check").alias("kind"),
                     F.lit(0).alias("expire"),
                     F.concat_ws("#", F.col("event_key"), F.col("sid").cast("string")).alias("hit_id"),
@@ -269,8 +289,6 @@ def apply_xbits(
     for e in spark_events[1:]:
         events = events.unionByName(e)
 
-    from pyspark.sql import types as T
-
     out_struct = T.StructType(
         [
             T.StructField("hit_id", T.StringType()),
@@ -278,27 +296,51 @@ def apply_xbits(
         ]
     )
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_d", "event_key"], kind="mergesort")
-        set_ts = None  # active set timestamp
-        set_expire = 0
-        out_ids, out_ok = [], []
-        for row in pdf.itertuples(index=False):
-            if row.kind == "set":
-                set_ts, set_expire = row.ts_d, row.expire
-            elif row.kind == "unset":
-                set_ts = None
-            else:  # check
-                active = set_ts is not None and (
-                    set_expire == 0 or (row.ts_d - set_ts) < set_expire
-                )
-                out_ids.append(row.hit_id)
-                out_ok.append(active == row.want_set)
-        return pd.DataFrame({"hit_id": out_ids, "ok": out_ok})
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (bit_name, bit_key) -> (set_ts, expire); carried across batches
+        state: dict = {}
+        for pdf in batches:
+            out_ids: list[str] = []
+            out_ok: list[bool] = []
+            it = zip(
+                pdf["bit_name"].to_numpy(),
+                pdf["bit_key"].to_numpy(),
+                pdf["ts_d"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["expire"].to_numpy(),
+                pdf["hit_id"].to_numpy(),
+                pdf["want_set"].to_numpy(),
+            )
+            for name, key, ts_d, kind, expire, hit_id, want_set in it:
+                k = (name, key)
+                if kind == "set":
+                    state[k] = (ts_d, expire)
+                elif kind == "unset":
+                    state.pop(k, None)
+                else:  # check
+                    st = state.get(k)
+                    active = st is not None and (
+                        st[1] == 0 or (ts_d - st[0]) < st[1]
+                    )
+                    out_ids.append(hit_id)
+                    out_ok.append(bool(active) == bool(want_set))
+            yield pd.DataFrame({"hit_id": out_ids, "ok": pd.array(out_ok, dtype="boolean")})
 
-    verdicts = events.groupBy("bit_name", "bit_key").applyInPandas(walk, schema=out_struct)
-    # all condition entries of a hit must hold (xbit-mmap.c:181-264)
-    agg = verdicts.groupBy("hit_id").agg(F.min("ok").alias("xbit_ok"))
+    verdicts = (
+        events.repartition(_shuffle_partitions(events), "bit_name", "bit_key")
+        .sortWithinPartitions("ts_d", "event_key", "seq")
+        .mapInPandas(walk, schema=out_struct)
+    )
+    # all condition entries of a hit must hold (xbit-mmap.c:181-264);
+    # with one condition per rule (the common case) each hit_id is unique
+    # and the aggregate collapses to a rename
+    multi_cond = any(
+        sum(1 for x in r.xbits if x.action in ("isset", "isnotset")) > 1 for r in cond_rules
+    )
+    if multi_cond:
+        agg = verdicts.groupBy("hit_id").agg(F.min("ok").alias("xbit_ok"))
+    else:
+        agg = verdicts.withColumnRenamed("ok", "xbit_ok")
 
     hits_with_id = hits.withColumn(
         "hit_id", F.concat_ws("#", F.col("event_key"), F.col("sid").cast("string"))

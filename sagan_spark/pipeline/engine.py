@@ -119,6 +119,14 @@ class SaganSparkEngine:
         comp = self.compiler
         df = frame
 
+        # saturate the cores in local mode: a small parquet input may scan
+        # as 2-3 splits.  On a real cluster the Iceberg scan already
+        # yields >= parallelism splits, so no blind shuffle there.
+        spark = frame.sparkSession
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        if spark.conf.get("spark.master", "").startswith("local"):
+            df = df.repartition(target)
+
         # F14 ignore-list pre-drop (pushed into the scan by Catalyst)
         ig = comp.ignore_predicate(F.col("message"))
         df = df.filter(~ig)
@@ -201,11 +209,25 @@ class SaganSparkEngine:
         cond_sids = [
             r.sid for r in self.rules if any(x.action in ("isset", "isnotset") for x in r.xbits)
         ]
+        has_corr = any(r.after or r.threshold for r in self.rules)
+        if cond_sids or has_corr:
+            # the extract+match+explode DAG fans out (correlated vs plain
+            # hits, xbit condition hits, setter stream).  persist alone is
+            # not enough: Spark submits the downstream shuffle stages
+            # CONCURRENTLY and both race to compute the uncached parent,
+            # doubling the most expensive part of the plan — materialize
+            # eagerly so every branch reads the in-memory columnar copy.
+            hits = hits.persist()
+            hits.count()
         stage_a = hits.filter(~F.col("sid").isin(cond_sids)) if cond_sids else hits
         stage_a = apply_after_threshold(stage_a, [r for r in self.rules if r.sid not in cond_sids])
         stage_a = stage_a.withColumn("xbit_ok", F.lit(True))
 
         if cond_sids:
+            # stage A feeds both the final union and the xbit setter
+            # stream — same concurrent-stage race as above
+            stage_a = stage_a.persist()
+            stage_a.count()
             survived_a = stage_a.filter(
                 ~F.col("suppressed_after") & ~F.col("suppressed_threshold")
             )
