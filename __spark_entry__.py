@@ -13,10 +13,41 @@ SURVEY.md §2.5/§2.9.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_REPO = Path(__file__).resolve().parent
+# belt: local-mode python workers inherit the driver env when the session
+# is created after this import
+sys.path.insert(0, str(_REPO))
+_pp = os.environ.get("PYTHONPATH", "")
+if str(_REPO) not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{_pp}" if _pp else str(_REPO)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """braces: ship sagan_spark to python workers via addPyFile so pandas
+    UDFs resolve imports even when the harness built the session before
+    importing this module (addPyFile works on a live session)."""
+    if getattr(_ship_package, "_done", None) is spark:
+        return
+    zpath = "/tmp/sagan_spark_pkg.zip"
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for sub in ("sagan_spark", "fixtures"):
+                for p in (_REPO / sub).rglob("*.py"):
+                    z.write(p, p.relative_to(_REPO))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+    _ship_package._done = spark
 
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,6 +94,7 @@ def _events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full parse -> match -> correlate -> route pipeline over
     /root/testdata/sf0.001 events with an embedded 5-rule set."""
+    _ship_package(spark)
     from sagan_spark.pipeline.engine import SaganSparkEngine
     from sagan_spark.pipeline.route import assemble_alerts, eve_view, rule_metadata_df
     from sagan_spark.rules.parser import parse_rules
@@ -72,7 +104,7 @@ def entry(spark: SparkSession) -> DataFrame:
     frame = _events_frame(spark, "/root/testdata/sf0.001")
     alerts = engine.run(frame).alerts()
     meta = rule_metadata_df(spark, rules)
-    return eve_view(assemble_alerts(alerts, meta))
+    return eve_view(assemble_alerts(alerts, meta, events=frame))
 
 
 # ---------------------------------------------------------------------------
@@ -409,6 +441,150 @@ def q_k7_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f10_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: rule-header nets/ports gate — positive CIDR groups OR,
+    negated AND NOT, port range (reference src/flow.c:48-504)."""
+    ev = _ev(spark, sf_dir)
+    ip = F.lit(167772160) + (F.col("user_id") * 65536 + F.col("event_id") % 65536)
+    port = (F.col("event_id") * 7) % 65536
+    pos = ip.between(167772160, 167772160 + 40 * 65536 - 1) | ip.between(
+        167772160 + 100 * 65536, 167772160 + 120 * 65536 - 1
+    )
+    neg = ip.between(167772160 + 10 * 65536, 167772160 + 12 * 65536 - 1)
+    return (
+        ev.filter(pos & ~neg & port.between(1, 1024))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_f15_pass_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: pass-rule short circuit — a pass rule at a smaller ruleset
+    position mutes later alert rules for that event
+    (reference src/processors/engine.c:1448-1453)."""
+    ev = _ev(spark, sf_dir)
+    pass_min = F.when(F.col("event_type") == "view", F.lit(0))
+    hits = F.array(
+        F.struct(F.lit(1).alias("pos"), (F.col("value") > 100).alias("match")),
+        F.struct(F.lit(2).alias("pos"), (F.col("event_type") == "error").alias("match")),
+    )
+    return (
+        ev.withColumn("_pm", pass_min)
+        .select(F.explode(F.filter(hits, lambda s: s.getField("match"))).alias("a"), "_pm")
+        .filter(F.col("_pm").isNull() | (F.col("a.pos") < F.col("_pm")))
+        .groupBy(F.col("a.pos").alias("rule_pos"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_p1_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: recursive JSON flatten to dotted keys, Arrow-batched
+    (reference src/parsers/json.c:40-134)."""
+    _ship_package(spark)
+    from sagan_spark.functions.udfs import json_flatten_udf
+
+    ev = _ev(spark, sf_dir)
+    flat = ev.select(F.explode(json_flatten_udf(F.col("props"))).alias("key", "val"))
+    return flat.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("long")).alias("sum_val"),
+    )
+
+
+def q_p9_append_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: match against 'message | program'
+    (reference src/processors/engine.c:593-627)."""
+    ev = _ev(spark, sf_dir)
+    joined = F.concat(F.col("props"), F.lit(" | "), F.col("event_type"))
+    return (
+        ev.filter(joined.contains("error") | joined.contains('"k": 7'))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_s6_json_input_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: JSON input mapping, first-match-wins per field
+    (reference src/input-json.c:103-240)."""
+    ev = _ev(spark, sf_dir)
+    val = F.coalesce(
+        F.get_json_object(F.col("props"), "$.missing"),
+        F.get_json_object(F.col("props"), "$.k"),
+        F.lit("0"),
+    ).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(val).alias("sum_mapped")
+    )
+
+
+def q_a6_flexbit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: flexbit 'count' comparator — windowed per-key counter with
+    gt threshold (reference Flexbit_Count_MMAP src/flexbit-mmap.c:851)."""
+    ev = _ev(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    per = ev.groupBy("user_id", day.alias("day")).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.filter(F.col("c") > 3)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_days_over"), F.sum("c").alias("events_in_over"))
+    )
+
+
+def q_j2_intel_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: Zeek intel exact-set membership as a broadcast semi-join
+    (reference src/processors/zeek-intel.c:507-800)."""
+    ev = _ev(spark, sf_dir)
+    intel = spark.createDataFrame([(7,), (11,), (23,), (42,), (99,)], "user_id long")
+    return (
+        ev.join(F.broadcast(intel), "user_id", "leftsemi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_j4_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/F12: ip -> country via broadcast range join (mmdb analog,
+    reference src/geoip.c:93+)."""
+    ev = _ev(spark, sf_dir)
+    ip = F.lit(167772160) + (F.col("user_id") * 65536 + F.col("event_id") % 65536)
+    geo = spark.createDataFrame(
+        [
+            (167772160, 167772160 + 50 * 65536 - 1, "DE"),
+            (167772160 + 50 * 65536, 167772160 + 100 * 65536 - 1, "FR"),
+            (167772160 + 100 * 65536, 167772160 + 150 * 65536 - 1, "US"),
+        ],
+        "lo long, hi long, cc string",
+    )
+    tagged = ev.select(ip.alias("ip_num")).join(
+        F.broadcast(geo),
+        (F.col("ip_num") >= F.col("lo")) & (F.col("ip_num") <= F.col("hi")),
+        "left",
+    )
+    return tagged.groupBy(F.coalesce(F.col("cc"), F.lit("--")).alias("cc")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_j5_proto_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: protocol-map keyword probe, first keyword in map order wins
+    (reference src/parsers/proto.c:51-107)."""
+    docs = _docs(spark, sf_dir)
+    proto = (
+        F.when(F.col("text").contains("fast"), 6)
+        .when(F.col("text").contains("slow"), 17)
+        .otherwise(0)
+    )
+    return docs.groupBy(proto.alias("proto")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_f14_ignore_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: ignore-list pre-drop — any listed substring drops the line
+    before the engine (reference src/ignore.c:31-50)."""
+    docs = _docs(spark, sf_dir)
+    drop = F.col("text").contains("slow") | F.col("text").contains("deprecated")
+    return docs.filter(~drop).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # training-data ops
 # ---------------------------------------------------------------------------
@@ -523,6 +699,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_parse_hash": q_p4_parse_hash,
         "j1_cidr_range_join": q_j1_cidr_range_join,
         "j7_classification_join": q_j7_classification_join,
+        "f10_flow": q_f10_flow,
+        "f14_ignore_list": q_f14_ignore_list,
+        "f15_pass_mask": q_f15_pass_mask,
+        "p1_json_flatten": q_p1_json_flatten,
+        "p9_append_program": q_p9_append_program,
+        "s6_json_input_map": q_s6_json_input_map,
+        "a6_flexbit_count": q_a6_flexbit_count,
+        "j2_intel_set": q_j2_intel_set,
+        "j4_geoip": q_j4_geoip,
+        "j5_proto_map": q_j5_proto_map,
         "a1_threshold_limit": q_a1_threshold_limit,
         "a2_threshold_suppress": q_a2_threshold_suppress,
         "a3_after": q_a3_after,
@@ -646,6 +832,66 @@ def oracle_sql() -> dict[str, str]:
             "(VALUES ('error','system-error',1), ('purchase','money-move',2),"
             " ('signup','identity-new',2), ('click','activity',3), ('view','activity',3))"
             " c(event_type, classtype, severity) USING (event_type) GROUP BY 1, 2"
+        ),
+        "f10_flow": (
+            "SELECT event_type, count(*) AS n FROM ("
+            "SELECT event_type, 167772160 + (user_id*65536 + event_id%65536) AS ip,"
+            " (event_id*7) % 65536 AS port FROM events) "
+            "WHERE (ip BETWEEN 167772160 AND 167772160 + 40*65536 - 1"
+            " OR ip BETWEEN 167772160 + 100*65536 AND 167772160 + 120*65536 - 1)"
+            " AND NOT (ip BETWEEN 167772160 + 10*65536 AND 167772160 + 12*65536 - 1)"
+            " AND port BETWEEN 1 AND 1024 GROUP BY 1"
+        ),
+        "f14_ignore_list": (
+            "SELECT lang, count(*) AS n FROM documents "
+            "WHERE NOT (position('slow' IN text) > 0 OR position('deprecated' IN text) > 0)"
+            " GROUP BY 1"
+        ),
+        "f15_pass_mask": (
+            "SELECT rule_pos, count(*) AS n FROM ("
+            "SELECT 1 AS rule_pos FROM events WHERE value > 100 AND event_type <> 'view'"
+            " UNION ALL "
+            "SELECT 2 FROM events WHERE event_type = 'error' AND event_type <> 'view')"
+            " GROUP BY 1"
+        ),
+        "p1_json_flatten": (
+            "SELECT '.' || k AS key, count(*) AS n, sum(v) AS sum_val FROM ("
+            "SELECT unnest(json_keys(props)) AS k,"
+            " CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS v"
+            " FROM events) GROUP BY 1"
+        ),
+        "p9_append_program": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE position('error' IN (props || ' | ' || event_type)) > 0"
+            " OR position('\"k\": 7' IN (props || ' | ' || event_type)) > 0 GROUP BY 1"
+        ),
+        "s6_json_input_map": (
+            "SELECT event_type, count(*) AS n, sum(CAST(coalesce("
+            "json_extract_string(props, '$.missing'),"
+            " json_extract_string(props, '$.k'), '0') AS BIGINT)) AS sum_mapped"
+            " FROM events GROUP BY 1"
+        ),
+        "a6_flexbit_count": (
+            "SELECT user_id, count(*) AS n_days_over, sum(c) AS events_in_over FROM ("
+            "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS c FROM events"
+            " GROUP BY 1, 2) WHERE c > 3 GROUP BY 1"
+        ),
+        "j2_intel_set": (
+            "SELECT user_id, count(*) AS n FROM events"
+            " WHERE user_id IN (7, 11, 23, 42, 99) GROUP BY 1"
+        ),
+        "j4_geoip": (
+            "SELECT coalesce(cc, '--') AS cc, count(*) AS n FROM ("
+            "SELECT 167772160 + (user_id*65536 + event_id%65536) AS ip_num FROM events) e "
+            "LEFT JOIN (VALUES (167772160, 167772160 + 50*65536 - 1, 'DE'),"
+            " (167772160 + 50*65536, 167772160 + 100*65536 - 1, 'FR'),"
+            " (167772160 + 100*65536, 167772160 + 150*65536 - 1, 'US'))"
+            " g(lo, hi, cc) ON e.ip_num BETWEEN g.lo AND g.hi GROUP BY 1"
+        ),
+        "j5_proto_map": (
+            "SELECT CASE WHEN position('fast' IN text) > 0 THEN 6"
+            " WHEN position('slow' IN text) > 0 THEN 17 ELSE 0 END AS proto,"
+            " count(*) AS n FROM documents GROUP BY 1"
         ),
         "a1_threshold_limit": (
             "SELECT user_id, count(*) AS n_allowed FROM ("

@@ -70,8 +70,9 @@ def run_engine_bench(spark) -> dict:
 
     t0 = time.monotonic()
     engine = SaganSparkEngine(rules)
-    alerts = engine.run(engine.frame_from_pages(pages)).alerts()
-    routed = eve_view(assemble_alerts(alerts, rule_metadata_df(spark, rules)))
+    frame = engine.frame_from_pages(pages)
+    alerts = engine.run(frame).alerts()
+    routed = eve_view(assemble_alerts(alerts, rule_metadata_df(spark, rules), events=frame))
     n_routed = routed.count()
     dt = time.monotonic() - t0
     return {

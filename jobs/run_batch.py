@@ -1,0 +1,87 @@
+"""Batch pipeline entry point for spark-submit.
+
+    spark-submit --py-files sagan_spark.zip,fixtures.zip jobs/run_batch.py \
+        --input  <pages table: iceberg table name or parquet path> \
+        --rules  fixtures/ruleset.rules \
+        --output /warehouse/sagan_alerts \
+        [--format iceberg|parquet] [--metrics /warehouse/sagan_metrics]
+
+Reads the Common-Crawl-style pages table (url, warc_ts, html, text,
+lang), runs parse -> enrich -> route -> aggregate, fans out to the
+per-sink tables (K1-K4/K7), and writes per-partition lineage + run
+counters to the metrics table (A11; north_rule requirement).
+
+On a cluster the session comes from spark-submit's conf (executors,
+shuffle partitions, AQE); builder settings here only fill local-run
+gaps.  Resume: with --format iceberg each sink append is a new
+snapshot; re-running after failure with the same --run-id skips
+partitions already recorded in the metrics table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--rules", required=True)
+    ap.add_argument("--vars", default="")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", default="")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--run-id", default=uuid.uuid4().hex[:12])
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("sagan_spark_batch")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.pipeline.metrics import partition_lineage, run_counters
+    from sagan_spark.pipeline.route import assemble_alerts, rule_metadata_df, write_sinks
+    from sagan_spark.rules.parser import parse_rules
+
+    variables = {}
+    if args.vars:
+        for line in open(args.vars):
+            if "=" in line:
+                k, _, v = line.partition("=")
+                variables[k.strip()] = v.strip()
+
+    rules = parse_rules(open(args.rules).read(), variables)
+    if args.format == "iceberg":
+        pages = spark.read.format("iceberg").load(args.input)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    engine = SaganSparkEngine(rules)
+    frame = engine.frame_from_pages(pages)
+
+    if args.metrics:
+        lineage = partition_lineage(frame, run_id=args.run_id)
+        lineage.write.mode("append").format(args.format).save(f"{args.metrics}/lineage")
+
+    result = engine.run(frame)
+    alerts = result.alerts()
+    assembled = assemble_alerts(alerts, rule_metadata_df(spark, rules), events=frame)
+    paths = write_sinks(assembled, args.output, fmt=args.format)
+
+    if args.metrics:
+        counters = run_counters(result.hits)
+        counters.write.mode("append").format(args.format).save(f"{args.metrics}/counters")
+
+    print({"run_id": args.run_id, "sinks": paths})
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Streaming pipeline entry point for spark-submit.
+
+    spark-submit --py-files sagan_spark.zip,fixtures.zip jobs/run_stream.py \
+        --input  <pages table directory> \
+        --rules  fixtures/ruleset.rules \
+        --output /warehouse/sagan_alerts \
+        --checkpoint /warehouse/sagan_ckpt \
+        [--watermark "10 minutes"] [--continuous]
+
+readStream -> stateless match -> applyInPandasWithState correlation ->
+foreachBatch fan-out.  Restarting with the same --checkpoint resumes
+state and sink offsets exactly-once (the reference's
+mmap-survives-restart property, reference src/sagan-defs.h:185-208).
+Default trigger is availableNow (drain-and-stop); --continuous keeps
+the query running for live tailing.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--rules", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--watermark", default="10 minutes")
+    ap.add_argument("--continuous", action="store_true")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("sagan_spark_stream")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+    from sagan_spark.streaming import StreamingSaganEngine, pages_stream_frame
+
+    rules = parse_rules(open(args.rules).read())
+    seng = StreamingSaganEngine(rules, watermark=args.watermark)
+    frame = SaganSparkEngine.frame_from_pages(pages_stream_frame(spark, args.input))
+    q = seng.start_sink_query(
+        frame,
+        args.output,
+        args.checkpoint,
+        trigger_available_now=not args.continuous,
+    )
+    q.awaitTermination()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -57,12 +57,27 @@ def int_to_biased_hilo(v: int) -> tuple[int, int]:
     return hi, lo
 
 
+def _v4_int(tok: str) -> int | None:
+    """Fast IPv4 parse: int value or None.  Same accept set as
+    ipaddress.IPv4Address for dotted-quad strings (no leading-zero
+    octets, 0-255, exactly 4 parts) at ~10x less per-call cost — this
+    runs per TOKEN in the extraction hot loop."""
+    parts = tok.split(".")
+    if len(parts) != 4:
+        return None
+    v = 0
+    for p in parts:
+        if not p.isdigit() or (len(p) > 1 and p[0] == "0") or len(p) > 3:
+            return None
+        o = int(p)
+        if o > 255:
+            return None
+        v = (v << 8) | o
+    return v
+
+
 def _valid_v4(tok: str) -> bool:
-    try:
-        ipaddress.IPv4Address(tok)
-        return True
-    except ValueError:
-        return False
+    return _v4_int(tok) is not None
 
 
 def _valid_v6(tok: str) -> bool:
@@ -129,6 +144,7 @@ def parse_ip(message: str, sagan_port: int = DEFAULT_SAGAN_PORT) -> tuple[list[I
     tokens = mod.split(" ")
     # strtok skips empty fields; keep indexes aligned for lookahead
     idx_tokens = [(j, t) for j, t in enumerate(tokens) if t]
+    toks_flat = [t for _, t in idx_tokens]
 
     hits: list[IpHit] = []
     proto = 0
@@ -144,27 +160,29 @@ def parse_ip(message: str, sagan_port: int = DEFAULT_SAGAN_PORT) -> tuple[list[I
 
         n_colons = tok.count(":")
         n_dots = tok.count(".")
-        n_hashes = tok.count("#")
 
         # "Needs proper IPv4/IPv6 encoding" gate (src/parsers/ip.c:255)
         if (n_colons < 2 and n_dots < 3) or n_dots > 4:
             continue
 
-        toks_flat = [t for _, t in idx_tokens]
+        n_hashes = tok.count("#")
 
         # Stand-alone IPv4 (src/parsers/ip.c:270-435)
-        if n_dots == 3 and n_colons == 0 and n_hashes == 0 and _valid_v4(tok):
-            port = _port_lookahead(toks_flat, pos, sagan_port)
-            hits.append(IpHit(tok, port, ip_to_int(tok)))
-            if len(hits) >= MAX_PARSE_IP:
-                break
+        if n_dots == 3 and n_colons == 0 and n_hashes == 0:
+            v4 = _v4_int(tok)
+            if v4 is not None:
+                port = _port_lookahead(toks_flat, pos, sagan_port)
+                hits.append(IpHit(tok, port, _V4_MAPPED_BASE + v4))
+                if len(hits) >= MAX_PARSE_IP:
+                    break
             continue
 
         # Stand-alone IPv4 with trailing period (src/parsers/ip.c:439-472)
         if n_dots == 4 and tok.endswith("."):
             body = tok[:-1]
-            if _valid_v4(body):
-                hits.append(IpHit(body, sagan_port, ip_to_int(body)))
+            v4 = _v4_int(body)
+            if v4 is not None:
+                hits.append(IpHit(body, sagan_port, _V4_MAPPED_BASE + v4))
                 if len(hits) >= MAX_PARSE_IP:
                     break
             continue
@@ -172,13 +190,14 @@ def parse_ip(message: str, sagan_port: int = DEFAULT_SAGAN_PORT) -> tuple[list[I
         # IPv4:PORT or IFACE:IPv4 (src/parsers/ip.c:476-552)
         if n_colons == 1 and n_dots == 3:
             left, _, right = tok.partition(":")
-            if _valid_v4(left):
+            v4 = _v4_int(left)
+            if v4 is not None:
                 p = _atoi(right)
-                hits.append(IpHit(left, p if p != 0 else sagan_port, ip_to_int(left)))
+                hits.append(IpHit(left, p if p != 0 else sagan_port, _V4_MAPPED_BASE + v4))
                 if len(hits) >= MAX_PARSE_IP:
                     break
-            elif right and _valid_v4(right):
-                hits.append(IpHit(right, sagan_port, ip_to_int(right)))
+            elif right and (v4 := _v4_int(right)) is not None:
+                hits.append(IpHit(right, sagan_port, _V4_MAPPED_BASE + v4))
                 if len(hits) >= MAX_PARSE_IP:
                     break
             continue
@@ -186,13 +205,14 @@ def parse_ip(message: str, sagan_port: int = DEFAULT_SAGAN_PORT) -> tuple[list[I
         # IPv4#PORT or inet#IPv4 (src/parsers/ip.c:556-637)
         if n_hashes == 1 and n_dots == 3:
             left, _, right = tok.partition("#")
-            if _valid_v4(left):
+            v4 = _v4_int(left)
+            if v4 is not None:
                 p = _atoi(right)
-                hits.append(IpHit(left, p if p != 0 else sagan_port, ip_to_int(left)))
+                hits.append(IpHit(left, p if p != 0 else sagan_port, _V4_MAPPED_BASE + v4))
                 if len(hits) >= MAX_PARSE_IP:
                     break
-            elif right and _valid_v4(right):
-                hits.append(IpHit(right, sagan_port, ip_to_int(right)))
+            elif right and (v4 := _v4_int(right)) is not None:
+                hits.append(IpHit(right, sagan_port, _V4_MAPPED_BASE + v4))
                 if len(hits) >= MAX_PARSE_IP:
                     break
             continue
@@ -219,7 +239,7 @@ def parse_ip(message: str, sagan_port: int = DEFAULT_SAGAN_PORT) -> tuple[list[I
                 else:
                     ip_str = cand
                 if port == sagan_port:
-                    port = _port_lookahead([t for _, t in idx_tokens], pos, sagan_port)
+                    port = _port_lookahead(toks_flat, pos, sagan_port)
                 hits.append(IpHit(ip_str, port, ip_to_int(ip_str)))
                 if len(hits) >= MAX_PARSE_IP:
                     break

@@ -80,22 +80,39 @@ def _shuffle_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
-def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
+def apply_after_threshold(
+    hits: DataFrame,
+    rules: list[RuleIR],
+    exclude_sids: list[int] | None = None,
+    materialize_suppressed: bool = False,
+) -> DataFrame:
     """Add suppressed_after / suppressed_threshold booleans to the hits DF.
 
     hits must carry: sid, event_key, ts (timestamp), track_after,
-    track_threshold.  Hits of rules with no correlation skip the shuffle
-    entirely (narrow path, flags = false).
+    track_threshold.
+
+    Physical shape (the narrow-boundary pattern): only the 5 columns the
+    state machine reads cross the shuffle and the Arrow boundary; the
+    replay emits ONLY suppressed (event_key, sid) pairs — typically a
+    small fraction — which join back onto the full hit rows (AQE
+    broadcasts the suppressed side when small).  The wide hit columns
+    never enter Python.  NOTE: `hits` is consumed twice (narrow branch +
+    join left side) — the caller persists it.
+
+    ``exclude_sids``: rules whose state must NOT be updated here (xbit
+    condition rules — their after/threshold runs after the condition
+    gate, reference engine.c:999-1024 vs 1373-1389); their rows pass
+    through with false flags.
     """
     specs = _corr_spec_map(rules)
+    for s in exclude_sids or []:
+        specs.pop(s, None)
     if not specs:
         return hits.withColumn("suppressed_after", F.lit(False)).withColumn(
             "suppressed_threshold", F.lit(False)
         )
 
     corr_sids = list(specs)
-    plain = hits.filter(~F.col("sid").isin(corr_sids))
-    corr = hits.filter(F.col("sid").isin(corr_sids))
 
     # colocation key: one shuffle key per (sid, track-key) when one machine
     # is active; coupled machines (both after+threshold) colocate per sid
@@ -108,19 +125,27 @@ def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
         .otherwise(F.col("track_threshold"))
     )
 
-    corr = corr.withColumn("corr_group", group_key).withColumn(
-        "ts_epoch", F.col("ts").cast("long")
+    narrow = (
+        hits.filter(F.col("sid").isin(corr_sids))
+        .select(
+            "sid",
+            "event_key",
+            "ts",
+            "track_after",
+            "track_threshold",
+            group_key.alias("corr_group"),
+            F.col("ts").cast("long").alias("ts_epoch"),
+        )
     )
 
-    base_fields = [f for f in corr.schema.fields if f.name not in ("corr_group", "ts_epoch")]
     out_struct = T.StructType(
-        base_fields
-        + [
+        [
+            T.StructField("event_key", T.StringType()),
+            T.StructField("sid", T.LongType()),
             T.StructField("suppressed_after", T.BooleanType()),
             T.StructField("suppressed_threshold", T.BooleanType()),
         ]
     )
-    out_cols = [f.name for f in out_struct.fields]
 
     def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # state survives across Arrow batches of one shuffle partition;
@@ -132,10 +157,13 @@ def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
             n = len(pdf)
             sids = pdf["sid"].to_numpy()
             ts = pdf["ts_epoch"].to_numpy()
+            keys = pdf["event_key"].to_numpy()
             a_keys = pdf["track_after"].to_numpy()
             t_keys = pdf["track_threshold"].to_numpy()
-            sup_after = [False] * n
-            sup_thresh = [False] * n
+            out_key: list = []
+            out_sid: list = []
+            out_a: list = []
+            out_t: list = []
             for i in range(n):
                 sid = sids[i]
                 spec = specs.get(sid)
@@ -143,6 +171,7 @@ def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
                     continue
                 t = int(ts[i])
                 suppressed = False
+                sup_thr = False
                 after_spec = spec["after"]
                 if after_spec is not None:
                     a_count, a_secs = after_spec
@@ -162,7 +191,6 @@ def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
                             st[1] = t
                             flag = False
                         suppressed = flag
-                    sup_after[i] = suppressed
 
                 thr_spec = spec["threshold"]
                 if thr_spec is not None and not suppressed:  # engine.c:1386 gate
@@ -179,23 +207,41 @@ def apply_after_threshold(hits: DataFrame, rules: list[RuleIR]) -> DataFrame:
                         if oldtime > t_secs:  # window reset (threshold.c:141-146)
                             st[0], st[1] = 1, t
                         if t_count < st[0]:  # (threshold.c:148-150)
-                            sup_thresh[i] = True
+                            sup_thr = True
 
-            pdf = pdf.copy()
-            pdf["suppressed_after"] = sup_after
-            pdf["suppressed_threshold"] = sup_thresh
-            yield pdf[out_cols]
+                if suppressed or sup_thr:
+                    out_key.append(keys[i])
+                    out_sid.append(sid)
+                    out_a.append(suppressed)
+                    out_t.append(sup_thr)
 
-    replayed = (
-        corr.repartition(_shuffle_partitions(corr), "sid", "corr_group")
+            yield pd.DataFrame(
+                {
+                    "event_key": out_key,
+                    "sid": pd.array(out_sid, dtype="int64"),
+                    "suppressed_after": pd.array(out_a, dtype="boolean"),
+                    "suppressed_threshold": pd.array(out_t, dtype="boolean"),
+                }
+            )
+
+    suppressed = (
+        narrow.repartition(_shuffle_partitions(narrow), "sid", "corr_group")
         .sortWithinPartitions("ts", "event_key")
         .mapInPandas(replay, schema=out_struct)
     )
+    if materialize_suppressed:
+        # the result fans out downstream (xbit branches): pin the tiny
+        # suppressed set so each branch's join reuses it instead of
+        # re-running the replay shuffle
+        suppressed = suppressed.persist()
+        suppressed.count()
 
-    plain = plain.withColumn("suppressed_after", F.lit(False)).withColumn(
-        "suppressed_threshold", F.lit(False)
+    joined = hits.join(suppressed, ["event_key", "sid"], "left")
+    return joined.withColumn(
+        "suppressed_after", F.coalesce(F.col("suppressed_after"), F.lit(False))
+    ).withColumn(
+        "suppressed_threshold", F.coalesce(F.col("suppressed_threshold"), F.lit(False))
     )
-    return replayed.unionByName(plain)
 
 
 # ---------------------------------------------------------------------------

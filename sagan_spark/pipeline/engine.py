@@ -31,8 +31,15 @@ from sagan_spark.pipeline.correlate import apply_after_threshold, apply_xbits
 from sagan_spark.rules.compiler import EngineConfig, EventCols, RuleCompiler
 from sagan_spark.rules.ir import RuleIR
 
-# columns carried through to the sinks
-PASSTHROUGH = ["event_key", "ts", "host", "program", "facility", "level", "tag", "message"]
+# event columns every hit row carries through correlation.  The rest of
+# the event (message, host, program, ...) is LATE-MATERIALIZED: sinks
+# join alerts back to the input frame on event_key (route.assemble_alerts)
+# so the fat strings never ride the correlation shuffle or the Arrow
+# boundary — at 5M hit rows the pandas conversion of `message` alone
+# dominated the whole pipeline.
+PASSTHROUGH = ["event_key", "ts"]
+# full event column set (for the late-materialization join and streaming)
+EVENT_COLS = ["event_key", "ts", "host", "program", "facility", "level", "tag", "message"]
 
 ALERT_FIELDS = [
     "rule_idx",
@@ -115,7 +122,22 @@ class SaganSparkEngine:
 
     # -- pipeline --------------------------------------------------------------
 
-    def run(self, frame: DataFrame) -> EngineResult:
+    def match_hits(
+        self,
+        frame: DataFrame,
+        repartition: bool = True,
+        passthrough: list[str] | None = None,
+    ) -> DataFrame:
+        """The stateless half of the pipeline: scan -> extract-once ->
+        columnar rule fan-out -> pass-rule filter.  Returns one row per
+        (event, matched rule) with extracted fields and track keys — no
+        correlation flags yet.  Works on batch AND streaming frames
+        (no persist, no shuffle besides the optional local repartition).
+
+        ``passthrough``: event columns to carry on each hit row (default
+        the narrow PASSTHROUGH; streaming passes EVENT_COLS because it
+        cannot re-join the source stream at sink time)."""
+        passthrough = passthrough or PASSTHROUGH
         comp = self.compiler
         df = frame
 
@@ -124,7 +146,9 @@ class SaganSparkEngine:
         # yields >= parallelism splits, so no blind shuffle there.
         spark = frame.sparkSession
         target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        if spark.conf.get("spark.master", "").startswith("local"):
+        if repartition and not frame.isStreaming and spark.conf.get(
+            "spark.master", ""
+        ).startswith("local"):
             df = df.repartition(target)
 
         # F14 ignore-list pre-drop (pushed into the scan by Catalyst)
@@ -188,8 +212,11 @@ class SaganSparkEngine:
             cand.withColumn("_pass_min", pass_min)
             .withColumn("_alerts", F.array(*alert_structs))
             .select(
-                *PASSTHROUGH,
+                *passthrough,
                 F.col("_pass_min"),
+                # HOF filter keeps the explode at one output row per MATCH
+                # (measured faster than explode-all-then-filter's
+                # rules-x-rows blowup despite HOFs skipping codegen)
                 F.explode(
                     F.filter(F.col("_alerts"), lambda s: s.getField("match"))
                 ).alias("_a"),
@@ -199,62 +226,78 @@ class SaganSparkEngine:
                 | (F.col("_a.rule_idx") < F.col("_pass_min"))
             )
             .select(
-                *PASSTHROUGH,
+                *passthrough,
                 *[F.col(f"_a.{f}").alias(f) for f in ALERT_FIELDS],
             )
         )
+        return hits
+
+    def run(self, frame: DataFrame) -> EngineResult:
+        hits = self.match_hits(frame)
 
         # ---- correlation ----
-        # stage A: rules without xbit conditions
+        # The correlation pass is narrow-boundary: only 5 small columns
+        # shuffle and cross Arrow; suppressed (event_key, sid) pairs join
+        # back onto the hit rows.  `hits` is read by the narrow branch
+        # and the join side (and the xbit branches), so it is pinned in
+        # memory and materialized EAGERLY — persist alone is not enough
+        # because Spark submits downstream shuffle stages concurrently
+        # and they race to compute an uncached parent.
+        # xbit condition rules are excluded from the first pass: their
+        # after/threshold state only advances after the condition gate
+        # (engine.c:999-1024 vs 1373-1389).
         cond_sids = [
             r.sid for r in self.rules if any(x.action in ("isset", "isnotset") for x in r.xbits)
         ]
         has_corr = any(r.after or r.threshold for r in self.rules)
-        if cond_sids or has_corr:
-            # the extract+match+explode DAG fans out (correlated vs plain
-            # hits, xbit condition hits, setter stream).  persist alone is
-            # not enough: Spark submits the downstream shuffle stages
-            # CONCURRENTLY and both race to compute the uncached parent,
-            # doubling the most expensive part of the plan — materialize
-            # eagerly so every branch reads the in-memory columnar copy.
+        if has_corr or cond_sids:
             hits = hits.persist()
             hits.count()
-        stage_a = hits.filter(~F.col("sid").isin(cond_sids)) if cond_sids else hits
-        stage_a = apply_after_threshold(stage_a, [r for r in self.rules if r.sid not in cond_sids])
-        stage_a = stage_a.withColumn("xbit_ok", F.lit(True))
 
-        if cond_sids:
-            # stage A feeds both the final union and the xbit setter
-            # stream — same concurrent-stage race as above
-            stage_a = stage_a.persist()
-            stage_a.count()
-            survived_a = stage_a.filter(
-                ~F.col("suppressed_after") & ~F.col("suppressed_threshold")
-            )
-            stage_b = hits.filter(F.col("sid").isin(cond_sids))
-            stage_b = apply_xbits(stage_b, self.rules, survived=survived_a)
-            stage_b_ok = stage_b.filter(F.col("xbit_ok"))
-            stage_b_ok = apply_after_threshold(
-                stage_b_ok, [r for r in self.rules if r.sid in cond_sids]
-            )
-            stage_b_no = (
-                stage_b.filter(~F.col("xbit_ok"))
-                .withColumn("suppressed_after", F.lit(False))
-                .withColumn("suppressed_threshold", F.lit(False))
-            )
-            all_hits = stage_a.unionByName(stage_b_ok).unionByName(stage_b_no)
-        else:
-            all_hits = stage_a
+        flagged = apply_after_threshold(
+            hits, self.rules, exclude_sids=cond_sids,
+            materialize_suppressed=bool(cond_sids),
+        )
 
-        # flexbit/xbit noalert suppression flags (reference src/output.c:88-99)
+        if not cond_sids:
+            return EngineResult(
+                hits=self._with_noalert(flagged.withColumn("xbit_ok", F.lit(True)))
+            )
+
+        stage_a = flagged.filter(~F.col("sid").isin(cond_sids)).withColumn(
+            "xbit_ok", F.lit(True)
+        )
+        survived_a = stage_a.filter(
+            ~F.col("suppressed_after") & ~F.col("suppressed_threshold")
+        )
+        stage_b = flagged.filter(F.col("sid").isin(cond_sids)).drop(
+            "suppressed_after", "suppressed_threshold"
+        )
+        stage_b = apply_xbits(stage_b, self.rules, survived=survived_a)
+        # stage B fans into ok/no branches and the second correlation pass
+        # reads it twice — pin the (small) post-condition set eagerly
+        stage_b = stage_b.persist()
+        stage_b.count()
+        stage_b_ok = stage_b.filter(F.col("xbit_ok"))
+        stage_b_ok = apply_after_threshold(
+            stage_b_ok, [r for r in self.rules if r.sid in cond_sids]
+        )
+        stage_b_no = (
+            stage_b.filter(~F.col("xbit_ok"))
+            .withColumn("suppressed_after", F.lit(False))
+            .withColumn("suppressed_threshold", F.lit(False))
+        )
+        all_hits = stage_a.unionByName(stage_b_ok).unionByName(stage_b_no)
+        return EngineResult(hits=self._with_noalert(all_hits))
+
+    def _with_noalert(self, all_hits: DataFrame) -> DataFrame:
+        """flexbit/xbit noalert suppression flags (reference src/output.c:88-99)."""
         noalert_sids = [
             r.sid
             for r in self.rules
             if any(x.action == "set" for x in r.xbits) and "noalert" in getattr(r, "flags", [])
         ]
-        all_hits = all_hits.withColumn(
+        return all_hits.withColumn(
             "noalert",
             F.col("sid").isin(noalert_sids) if noalert_sids else F.lit(False),
         )
-
-        return EngineResult(hits=all_hits)

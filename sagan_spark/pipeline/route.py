@@ -75,8 +75,22 @@ def _proto_name() -> F.Column:
     )
 
 
-def assemble_alerts(alerts: DataFrame, meta: DataFrame) -> DataFrame:
-    """K8: event columns + rule metadata -> the routed alert table."""
+def assemble_alerts(
+    alerts: DataFrame, meta: DataFrame, events: DataFrame | None = None
+) -> DataFrame:
+    """K8: event columns + rule metadata -> the routed alert table.
+
+    ``events``: the canonical event frame for LATE MATERIALIZATION — the
+    engine's hit rows deliberately carry only (event_key, ts) through
+    correlation (see engine.PASSTHROUGH); the fat event strings
+    (message/host/program/...) join back here, one JVM hash join on
+    event_key, never crossing the Arrow boundary.  Pass None when the
+    alert rows already carry the event columns (streaming)."""
+    if events is not None:
+        fat = events.select(
+            "event_key", "host", "program", "facility", "level", "tag", "message"
+        )
+        alerts = alerts.join(fat, "event_key", "left")
     joined = alerts.join(F.broadcast(meta), ["sid", "rev"], "left")
     ts = F.col("ts").cast("timestamp")  # NTZ inputs -> session-tz instants
     sec = ts.cast("long")

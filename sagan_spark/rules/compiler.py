@@ -46,6 +46,12 @@ class EngineConfig:
     sagan_host: str = "0.0.0.0"
     # substring ignore-list applied pre-engine (F14, reference src/ignore.c:31-50)
     ignore_list: list[str] = field(default_factory=list)
+    # enrichment build sides (J1/J2/J4): compiled once on the driver,
+    # inlined as literal-array probes (see pipeline/enrich.py for the
+    # broadcast-join scale path when feeds outgrow plan inlining)
+    blacklist_cidrs: list[str] = field(default_factory=list)
+    geoip_ranges: list[tuple[str, str]] = field(default_factory=list)  # (cidr, CC)
+    intel_sets: dict[str, list[str]] = field(default_factory=dict)  # type -> entries
 
 
 @dataclass
@@ -327,12 +333,85 @@ class RuleCompiler:
             pred = pred & (ext["proto"] == F.lit(f.proto))
         return pred
 
+    # -- enrichment gates (J1/J2/J4; reference engine.c:1128-1360) -----------
+
+    def _compiled_blacklist(self):
+        from sagan_spark.pipeline.enrich import compile_cidrs
+
+        if not hasattr(self, "_bl_ranges"):
+            self._bl_ranges = compile_cidrs(self.config.blacklist_cidrs)
+        return self._bl_ranges
+
+    def _compiled_geoip(self, codes: list[str]):
+        from sagan_spark.pipeline.enrich import compile_cidrs
+
+        sel = [(c, cc) for c, cc in self.config.geoip_ranges if cc.upper() in codes]
+        return compile_cidrs([c for c, _ in sel], [cc for _, cc in sel])
+
+    def enrichment_predicate(self, r: RuleIR, ext: dict[str, Column],
+                             cols: EventCols) -> Column:
+        """AND of the rule's blacklist / zeek-intel / country gates —
+        literal-array probes, fully codegen'd (no join, no shuffle)."""
+        from sagan_spark.pipeline.enrich import (
+            any_parsed_ip_in_ranges,
+            in_ranges,
+            in_set,
+            substring_set_hit,
+        )
+
+        pred = F.lit(True)
+        if r.blacklist:
+            ranges = self._compiled_blacklist()
+            hit = F.lit(False)
+            for mode in r.blacklist:
+                if mode == "by_src":
+                    hit = hit | in_ranges(ext["src_hi"], ext["src_lo"], ranges)
+                elif mode == "by_dst":
+                    hit = hit | in_ranges(ext["dst_hi"], ext["dst_lo"], ranges)
+                elif mode == "all" and cols.ips is not None:
+                    hit = hit | any_parsed_ip_in_ranges(cols.ips, ranges)
+            pred = pred & hit
+        for itype in r.zeek_intel:
+            entries = self.config.intel_sets.get(itype, [])
+            if itype == "src_ipaddr":
+                pred = pred & in_set(ext["src_ip"], entries)
+            elif itype == "dst_ipaddr":
+                pred = pred & in_set(ext["dst_ip"], entries)
+            elif itype == "both_ipaddr":
+                pred = pred & in_set(ext["src_ip"], entries) & in_set(ext["dst_ip"], entries)
+            elif itype == "all_ipaddr" and cols.ips is not None:
+                pred = pred & F.coalesce(
+                    F.exists(cols.ips, lambda h: h.getField("ip").isin(entries))
+                    if entries else F.lit(False),
+                    F.lit(False),
+                )
+            elif itype == "file_hash":
+                hset = F.lit(False)
+                for h in ("md5", "sha1", "sha256"):
+                    hset = hset | in_set(ext[h], entries, nocase=True)
+                pred = pred & hset
+            else:  # domain / url / user_name / software / ... substring scan
+                pred = pred & substring_set_hit(cols.message, entries)
+        if r.country_code is not None:
+            cc = r.country_code
+            ranges = self._compiled_geoip(cc.codes)
+            hi, lo = (
+                (ext["src_hi"], ext["src_lo"])
+                if cc.track == "by_src"
+                else (ext["dst_hi"], ext["dst_lo"])
+            )
+            in_cc = in_ranges(hi, lo, ranges)
+            pred = pred & (~in_cc if cc.negated else in_cc)
+        return pred
+
     # -- alert struct ---------------------------------------------------------
 
     def alert_struct(self, r: RuleIR, cols: EventCols, cheap: Column) -> Column:
         """struct<match, rule_idx, sid, rev, extracted fields, track keys>."""
         ext = self.extraction_exprs(r, cols)
         match = cheap & self.flow_predicate(r, ext)
+        if r.blacklist or r.zeek_intel or r.country_code is not None:
+            match = match & self.enrichment_predicate(r, ext, cols)
         track_thr = self.track_key_expr(r.threshold.track, ext) if r.threshold else F.lit("")
         track_aft = self.track_key_expr(r.after.track, ext) if r.after else F.lit("")
         return F.struct(

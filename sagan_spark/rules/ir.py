@@ -169,6 +169,17 @@ class XbitSpec:
 
 
 @dataclass
+class CountrySpec:
+    """``country_code: track by_src|by_dst, is|isnot CC,CC``
+    (reference src/processors/engine.c:1047-1124, compare loop
+    src/geoip.c:277-305)."""
+
+    track: str  # by_src | by_dst
+    codes: list[str]
+    negated: bool = False  # True for isnot
+
+
+@dataclass
 class TimeSpec:
     """``alert_time: days 0123456, hours 0800-1700``
     (reference src/aetas.c:48-143, parse src/rules.c:3146-3251).
@@ -223,6 +234,11 @@ class RuleIR:
     threshold: ThresholdSpec | None = None
     after: AfterSpec | None = None
     xbits: list[XbitSpec] = field(default_factory=list)
+
+    # enrichment gates (J1/J2/J4; reference engine.c:1128-1360)
+    blacklist: list[str] = field(default_factory=list)  # by_src|by_dst|all
+    zeek_intel: list[str] = field(default_factory=list)  # src_ipaddr|dst_ipaddr|both_ipaddr|all_ipaddr|file_hash|domain|url|user_name
+    country_code: CountrySpec | None = None
 
     append_program: bool = False  # P9: match against "message | program"
 

@@ -24,6 +24,7 @@ from sagan_spark.rules.ir import (
     AfterSpec,
     CidrGroup,
     ContentSpec,
+    CountrySpec,
     FlowSpec,
     JsonContentSpec,
     JsonMapSpec,
@@ -383,6 +384,28 @@ def parse_rule(
             hours = spec.get("hours", "0000-2359")
             start_s, _, end_s = hours.partition("-")
             ir.alert_time = TimeSpec(days=days, start=int(start_s), end=int(end_s))
+        elif key == "blacklist":
+            # blacklist: by_src | by_dst | both | all  (reference
+            # src/rules.c blacklist option; probe engine.c:1147-1174)
+            modes = [m.strip().lower() for m in val.split(",") if m.strip()]
+            out = []
+            for m in modes:
+                out.extend(["by_src", "by_dst"] if m == "both" else [m])
+            ir.blacklist = out
+        elif key in ("zeek_intel", "zeek-intel", "bro-intel"):
+            ir.zeek_intel = [m.strip().lower() for m in val.split(",") if m.strip()]
+        elif key == "country_code":
+            # country_code: track by_src, isnot [RU,CN]  (the code list
+            # itself contains commas, so no generic kv-split here)
+            mtrack = re.search(r"track\s+(by_src|by_dst)", val)
+            mcmp = re.search(r"\b(isnot|is)\s+(.+)$", val)
+            codes_s = mcmp.group(2) if mcmp else ""
+            codes = [c.strip().upper() for c in codes_s.strip("[] ").split(",") if c.strip()]
+            ir.country_code = CountrySpec(
+                track=mtrack.group(1) if mtrack else "by_src",
+                codes=codes,
+                negated=bool(mcmp and mcmp.group(1) == "isnot"),
+            )
         elif key in ("metadata", "normalize", "flowbits"):
             pass  # routing metadata / liblognorm hint — no match semantics
         else:

@@ -17,6 +17,12 @@ def _ensure_worker_pythonpath() -> None:
     pp = os.environ.get("PYTHONPATH", "")
     if _PKG_ROOT not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{_PKG_ROOT}{os.pathsep}{pp}" if pp else _PKG_ROOT
+    # one BLAS/OpenMP thread per Python worker: N workers each spawning an
+    # N-thread spinning BLAS pool oversubscribes the box N-fold and can
+    # INVERT scaling (measured 20x CPU inflation at local[32])
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
 
 
 def build_spark(

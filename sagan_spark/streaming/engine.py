@@ -1,0 +1,267 @@
+"""Structured Streaming mode: the reference's live pipeline re-expressed.
+
+The reference is a pure streaming engine — FIFO input, worker pool,
+mmap'd correlation state that survives restarts because it is a file
+(reference src/input-plugins/fifo.c:62, src/sagan-defs.h:185-208,
+src/ipc.c).  The Spark form (north_rule: "Structured Streaming stateful
+counters keyed by (rule_sid, track field) with event-time watermarks"):
+
+- source: ``readStream`` over the pages table directory (Iceberg/parquet);
+- stateless match: the exact same compiled plan as batch
+  (:meth:`SaganSparkEngine.match_hits` — pandas UDFs and the columnar
+  rule fan-out are streaming-safe because they are narrow);
+- correlation: ``applyInPandasWithState`` keyed (sid, track-key), state =
+  the after/threshold counters, timeout = event-time TTL.  Dropping
+  state after ``seconds`` of silence is *semantics-preserving*: the gap
+  reset (after.c:132-137, threshold.c:141-146) makes a stale counter
+  indistinguishable from a fresh one;
+- sinks: ``foreachBatch`` fan-out to the same per-sink tables as batch,
+  with the streaming checkpoint providing exactly-once resume — the
+  north_rule's "resumes from Iceberg snapshot + checkpoint".
+
+xbit/flexbit **conditions** (cross-rule bits) are a batch-mode feature
+in v1: they need a second chained stateful operator fed by this one's
+output; the batch time-range join form (pipeline/correlate.apply_xbits)
+is the oracle for them.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from sagan_spark.pipeline.engine import SaganSparkEngine
+from sagan_spark.rules.compiler import EngineConfig
+from sagan_spark.rules.ir import RuleIR
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+# per-(sid, track-key) counters serialized as JSON: the mmap'd
+# _After2_IPC/_Threshold2_IPC slots (reference src/sagan.h:605-664)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("a_state", T.StringType()),
+        T.StructField("t_state", T.StringType()),
+    ]
+)
+
+
+def pages_stream_frame(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over a pages-table directory (S1/S2 streaming analog)."""
+    return spark.readStream.schema(PAGES_SCHEMA).parquet(path)
+
+
+class StreamingSaganEngine:
+    """Streaming wrapper around the batch-compiled ruleset."""
+
+    def __init__(
+        self,
+        rules: list[RuleIR],
+        config: EngineConfig | None = None,
+        watermark: str = "10 minutes",
+    ):
+        for r in rules:
+            if any(x.action in ("isset", "isnotset") for x in r.xbits):
+                raise NotImplementedError(
+                    f"sid {r.sid}: xbit conditions are batch-mode only in v1 "
+                    "(use SaganSparkEngine.run)"
+                )
+        self.engine = SaganSparkEngine(rules, config)
+        self.rules = rules
+        self.watermark = watermark
+
+    # -- stateful correlation --------------------------------------------------
+
+    def _corr_specs(self) -> dict[int, dict]:
+        from sagan_spark.pipeline.correlate import _corr_spec_map
+
+        return _corr_spec_map(self.rules)
+
+    def alerts_stream(self, frame: DataFrame) -> DataFrame:
+        """frame: streaming canonical event frame -> streaming alert rows."""
+        from sagan_spark.pipeline.engine import EVENT_COLS
+
+        # carry the full event columns: a stream cannot re-join its own
+        # source at sink time (late materialization is batch-only)
+        hits = self.engine.match_hits(frame, passthrough=EVENT_COLS)
+        specs = self._corr_specs()
+        if not specs:
+            return hits.withColumn("suppressed_after", F.lit(False)).withColumn(
+                "suppressed_threshold", F.lit(False)
+            )
+
+        corr_sids = list(specs)
+        plain = (
+            hits.filter(~F.col("sid").isin(corr_sids))
+            .withColumn("suppressed_after", F.lit(False))
+            .withColumn("suppressed_threshold", F.lit(False))
+        )
+        corr = hits.filter(F.col("sid").isin(corr_sids))
+
+        both_sids = [s for s, v in specs.items() if v["after"] and v["threshold"]]
+        after_only = [s for s, v in specs.items() if v["after"] and not v["threshold"]]
+        group_key = (
+            F.when(F.col("sid").isin(both_sids), F.lit(""))
+            .when(F.col("sid").isin(after_only), F.col("track_after"))
+            .otherwise(F.col("track_threshold"))
+        )
+        corr = corr.withWatermark("ts", self.watermark).withColumn(
+            "corr_group", group_key
+        )
+
+        base_fields = [f for f in corr.schema.fields if f.name != "corr_group"]
+        out_struct = T.StructType(
+            base_fields
+            + [
+                T.StructField("suppressed_after", T.BooleanType()),
+                T.StructField("suppressed_threshold", T.BooleanType()),
+            ]
+        )
+        out_cols = [f.name for f in out_struct.fields]
+        # TTL beyond which a silent key's counters equal fresh state
+        max_secs = max(
+            max(v["after"][1] if v["after"] else 0, v["threshold"][2] if v["threshold"] else 0)
+            for v in specs.values()
+        )
+        specs_local = specs  # close over plain dict (picklable)
+
+        def replay(
+            key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            if state.hasTimedOut:
+                state.remove()
+                return
+            sid = int(key[0])
+            spec = specs_local.get(sid)
+            a_state: dict = {}
+            t_state: dict = {}
+            if state.exists:
+                a_json, t_json = state.get
+                a_state = {k: v for k, v in json.loads(a_json).items()}
+                t_state = {k: v for k, v in json.loads(t_json).items()}
+
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            # canonical replay order inside the micro-batch
+            pdf = pdf.sort_values(["ts", "event_key"], kind="mergesort")
+            n = len(pdf)
+            ts_epoch = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+            a_keys = pdf["track_after"].to_numpy()
+            t_keys = pdf["track_threshold"].to_numpy()
+            sup_after = [False] * n
+            sup_thresh = [False] * n
+            max_t = 0
+            for i in range(n):
+                t = int(ts_epoch[i])
+                max_t = max(max_t, t)
+                suppressed = False
+                if spec and spec["after"] is not None:
+                    a_count, a_secs = spec["after"]
+                    st = a_state.get(a_keys[i])
+                    if st is None:
+                        a_state[a_keys[i]] = [1, t]
+                        suppressed = True
+                    else:
+                        st[0] += 1
+                        oldtime = t - st[1]
+                        flag = True
+                        if oldtime > a_secs:
+                            st[0], st[1] = 1, t
+                        if a_count < st[0]:
+                            st[1] = t
+                            flag = False
+                        suppressed = flag
+                    sup_after[i] = suppressed
+                if spec and spec["threshold"] is not None and not suppressed:
+                    ttype, t_count, t_secs = spec["threshold"]
+                    st = t_state.get(t_keys[i])
+                    if st is None:
+                        t_state[t_keys[i]] = [1, t]
+                    else:
+                        st[0] += 1
+                        oldtime = t - st[1]
+                        if ttype == "suppress":
+                            st[1] = t
+                        if oldtime > t_secs:
+                            st[0], st[1] = 1, t
+                        if t_count < st[0]:
+                            sup_thresh[i] = True
+
+            pdf = pdf.copy()
+            pdf["suppressed_after"] = sup_after
+            pdf["suppressed_threshold"] = sup_thresh
+            state.update((json.dumps(a_state), json.dumps(t_state)))
+            # silent-key eviction: past this instant the counters are
+            # indistinguishable from fresh state (gap reset)
+            state.setTimeoutTimestamp((max_t + max_secs + 1) * 1000)
+            yield pdf[out_cols]
+
+        replayed = corr.groupBy("sid", "corr_group").applyInPandasWithState(
+            replay,
+            outputStructType=out_struct,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return replayed.unionByName(plain)
+
+    def routed_alerts(self, frame: DataFrame) -> DataFrame:
+        alerts = self.alerts_stream(frame)
+        return alerts.filter(~F.col("suppressed_after") & ~F.col("suppressed_threshold"))
+
+    # -- sinks -----------------------------------------------------------------
+
+    def start_sink_query(
+        self,
+        frame: DataFrame,
+        base_path: str,
+        checkpoint: str,
+        sinks: list[str] | None = None,
+        trigger_available_now: bool = True,
+    ):
+        """foreachBatch fan-out to the per-sink tables (K7), exactly-once
+        via the streaming checkpoint.  Restarting with the same
+        checkpoint resumes from the last committed micro-batch."""
+        from sagan_spark.pipeline.route import (
+            SINK_BUILDERS,
+            assemble_alerts,
+            rule_metadata_df,
+        )
+
+        rules = self.rules
+        sink_names = sinks or list(SINK_BUILDERS)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            meta = rule_metadata_df(spark, rules)
+            assembled = assemble_alerts(batch_df, meta).persist()
+            try:
+                for sink in sink_names:
+                    SINK_BUILDERS[sink](assembled).write.mode("append").parquet(
+                        f"{base_path}/{sink}"
+                    )
+            finally:
+                assembled.unpersist()
+
+        writer = (
+            self.routed_alerts(frame)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(write_batch)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
