@@ -254,6 +254,29 @@ def q_p3_parse_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p6_grok_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: grok/liblognorm-style named-group extraction, vectorized
+    (reference src/liblognormalize.c:105-260)."""
+    _ship_package(spark)
+    from sagan_spark.functions.grok import grok_extract
+
+    ev = _ev(spark, sf_dir)
+    msg = F.format_string(
+        "login from 10.%d.%d.%d port %d",
+        (F.col("user_id") % 200).cast("int"),
+        (F.col("event_id") % 250).cast("int"),
+        ((F.col("event_id") * 7) % 250).cast("int"),
+        ((F.col("event_id") * 131) % 60000 + 1024).cast("int"),
+    )
+    df = ev.select(F.col("event_id"), msg.alias("text"))
+    out = grok_extract(df, "text", ["login from %{IPV4:src_ip} port %{INT:src_port}"])
+    return out.select(
+        "event_id",
+        F.col("grok_src_ip").alias("src_ip"),
+        F.col("grok_src_port").cast("long").alias("src_port"),
+    ).filter(F.col("src_port") > 50000)
+
+
 def q_p4_parse_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: first md5-shaped hex token (reference src/parsers/hash.c:41-153)."""
     docs = _docs(spark, sf_dir)
@@ -624,6 +647,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, k=4, max_hamming=8)
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.dedup import embedding_cosine_dups
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    pairs = embedding_cosine_dups(emb, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.similarity import brute_force_topk
 
@@ -697,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_alert_time": q_f11_alert_time,
         "p3_parse_ip": q_p3_parse_ip,
         "p4_parse_hash": q_p4_parse_hash,
+        "p6_grok_normalize": q_p6_grok_normalize,
         "j1_cidr_range_join": q_j1_cidr_range_join,
         "j7_classification_join": q_j7_classification_join,
         "f10_flow": q_f10_flow,
@@ -721,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_langid": q_text_langid,
@@ -815,6 +848,17 @@ def oracle_sql() -> dict[str, str]:
             " user_id % 200, event_id % 250, (event_id*7) % 250,"
             " (event_id*131) % 60000 + 1024) AS msg FROM events)"
             " WHERE CAST(regexp_extract(msg, '(\\d+\\.\\d+\\.\\d+\\.\\d+):(\\d+)', 2) AS BIGINT) > 50000"
+        ),
+        "p6_grok_normalize": (
+            "SELECT event_id, src_ip, src_port FROM ("
+            "SELECT event_id, regexp_extract(msg,"
+            " 'login from ((?:\\d{1,3}\\.){3}\\d{1,3}) port ([+-]?\\d+)', 1) AS src_ip,"
+            " CAST(regexp_extract(msg,"
+            " 'login from ((?:\\d{1,3}\\.){3}\\d{1,3}) port ([+-]?\\d+)', 2) AS BIGINT) AS src_port"
+            " FROM (SELECT event_id, printf('login from 10.%d.%d.%d port %d',"
+            " user_id % 200, event_id % 250, (event_id*7) % 250,"
+            " (event_id*131) % 60000 + 1024) AS msg FROM events))"
+            " WHERE src_port > 50000"
         ),
         "p4_parse_hash": (
             "SELECT doc_id, regexp_extract('object ' || md5(text) || ' stored',"
@@ -964,6 +1008,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN sizes na ON na.doc_id = i.doc_a"
             " JOIN sizes nb ON nb.doc_id = i.doc_b "
             "WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3"
+        ),
+        "dedup_embedding_cosine": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            " round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " WHERE a.vec_id < 200 AND b.vec_id < 200"
+            " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5"
         ),
         "ann_cosine_topk": (
             "SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM ("

@@ -92,7 +92,9 @@ class SaganSparkEngine:
         return pages.select(
             F.col("url").alias("event_key"),
             F.col("warc_ts").alias("ts"),
-            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            # regexp host extraction: parse_url's full URI parse costs
+            # ~10x more per row for the same result on http(s) urls
+            F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1).alias("host"),
             F.col("lang").alias("program"),
             F.lit("").alias("facility"),
             F.lit("").alias("level"),
@@ -190,16 +192,20 @@ class SaganSparkEngine:
 
         full_ctx = self._event_cols(cand, with_extraction=True)
 
-        structs = [
-            comp.alert_struct(r, full_ctx, F.col(f"_c{i}"))
+        # one WHEN(match, struct) per rule: extraction fields materialize
+        # only for the (typically ~1 of N) rules that actually match —
+        # building all N structs per row was memory-bandwidth-bound
+        elements = [
+            comp.alert_element(r, full_ctx, F.col(f"_c{i}"))
             for i, r in enumerate(self.rules)
+            if r.action != "pass"
         ]
 
         # pass-rule short circuit (F15, engine.c:1448-1453): a hit survives
         # iff no pass rule at a SMALLER ruleset position matched the event
         pass_idx_exprs = [
-            F.when(s.getField("match"), F.lit(r.position))
-            for r, s in zip(self.rules, structs)
+            F.when(comp.match_expr(r, full_ctx, F.col(f"_c{i}")), F.lit(r.position))
+            for i, r in enumerate(self.rules)
             if r.action == "pass"
         ]
         if pass_idx_exprs:
@@ -207,19 +213,13 @@ class SaganSparkEngine:
         else:
             pass_min = F.lit(None).cast("int")
 
-        alert_structs = [s for r, s in zip(self.rules, structs) if r.action != "pass"]
         hits = (
             cand.withColumn("_pass_min", pass_min)
-            .withColumn("_alerts", F.array(*alert_structs))
+            .withColumn("_alerts", F.array_compact(F.array(*elements)))
             .select(
                 *passthrough,
                 F.col("_pass_min"),
-                # HOF filter keeps the explode at one output row per MATCH
-                # (measured faster than explode-all-then-filter's
-                # rules-x-rows blowup despite HOFs skipping codegen)
-                F.explode(
-                    F.filter(F.col("_alerts"), lambda s: s.getField("match"))
-                ).alias("_a"),
+                F.explode(F.col("_alerts")).alias("_a"),
             )
             .filter(
                 F.col("_pass_min").isNull()

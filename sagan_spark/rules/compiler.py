@@ -406,16 +406,27 @@ class RuleCompiler:
 
     # -- alert struct ---------------------------------------------------------
 
-    def alert_struct(self, r: RuleIR, cols: EventCols, cheap: Column) -> Column:
-        """struct<match, rule_idx, sid, rev, extracted fields, track keys>."""
-        ext = self.extraction_exprs(r, cols)
+    def match_expr(self, r: RuleIR, cols: EventCols, cheap: Column,
+                   ext: dict[str, Column] | None = None) -> Column:
+        """Full per-rule match: cheap AND flow AND enrichment gates."""
+        ext = ext if ext is not None else self.extraction_exprs(r, cols)
         match = cheap & self.flow_predicate(r, ext)
         if r.blacklist or r.zeek_intel or r.country_code is not None:
             match = match & self.enrichment_predicate(r, ext, cols)
+        return match
+
+    def alert_element(self, r: RuleIR, cols: EventCols, cheap: Column) -> Column:
+        """when(match, struct<...>) — null when the rule does not match,
+        so array_compact+explode materializes extraction fields ONLY for
+        matching rules (typically ~1 of N per event, not all N)."""
+        ext = self.extraction_exprs(r, cols)
+        match = self.match_expr(r, cols, cheap, ext)
+        return F.when(match, self.alert_struct_body(r, ext))
+
+    def alert_struct_body(self, r: RuleIR, ext: dict[str, Column]) -> Column:
         track_thr = self.track_key_expr(r.threshold.track, ext) if r.threshold else F.lit("")
         track_aft = self.track_key_expr(r.after.track, ext) if r.after else F.lit("")
         return F.struct(
-            match.alias("match"),
             F.lit(r.position).alias("rule_idx"),
             F.lit(r.sid).alias("sid"),
             F.lit(r.rev).alias("rev"),

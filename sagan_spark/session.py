@@ -43,6 +43,10 @@ def build_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
+        # engine caches are short-lived scratch (hits between correlation
+        # branches): columnar compression costs more CPU than the memory
+        # it saves on a 128 GiB box
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # fewer, larger Arrow batches through the pandas-UDF hot path
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
