@@ -113,6 +113,19 @@ def main() -> None:
         **engine_stats,
         "cpus": CPUS,
     }
+    # two-parallelism scaling evidence (north rule): measured snapshot
+    # from tools/bench_scaling.py, full method in tools/scaling_results.json
+    scaling_path = Path(__file__).parent / "tools/scaling_results.json"
+    if scaling_path.exists():
+        snap = json.loads(scaling_path.read_text())
+        out["scaling"] = {
+            "n_to_4n": snap.get("n_to_4n"),
+            "runs": {
+                k: v.get("routed_rows_per_sec")
+                for k, v in snap.get("runs", {}).items()
+                if isinstance(v, dict) and "routed_rows_per_sec" in v
+            },
+        }
     print(json.dumps(out))
     spark.stop()
 

@@ -47,6 +47,10 @@ def build_spark(
         # branches): columnar compression costs more CPU than the memory
         # it saves on a 128 GiB box
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        # the late-materialization join (alerts x events on event_key) has
+        # no use for sorted output — shuffled-hash beats sort-merge's
+        # 20M-row sorts; executors have the memory for the hash side
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # fewer, larger Arrow batches through the pandas-UDF hot path
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
