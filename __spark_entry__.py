@@ -651,7 +651,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.dedup import embedding_cosine_dups
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
-    pairs = embedding_cosine_dups(emb, threshold=0.5)
+    pairs = embedding_cosine_dups(emb, threshold=0.3)
     return pairs.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
 
 
@@ -1014,7 +1014,7 @@ def oracle_sql() -> dict[str, str]:
             " round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine"
             " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
             " WHERE a.vec_id < 200 AND b.vec_id < 200"
-            " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5"
+            " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
         ),
         "ann_cosine_topk": (
             "SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM ("

@@ -290,6 +290,50 @@ class SaganSparkEngine:
         all_hits = stage_a.unionByName(stage_b_ok).unionByName(stage_b_no)
         return EngineResult(hits=self._with_noalert(all_hits))
 
+    def run_with_dynamic_rules(
+        self, frame: DataFrame, loader=None
+    ) -> tuple[EngineResult, list[RuleIR]]:
+        """A12 dynamic rules, two-pass batch analog (reference
+        src/processors/dynamic-rules.c:61-189; sampling gate
+        src/processor.c:258-272).
+
+        Pass 1 runs the base ruleset; every ``dynamic_load`` rule that
+        produced at least one routed alert triggers loading its ruleset
+        (via ``loader(path) -> list[RuleIR]``, default: parse the file);
+        pass 2 re-runs base + loaded rules over the same frame.  Returns
+        (final result, effective ruleset).  The streaming analog is a
+        query restart with the augmented ruleset between micro-batches
+        (SURVEY §3.3)."""
+        from sagan_spark.rules.parser import parse_rules
+
+        def default_loader(path: str) -> list[RuleIR]:
+            with open(path) as fh:
+                return parse_rules(fh.read())
+
+        loader = loader or default_loader
+        dyn_rules = [r for r in self.rules if r.dynamic_load]
+        first = self.run(frame)
+        if not dyn_rules:
+            return first, self.rules
+
+        fired = {
+            row.sid
+            for row in first.alerts().select("sid").distinct().collect()
+        }
+        to_load = [r.dynamic_load for r in dyn_rules if r.sid in fired]
+        if not to_load:
+            return first, self.rules
+
+        extra: list[RuleIR] = []
+        for path in to_load:
+            extra.extend(loader(path))
+        combined = list(self.rules)
+        for r in extra:
+            r.position = len(combined)
+            combined.append(r)
+        second = SaganSparkEngine(combined, self.config)
+        return second.run(frame), combined
+
     def _with_noalert(self, all_hits: DataFrame) -> DataFrame:
         """flexbit/xbit noalert suppression flags (reference src/output.c:88-99)."""
         noalert_sids = [

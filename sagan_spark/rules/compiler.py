@@ -52,6 +52,12 @@ class EngineConfig:
     blacklist_cidrs: list[str] = field(default_factory=list)
     geoip_ranges: list[tuple[str, str]] = field(default_factory=list)  # (cidr, CC)
     intel_sets: dict[str, list[str]] = field(default_factory=dict)  # type -> entries
+    # protocol.map analogs (J5/P5, reference src/protocol-map.c): keyword
+    # -> proto, probed case-insensitively in entry order, 0 on miss
+    protocol_map_message: dict[str, int] = field(
+        default_factory=lambda: {"tcp": 6, "udp": 17, "icmp": 1}
+    )
+    protocol_map_program: dict[str, int] = field(default_factory=dict)
 
 
 @dataclass
@@ -281,14 +287,25 @@ class RuleCompiler:
         out["src_port"] = port_expr(jm_sport, r.default_src_port, src_hit)
         out["dst_port"] = port_expr(jm_dport, r.default_dst_port, dst_hit)
 
-        # proto: default_proto wins; else Parse_IP literal-token proto (engine.c:921)
-        if r.default_proto:
-            out["proto"] = F.lit(r.default_proto)
-        elif cols.ip_proto is not None and r.needs_parse_ip:
-            out["proto"] = F.coalesce(cols.ip_proto, F.lit(0))
+        # proto, replicating engine.c:893-921 assignment order exactly:
+        # Parse_IP literal token -> parse_proto(message) overwrites (0 on
+        # miss, proto.c:51-107) -> parse_proto_program(program) overwrites
+        # -> default_proto overwrites unconditionally when set
+        if cols.ip_proto is not None and r.needs_parse_ip:
+            proto = F.coalesce(cols.ip_proto, F.lit(0))
         else:
             jm_proto = _json_map_value(r, cols, "proto")
-            out["proto"] = F.coalesce(jm_proto.try_cast("int"), F.lit(0)) if jm_proto is not None else F.lit(0)
+            proto = F.coalesce(jm_proto.try_cast("int"), F.lit(0)) if jm_proto is not None else F.lit(0)
+        if r.parse_proto and self.config.protocol_map_message:
+            proto = self._proto_probe(cols.message, self.config.protocol_map_message)
+        if r.parse_proto_program and (
+            self.config.protocol_map_program or self.config.protocol_map_message
+        ):
+            pm = self.config.protocol_map_program or self.config.protocol_map_message
+            proto = self._proto_probe(cols.program, pm)
+        if r.default_proto:
+            proto = F.lit(r.default_proto)
+        out["proto"] = proto
 
         jm_user = _json_map_value(r, cols, "username")
         out["username"] = jm_user if jm_user is not None else F.lit("")
@@ -306,6 +323,16 @@ class RuleCompiler:
                 jm_h = _json_map_value(r, cols, h)
                 out[h] = jm_h if jm_h is not None else F.lit("")
         return out
+
+    @staticmethod
+    def _proto_probe(col: Column, keyword_map: dict[str, int]) -> Column:
+        """First map keyword found in `col` wins, 0 on miss
+        (reference Parse_Proto src/parsers/proto.c:51-107)."""
+        low = F.lower(col)
+        expr = F.lit(0)
+        for kw, proto in reversed(list(keyword_map.items())):
+            expr = F.when(low.contains(F.lit(kw.lower())), F.lit(proto)).otherwise(expr)
+        return expr
 
     def flow_predicate(self, r: RuleIR, ext: dict[str, Column]) -> Column:
         """Rule header nets/ports/proto gate (reference src/flow.c:48-504).

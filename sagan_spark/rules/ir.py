@@ -235,6 +235,10 @@ class RuleIR:
     after: AfterSpec | None = None
     xbits: list[XbitSpec] = field(default_factory=list)
 
+    # A12: ruleset to load when this rule fires (reference
+    # src/processors/dynamic-rules.c:61-189); batch analog = two-pass run
+    dynamic_load: str = ""
+
     # enrichment gates (J1/J2/J4; reference engine.c:1128-1360)
     blacklist: list[str] = field(default_factory=list)  # by_src|by_dst|all
     zeek_intel: list[str] = field(default_factory=list)  # src_ipaddr|dst_ipaddr|both_ipaddr|all_ipaddr|file_hash|domain|url|user_name

@@ -406,6 +406,8 @@ def parse_rule(
                 codes=codes,
                 negated=bool(mcmp and mcmp.group(1) == "isnot"),
             )
+        elif key == "dynamic_load":
+            ir.dynamic_load = _unquote(val)
         elif key in ("metadata", "normalize", "flowbits"):
             pass  # routing metadata / liblognorm hint — no match semantics
         else:

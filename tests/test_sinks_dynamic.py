@@ -1,0 +1,76 @@
+"""K6 external sink + A12 dynamic rules (batch analogs)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sagan_spark.pipeline.engine import SaganSparkEngine
+from sagan_spark.pipeline.route import assemble_alerts, external_sink, rule_metadata_df
+from sagan_spark.rules.parser import parse_rules
+
+
+@pytest.fixture()
+def frame(spark):
+    rows = [
+        ("e1", "2026-01-01 00:00:01", "Failed password for admin from 10.1.1.1", "en"),
+        ("e2", "2026-01-01 00:00:02", "all quiet on this host today", "en"),
+        ("e3", "2026-01-01 00:00:03", "Failed password for root from 10.2.2.2", "en"),
+    ]
+    df = spark.createDataFrame(rows, "event_key string, ts string, message string, program string")
+    return df.select(
+        "event_key", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("h").alias("host"), "program",
+        F.lit("").alias("facility"), F.lit("").alias("level"), F.lit("").alias("tag"),
+        "message",
+    )
+
+
+def test_external_sink_receives_json_lines(spark, frame, tmp_path):
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"fp"; content:"Failed password"; classtype: misc-activity; sid:9000001;)'
+    )
+    eng = SaganSparkEngine(rules)
+    alerts = eng.run(frame).alerts()
+    assembled = assemble_alerts(alerts, rule_metadata_df(spark, rules), events=frame)
+    out_dir = tmp_path / "ext"
+    out_dir.mkdir()
+    # reference feeds alert JSON on the program's stdin (external.c:58-110)
+    external_sink(assembled, ["/bin/sh", "-c", f"cat >> {out_dir}/$$.jsonl"])
+    lines = []
+    for p in glob.glob(f"{out_dir}/*.jsonl"):
+        lines += [l for l in open(p).read().splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert all('"sid":9000001' in l or '"sid": 9000001' in l for l in lines)
+
+
+def test_dynamic_rules_two_pass(spark, frame, tmp_path):
+    extra = tmp_path / "extra.rules"
+    extra.write_text(
+        'alert any any any -> any any (msg:"loaded"; content:"quiet"; classtype: misc-activity; sid:9000101;)\n'
+    )
+    base = parse_rules(
+        f'alert any any any -> any any (msg:"trigger"; content:"Failed password"; dynamic_load: {extra}; classtype: misc-activity; sid:9000002;)'
+    )
+    eng = SaganSparkEngine(base)
+    result, effective = eng.run_with_dynamic_rules(frame)
+    sids = {r.sid for r in result.alerts().select("sid").collect()}
+    assert sids == {9000002, 9000101}  # loaded rule caught e2
+    assert [r.sid for r in effective] == [9000002, 9000101]
+
+
+def test_dynamic_rules_not_fired_not_loaded(spark, frame, tmp_path):
+    extra = tmp_path / "extra2.rules"
+    extra.write_text(
+        'alert any any any -> any any (msg:"loaded"; content:"quiet"; sid:9000102;)\n'
+    )
+    base = parse_rules(
+        f'alert any any any -> any any (msg:"no match"; content:"zz-never"; dynamic_load: {extra}; sid:9000003;)'
+    )
+    eng = SaganSparkEngine(base)
+    result, effective = eng.run_with_dynamic_rules(frame)
+    assert result.alerts().count() == 0
+    assert len(effective) == 1
