@@ -85,6 +85,7 @@ def apply_after_threshold(
     rules: list[RuleIR],
     exclude_sids: list[int] | None = None,
     materialize_suppressed: bool = False,
+    isolate_hot: bool = False,
 ) -> DataFrame:
     """Add suppressed_after / suppressed_threshold booleans to the hits DF.
 
@@ -224,8 +225,19 @@ def apply_after_threshold(
                 }
             )
 
+    n_parts = _shuffle_partitions(narrow)
+    if isolate_hot:
+        # north_rule skew handling: a hot (sid, track-key) cannot be
+        # split (ordered replay) — give it a dedicated shuffle slot so
+        # it only slows itself (pipeline/skew.py)
+        from sagan_spark.pipeline.skew import detect_hot_keys, isolate_hot_keys
+
+        hot = detect_hot_keys(narrow, ["sid", "corr_group"], hot_share=1.5 / n_parts)
+        shuffled = isolate_hot_keys(narrow, ["sid", "corr_group"], n_parts, hot)
+    else:
+        shuffled = narrow.repartition(n_parts, "sid", "corr_group")
     suppressed = (
-        narrow.repartition(_shuffle_partitions(narrow), "sid", "corr_group")
+        shuffled
         .sortWithinPartitions("ts", "event_key")
         .mapInPandas(replay, schema=out_struct)
     )

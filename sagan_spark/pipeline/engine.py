@@ -257,6 +257,7 @@ class SaganSparkEngine:
         flagged = apply_after_threshold(
             hits, self.rules, exclude_sids=cond_sids,
             materialize_suppressed=bool(cond_sids),
+            isolate_hot=self.config.hot_key_isolation,
         )
 
         if not cond_sids:

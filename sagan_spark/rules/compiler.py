@@ -58,6 +58,9 @@ class EngineConfig:
         default_factory=lambda: {"tcp": 6, "udp": 17, "icmp": 1}
     )
     protocol_map_program: dict[str, int] = field(default_factory=dict)
+    # skew: sample the correlation key histogram and give hot
+    # (sid, track-key) groups dedicated shuffle slots (pipeline/skew.py)
+    hot_key_isolation: bool = False
 
 
 @dataclass
@@ -108,25 +111,43 @@ def _json_map_value(r: RuleIR, cols: EventCols, fld: str) -> Column | None:
     return None
 
 
+def _b64_decode(v: Column) -> Column:
+    """P10: decode a base64 JSON value before matching; null on invalid
+    input (reference src/json-content.c:79-84 — the C quietly matches
+    the decode buffer; try_to_binary keeps ANSI mode from throwing)."""
+    return F.decode(F.try_to_binary(v, F.lit("base64")), "UTF-8")
+
+
 def _json_predicates(r: RuleIR, cols: EventCols) -> Column:
-    """json_content / json_strstr / json_pcre
-    (reference src/json-content.c:47-172, src/json-pcre.c:46-103).
-    Missing key => rule fails, even for negated matches
-    (reference src/json-content.c:157-163)."""
+    """json_content / json_strstr / json_pcre / json_meta_content
+    (reference src/json-content.c:47-172, src/json-pcre.c:46-103,
+    src/json-meta-content.c).  Missing key => rule fails, even for
+    negated matches (reference src/json-content.c:157-163)."""
     pred = F.lit(True)
     if cols.json is None:
-        if r.json_contents or r.json_pcres:
+        if r.json_contents or r.json_pcres or r.json_meta_contents:
             return F.lit(False)
         return pred
     for jc in r.json_contents:
         v = F.try_element_at(cols.json, F.lit(jc.key))
-        hay = F.lower(v) if jc.nocase else v
+        val = _b64_decode(v) if r.json_decode_base64 else v
+        hay = F.lower(val) if jc.nocase else val
         m = hay.contains(F.lit(jc.value)) if jc.strstr else (hay == F.lit(jc.value))
         m = ~m if jc.negated else m
         pred = pred & v.isNotNull() & F.coalesce(m, F.lit(False))
     for jp in r.json_pcres:
         v = F.try_element_at(cols.json, F.lit(jp.key))
-        pred = pred & F.coalesce(v.rlike(jp.python_flags_pattern), F.lit(False))
+        val = _b64_decode(v) if r.json_decode_base64_pcre else v
+        pred = pred & F.coalesce(val.rlike(jp.python_flags_pattern), F.lit(False))
+    for jm in r.json_meta_contents:
+        v = F.try_element_at(cols.json, F.lit(jm.key))
+        val = _b64_decode(v) if r.json_decode_base64_meta else v
+        hay = F.lower(val) if jm.nocase else val
+        any_hit = F.lit(False)
+        for lit in jm.literals:
+            any_hit = any_hit | hay.contains(F.lit(lit))
+        m = ~any_hit if jm.negated else any_hit
+        pred = pred & v.isNotNull() & F.coalesce(m, F.lit(False))
     return pred
 
 

@@ -81,6 +81,19 @@ class JsonContentSpec:
 
 
 @dataclass
+class JsonMetaContentSpec:
+    """``json_meta_content: "key", "tmpl %sagan%", $LIST`` — meta_content
+    semantics against one JSON key's value (reference
+    src/json-meta-content.c, parse src/rules.c:2408+).  Missing key =>
+    rule fails."""
+
+    key: str
+    literals: list[str]
+    negated: bool = False
+    nocase: bool = False
+
+
+@dataclass
 class JsonPcreSpec:
     """``json_pcre: "key","/regex/flags"`` (reference src/json-pcre.c:46-103)."""
 
@@ -215,7 +228,14 @@ class RuleIR:
     meta_contents: list[MetaContentSpec] = field(default_factory=list)
     json_contents: list[JsonContentSpec] = field(default_factory=list)
     json_pcres: list[JsonPcreSpec] = field(default_factory=list)
+    json_meta_contents: list["JsonMetaContentSpec"] = field(default_factory=list)
     json_maps: list[JsonMapSpec] = field(default_factory=list)
+    # P10: decode the JSON value before compare (reference
+    # src/json-content.c:79-84, src/json-pcre.c:73-78; flags
+    # src/rules.h:293-295)
+    json_decode_base64: bool = False
+    json_decode_base64_pcre: bool = False
+    json_decode_base64_meta: bool = False
     event_ids: list[str] = field(default_factory=list)
 
     flow: FlowSpec = field(default_factory=FlowSpec)
@@ -255,4 +275,9 @@ class RuleIR:
 
     @property
     def needs_json(self) -> bool:
-        return bool(self.json_contents or self.json_pcres or self.json_maps)
+        return bool(
+            self.json_contents
+            or self.json_pcres
+            or self.json_meta_contents
+            or self.json_maps
+        )

@@ -28,6 +28,7 @@ from sagan_spark.rules.ir import (
     FlowSpec,
     JsonContentSpec,
     JsonMapSpec,
+    JsonMetaContentSpec,
     JsonPcreSpec,
     MetaContentSpec,
     PcreSpec,
@@ -319,6 +320,29 @@ def parse_rule(
                 jc = ir.json_contents[-1]
                 jc.nocase = True
                 jc.value = jc.value.lower()
+        elif key == "json_meta_content":
+            # json_meta_content: "key", "tmpl with %sagan%", item list
+            parts = _split_quoted_csv(val)
+            k = _unquote(parts[0])
+            neg = parts[1].strip().startswith("!")
+            tmpl = _decode_hex_pipes(_unquote(parts[1].strip().lstrip("!")))
+            items = [i.strip() for i in ",".join(parts[2:]).split(",") if i.strip()]
+            ir.json_meta_contents.append(
+                JsonMetaContentSpec(
+                    key=k, literals=[tmpl.replace("%sagan%", it) for it in items], negated=neg
+                )
+            )
+        elif key == "json_meta_nocase":
+            if ir.json_meta_contents:
+                jm = ir.json_meta_contents[-1]
+                jm.nocase = True
+                jm.literals = [x.lower() for x in jm.literals]
+        elif key == "json_decode_base64":
+            ir.json_decode_base64 = True
+        elif key == "json_decode_base64_pcre":
+            ir.json_decode_base64_pcre = True
+        elif key == "json_decode_base64_meta":
+            ir.json_decode_base64_meta = True
         elif key == "json_pcre":
             parts = _split_quoted_csv(val)
             k = _unquote(parts[0])
