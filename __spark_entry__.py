@@ -608,6 +608,62 @@ def q_f14_ignore_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(~drop).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_a11_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-partition lineage counters rolled up to run totals
+    (reference _SaganCounters src/sagan.h:178-332, Statistics()
+    src/stats.c:54-218)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.metrics import partition_lineage
+
+    frame = _events_frame(spark, sf_dir)
+    lineage = partition_lineage(frame, run_id="contract", ruleset_version="r1")
+    return lineage.agg(
+        F.sum("rows_in").alias("rows_in"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.max("max_bytes_length").alias("max_len"),
+        F.sum("rows_null_message").alias("n_null"),
+    )
+
+
+def q_streaming_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3 streaming form: applyInPandasWithState counters with
+    checkpointed availableNow drain (rows-only gate — Structured
+    Streaming state is outside DuckDB's vocabulary; batch==streaming
+    equality is pinned in tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from sagan_spark.data.pages import write_pages
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+    from sagan_spark.streaming import StreamingSaganEngine, pages_stream_frame
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"burst"; content:"Failed password"; '
+        "parse_src_ip: 1; threshold: type suppress, track by_src, count 2, seconds 300; "
+        "classtype: attempted-recon; sid:8100001; rev:1;)"
+    )
+    work = tempfile.mkdtemp(prefix="sagan_stream_contract_")
+    try:
+        inp = f"{work}/in"
+        os.makedirs(inp)
+        write_pages(f"{inp}/pages.parquet", n_rows=2000)
+        seng = StreamingSaganEngine(rules, watermark="0 seconds")
+        frame = SaganSparkEngine.frame_from_pages(pages_stream_frame(spark, inp))
+        q = seng.start_sink_query(frame, f"{work}/out", f"{work}/ckpt", sinks=["alerts_eve"])
+        q.awaitTermination(180)
+        eve = spark.read.parquet(f"{work}/out/alerts_eve")
+        out = (
+            eve.groupBy("alert_signature_id")
+            .agg(F.count(F.lit(1)).alias("n_routed"))
+            .collect()
+        )
+        return spark.createDataFrame(out, "alert_signature_id long, n_routed long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data ops
 # ---------------------------------------------------------------------------
@@ -749,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_client_stats": q_a10_client_stats,
         "k3_eve_assembly": q_k3_eve_assembly,
         "k7_sink_fanout": q_k7_sink_fanout,
+        "a11_lineage_rollup": q_a11_lineage_rollup,
+        "streaming_threshold": q_streaming_threshold,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -980,6 +1038,11 @@ def oracle_sql() -> dict[str, str]:
             " 1 AS alert_gid, 'system-error' AS alert_category"
             " FROM events WHERE event_type = 'error'"
         ),
+        "a11_lineage_rollup": (
+            "SELECT count(*) AS rows_in, sum(length(props)) AS bytes_in,"
+            " max(length(props)) AS max_len, 0 AS n_null FROM events"
+        ),
+        # streaming_threshold: stateful streaming — rows-only gate
         "k7_sink_fanout": (
             "SELECT sink, count(*) AS n_routed FROM ("
             "SELECT 'eve' AS sink, event_id FROM events WHERE event_type IN ('error','purchase')"
