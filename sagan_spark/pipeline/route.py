@@ -105,10 +105,17 @@ def assemble_alerts(
     )
 
 
-def eve_view(assembled: DataFrame) -> DataFrame:
+def eve_view(assembled: DataFrame, payload_base64: bool = False) -> DataFrame:
     """K3: Suricata-EVE alert projection (src/json-handler.c:54-286).
     Nested alert.* fields are flattened with '_' (parquet-friendly);
-    'url' is the lineage key back to the input table."""
+    'url' is the lineage key back to the input table.
+    payload_base64 mirrors the eve 'base64' payload option
+    (reference src/json-handler.c:102-105)."""
+    payload = (
+        F.base64(F.encode(F.col("message"), "UTF-8"))
+        if payload_base64
+        else F.col("message")
+    )
     return assembled.select(
         F.col("timestamp"),
         F.col("flow_id"),
@@ -118,7 +125,7 @@ def eve_view(assembled: DataFrame) -> DataFrame:
         F.col("src_port"),
         F.col("dst_port").alias("dest_port"),
         F.col("proto_name").alias("proto"),
-        F.col("message").alias("payload"),
+        payload.alias("payload"),
         F.col("facility"),
         F.col("level"),
         F.col("tag"),
