@@ -21,6 +21,12 @@ partitions already recorded in the metrics table.
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path
+
+# direct `python jobs/...` runs: repo root on sys.path (spark-submit
+# --py-files covers the cluster case)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import uuid
 
 from pyspark.sql import SparkSession

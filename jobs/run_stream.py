@@ -18,6 +18,12 @@ the query running for live tailing.
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path
+
+# direct `python jobs/...` runs: repo root on sys.path (spark-submit
+# --py-files covers the cluster case)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import SparkSession
 
@@ -26,6 +32,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--rules", required=True)
+    ap.add_argument("--vars", default="")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--watermark", default="10 minutes")
@@ -42,16 +49,38 @@ def main() -> None:
     from sagan_spark.rules.parser import parse_rules
     from sagan_spark.streaming import StreamingSaganEngine, pages_stream_frame
 
-    rules = parse_rules(open(args.rules).read())
-    seng = StreamingSaganEngine(rules, watermark=args.watermark)
-    frame = SaganSparkEngine.frame_from_pages(pages_stream_frame(spark, args.input))
-    q = seng.start_sink_query(
-        frame,
-        args.output,
-        args.checkpoint,
-        trigger_available_now=not args.continuous,
+    variables = {}
+    if args.vars:
+        for line in open(args.vars):
+            if "=" in line:
+                k, _, v = line.partition("=")
+                variables[k.strip()] = v.strip()
+
+    rules = parse_rules(open(args.rules).read(), variables)
+    has_cond = any(
+        x.action in ("isset", "isnotset") for r in rules for x in r.xbits
     )
-    q.awaitTermination()
+    seng = StreamingSaganEngine(
+        rules, watermark=args.watermark, enable_xbits=has_cond
+    )
+    if has_cond and not args.continuous:
+        # drain-ordered chained pipeline (stage A then xbit stage B)
+        seng.run_pipeline_with_xbits(
+            lambda: SaganSparkEngine.frame_from_pages(
+                pages_stream_frame(spark, args.input)
+            ),
+            args.output,
+            args.checkpoint,
+        )
+    else:
+        frame = SaganSparkEngine.frame_from_pages(pages_stream_frame(spark, args.input))
+        q = seng.start_sink_query(
+            frame,
+            args.output,
+            args.checkpoint,
+            trigger_available_now=not args.continuous,
+        )
+        q.awaitTermination()
     spark.stop()
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from sagan_spark.pipeline.engine import SaganSparkEngine
+from sagan_spark.pipeline.engine import EVENT_COLS, SaganSparkEngine
 from sagan_spark.rules.compiler import EngineConfig
 from sagan_spark.rules.ir import RuleIR
 
@@ -73,13 +73,30 @@ class StreamingSaganEngine:
         rules: list[RuleIR],
         config: EngineConfig | None = None,
         watermark: str = "10 minutes",
+        enable_xbits: bool = False,
     ):
-        for r in rules:
-            if any(x.action in ("isset", "isnotset") for x in r.xbits):
-                raise NotImplementedError(
-                    f"sid {r.sid}: xbit conditions are batch-mode only in v1 "
-                    "(use SaganSparkEngine.run)"
-                )
+        self.cond_sids = [
+            r.sid for r in rules if any(x.action in ("isset", "isnotset") for x in r.xbits)
+        ]
+        if self.cond_sids and not enable_xbits:
+            raise NotImplementedError(
+                f"sids {self.cond_sids}: xbit conditions need the chained "
+                "pipeline — use start_pipeline_with_xbits (or batch "
+                "SaganSparkEngine.run)"
+            )
+        if enable_xbits:
+            for r in rules:
+                for x in r.xbits:
+                    if x.action == "unset":
+                        raise NotImplementedError(
+                            f"sid {r.sid}: xbit unset is batch-only in streaming "
+                            "(the stream-static set join has no unset ordering)"
+                        )
+                if r.sid in self.cond_sids and (r.after or r.threshold):
+                    raise NotImplementedError(
+                        f"sid {r.sid}: after/threshold on an xbit-condition rule "
+                        "would chain two stateful operators — batch-only"
+                    )
         self.engine = SaganSparkEngine(rules, config)
         self.rules = rules
         self.watermark = watermark
@@ -93,11 +110,12 @@ class StreamingSaganEngine:
 
     def alerts_stream(self, frame: DataFrame) -> DataFrame:
         """frame: streaming canonical event frame -> streaming alert rows."""
-        from sagan_spark.pipeline.engine import EVENT_COLS
-
         # carry the full event columns: a stream cannot re-join its own
         # source at sink time (late materialization is batch-only)
         hits = self.engine.match_hits(frame, passthrough=EVENT_COLS)
+        if self.cond_sids:
+            # condition rules route through the chained xbit query
+            hits = hits.filter(~F.col("sid").isin(self.cond_sids))
         specs = self._corr_specs()
         if not specs:
             return hits.withColumn("suppressed_after", F.lit(False)).withColumn(
@@ -241,8 +259,19 @@ class StreamingSaganEngine:
             rule_metadata_df,
         )
 
+        from sagan_spark.pipeline.correlate import xbit_key_expr
+
         rules = self.rules
         sink_names = sinks or list(SINK_BUILDERS)
+        # setter rules' surviving alerts also stage their set events for
+        # the chained xbit query (engine.c:1415-1427: sets happen only
+        # after after/threshold survival)
+        setters = [
+            (r.sid, x, r.position)
+            for r in rules
+            for x in r.xbits
+            if x.action == "set" and r.sid not in self.cond_sids
+        ]
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
@@ -253,6 +282,16 @@ class StreamingSaganEngine:
                     SINK_BUILDERS[sink](assembled).write.mode("append").parquet(
                         f"{base_path}/{sink}"
                     )
+                for sid, x, pos in setters:
+                    sets = assembled.filter(F.col("sid") == sid).select(
+                        F.lit(x.name).alias("bit_name"),
+                        xbit_key_expr(x.track).alias("bit_key"),
+                        F.col("ts").cast("double").alias("set_ts"),
+                        F.col("event_key").alias("set_event_key"),
+                        F.lit(pos * 2 + 1).alias("set_seq"),
+                        F.lit(x.expire).alias("expire"),
+                    )
+                    sets.write.mode("append").parquet(f"{base_path}/xbit_sets")
             finally:
                 assembled.unpersist()
 
@@ -265,3 +304,148 @@ class StreamingSaganEngine:
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def start_xbit_query(
+        self,
+        frame: DataFrame,
+        base_path: str,
+        checkpoint: str,
+        sinks: list[str] | None = None,
+        trigger_available_now: bool = True,
+    ):
+        """Stage B of the chained pipeline: route xbit-CONDITION rules.
+
+        Condition-candidate hits stream from the source; the staged set
+        events (written by stage A's sink query) are re-read per
+        micro-batch as the static side of a range join: a bit is set for
+        a check at (ts, event_key, seq) iff some staged set sits strictly
+        earlier in the batch replay order and inside its expire window —
+        exactly the batch walk's semantics for set-only bits
+        (correlate.apply_xbits; constant per-(rule,xbit) expire makes
+        any-set-in-window == latest-set-active).
+
+        Cross-query propagation is drain-ordered: with availableNow run
+        stage A to completion first (sets staged), then stage B — exact
+        parity with batch.  In continuous mode sets become visible one
+        micro-batch later (documented eventual consistency)."""
+        from sagan_spark.pipeline.correlate import xbit_key_expr
+        from sagan_spark.pipeline.route import (
+            SINK_BUILDERS,
+            assemble_alerts,
+            rule_metadata_df,
+        )
+
+        rules = self.rules
+        cond_rules = [r for r in rules if r.sid in self.cond_sids]
+        sink_names = sinks or list(SINK_BUILDERS)
+
+        hits = self.engine.match_hits(frame, passthrough=EVENT_COLS).filter(
+            F.col("sid").isin(self.cond_sids)
+        )
+        # one (condition, hit) row per xbit condition on the rule
+        cond_specs = [
+            (r.sid, x, r.position)
+            for r in cond_rules
+            for x in r.xbits
+            if x.action in ("isset", "isnotset")
+        ]
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            try:
+                sets = spark.read.parquet(f"{base_path}/xbit_sets")
+            except Exception:  # no setter fired yet
+                sets = None
+            flag_cols = []
+            for i, (sid, x, pos) in enumerate(cond_specs):
+                col_name = f"_set{i}"
+                if sets is None:
+                    batch_df = batch_df.withColumn(col_name, F.lit(False))
+                    flag_cols.append((sid, x.action, col_name))
+                    continue
+                s = sets.filter(F.col("bit_name") == x.name)
+                probe = batch_df.filter(F.col("sid") == sid).select(
+                    F.col("event_key").alias("chk_event_key"),
+                    xbit_key_expr(x.track).alias("bit_key"),
+                    F.col("ts").cast("double").alias("chk_ts"),
+                    F.lit(pos * 2).alias("chk_seq"),
+                )
+                # strict replay-order precedence (ts, event_key, seq)
+                before = (
+                    (F.col("set_ts") < F.col("chk_ts"))
+                    | (
+                        (F.col("set_ts") == F.col("chk_ts"))
+                        & (
+                            (F.col("set_event_key") < F.col("chk_event_key"))
+                            | (
+                                (F.col("set_event_key") == F.col("chk_event_key"))
+                                & (F.col("set_seq") < F.col("chk_seq"))
+                            )
+                        )
+                    )
+                )
+                live = (F.col("expire") == 0) | (
+                    F.col("chk_ts") - F.col("set_ts") < F.col("expire")
+                )
+                hit_keys = (
+                    probe.join(F.broadcast(s), ["bit_key"])
+                    .filter(before & live)
+                    .select("chk_event_key")
+                    .distinct()
+                    .withColumnRenamed("chk_event_key", "event_key")
+                    .withColumn(col_name, F.lit(True))
+                )
+                batch_df = batch_df.join(hit_keys, "event_key", "left").withColumn(
+                    col_name, F.coalesce(F.col(col_name), F.lit(False))
+                )
+                flag_cols.append((sid, x.action, col_name))
+
+            verdict = F.lit(True)
+            for sid, action, col_name in flag_cols:
+                ok = F.col(col_name) if action == "isset" else ~F.col(col_name)
+                verdict = verdict & F.when(F.col("sid") == sid, ok).otherwise(F.lit(True))
+
+            routed = batch_df.filter(verdict).drop(*[c for _, _, c in flag_cols])
+            meta = rule_metadata_df(spark, rules)
+            assembled = assemble_alerts(routed, meta).persist()
+            try:
+                for sink in sink_names:
+                    SINK_BUILDERS[sink](assembled).write.mode("append").parquet(
+                        f"{base_path}/{sink}"
+                    )
+            finally:
+                assembled.unpersist()
+
+        writer = (
+            hits.withColumn("suppressed_after", F.lit(False))
+            .withColumn("suppressed_threshold", F.lit(False))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(write_batch)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_pipeline_with_xbits(
+        self,
+        frame_factory,
+        base_path: str,
+        checkpoint_base: str,
+        sinks: list[str] | None = None,
+        timeout: int = 300,
+    ) -> None:
+        """Drain-ordered chained pipeline: stage A (stateless+stateful
+        rules, sinks + set staging) runs to completion, then stage B
+        (xbit condition rules) — batch-exact for availableNow drains.
+
+        ``frame_factory``: () -> fresh streaming canonical frame (each
+        query needs its own source instance)."""
+        qa = self.start_sink_query(
+            frame_factory(), base_path, f"{checkpoint_base}/stage_a", sinks=sinks
+        )
+        qa.awaitTermination(timeout)
+        qb = self.start_xbit_query(
+            frame_factory(), base_path, f"{checkpoint_base}/stage_b", sinks=sinks
+        )
+        qb.awaitTermination(timeout)

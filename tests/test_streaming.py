@@ -106,3 +106,39 @@ def test_xbit_condition_rules_rejected(fixture_rules):
     assert has_cond, "fixture ruleset should carry an xbit condition rule"
     with pytest.raises(NotImplementedError):
         StreamingSaganEngine(fixture_rules)
+
+
+def test_chained_xbit_pipeline_equals_batch(spark, fixture_rules, tmp_path):
+    """Full ruleset (incl. xbit set/isset) through the two-query chained
+    pipeline with a restart between chunks == batch engine."""
+    table = generate_pages(n_rows=2_000).sort_by("warc_ts")
+    half = table.num_rows // 2
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+
+    full_path = str(tmp_path / "full.parquet")
+    pq.write_table(table, full_path)
+    batch_engine = SaganSparkEngine(fixture_rules)
+    pages = spark.read.parquet(full_path)
+    batch_alerts = batch_engine.run(batch_engine.frame_from_pages(pages)).alerts()
+    want = {(r.event_key, r.sid) for r in batch_alerts.select("event_key", "sid").collect()}
+
+    seng = StreamingSaganEngine(fixture_rules, watermark="0 seconds", enable_xbits=True)
+
+    def frame_factory():
+        return SaganSparkEngine.frame_from_pages(pages_stream_frame(spark, str(input_dir)))
+
+    pq.write_table(table.slice(0, half), str(input_dir / "c1.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+    pq.write_table(table.slice(half), str(input_dir / "c2.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+
+    got_df = spark.read.parquet(f"{out}/alerts_eve").select("url", "alert_signature_id").toPandas()
+    got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
+    missing, extra = want - got, got - want
+    assert not missing and not extra, (
+        f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]} "
+        f"want={len(want)} got={len(got)}"
+    )
