@@ -271,6 +271,38 @@ def xbit_key_expr(track: str) -> F.Column:
     return F.format_string("%s:%s", F.col("src_ip"), F.col("dst_ip"))
 
 
+# flexbit direction table (reference flexbit condition dispatch,
+# src/flexbit-mmap.c:106-258): a SET records the event's (src, dst,
+# username); a condition with shape S compares the stored tuple against
+# its own event per S.  Expressed as (set-side key, check-side key):
+_FLEX_SHAPES = {
+    "by_src": (lambda: F.col("src_ip"), lambda: F.col("src_ip")),
+    "by_dst": (lambda: F.col("dst_ip"), lambda: F.col("dst_ip")),
+    "both": (
+        lambda: F.format_string("%s:%s", F.col("src_ip"), F.col("dst_ip")),
+        lambda: F.format_string("%s:%s", F.col("src_ip"), F.col("dst_ip")),
+    ),
+    "reverse": (
+        lambda: F.format_string("%s:%s", F.col("src_ip"), F.col("dst_ip")),
+        lambda: F.format_string("%s:%s", F.col("dst_ip"), F.col("src_ip")),
+    ),
+    "none": (lambda: F.lit(""), lambda: F.lit("")),
+    "username": (lambda: F.col("username"), lambda: F.col("username")),
+}
+
+
+def flex_shape(track: str) -> str | None:
+    return track[len("flex_"):] if track.startswith("flex_") and track != "flex_auto" else None
+
+
+def flex_set_key(shape: str) -> F.Column:
+    return _FLEX_SHAPES[shape][0]()
+
+
+def flex_check_key(shape: str) -> F.Column:
+    return _FLEX_SHAPES[shape][1]()
+
+
 def apply_xbits(
     hits: DataFrame,
     rules: list[RuleIR],
@@ -294,6 +326,16 @@ def apply_xbits(
 
     set_rules = [r for r in rules if any(x.action in ("set", "unset") for x in r.xbits)]
 
+    # flexbit SETs record (src, dst, username); which key shapes the
+    # store needs is decided by the CONDITIONS that probe the bit — one
+    # keyed copy per (bit, shape), namespaced "name#shape"
+    shapes_by_bit: dict[str, set] = {}
+    for r in cond_rules:
+        for x in r.xbits:
+            s = flex_shape(x.track)
+            if x.action in ("isset", "isnotset") and s is not None:
+                shapes_by_bit.setdefault(x.name, set()).add(s)
+
     # build set/unset event stream from surviving setter alerts
     spark_events = []
     src = survived if survived is not None else hits
@@ -301,34 +343,46 @@ def apply_xbits(
         for x in r.xbits:
             if x.action not in ("set", "unset"):
                 continue
-            ev = (
-                src.filter(F.col("sid") == r.sid)
-                .select(
-                    F.lit(x.name).alias("bit_name"),
-                    xbit_key_expr(x.track).alias("bit_key"),
-                    F.col("ts").cast("double").alias("ts_d"),
-                    F.col("event_key"),
-                    # within one event: rule order, a rule's own check
-                    # precedes its set (engine.c:999-1024 vs 1415-1427)
-                    F.lit(r.position * 2 + 1).alias("seq"),
-                    F.lit(x.action).alias("kind"),
-                    F.lit(x.expire).alias("expire"),
-                    F.lit(None).cast("string").alias("hit_id"),
-                    F.lit(False).alias("want_set"),
+            if x.track == "flex_auto" or flex_shape(x.track) is not None:
+                own = flex_shape(x.track)
+                shapes = [own] if own else sorted(shapes_by_bit.get(x.name, ()))
+                variants = [(f"{x.name}#{s}", flex_set_key(s)) for s in shapes]
+            else:
+                variants = [(x.name, xbit_key_expr(x.track))]
+            for bit_name, key in variants:
+                ev = (
+                    src.filter(F.col("sid") == r.sid)
+                    .select(
+                        F.lit(bit_name).alias("bit_name"),
+                        key.alias("bit_key"),
+                        F.col("ts").cast("double").alias("ts_d"),
+                        F.col("event_key"),
+                        # within one event: rule order, a rule's own check
+                        # precedes its set (engine.c:999-1024 vs 1415-1427)
+                        F.lit(r.position * 2 + 1).alias("seq"),
+                        F.lit(x.action).alias("kind"),
+                        F.lit(x.expire).alias("expire"),
+                        F.lit(None).cast("string").alias("hit_id"),
+                        F.lit(False).alias("want_set"),
+                    )
                 )
-            )
-            spark_events.append(ev)
+                spark_events.append(ev)
 
     # explode condition entries of candidate hits
     for r in cond_rules:
         for x in r.xbits:
             if x.action not in ("isset", "isnotset"):
                 continue
+            s = flex_shape(x.track)
+            if s is not None:
+                bit_name, key = f"{x.name}#{s}", flex_check_key(s)
+            else:
+                bit_name, key = x.name, xbit_key_expr(x.track)
             ev = (
                 hits.filter(F.col("sid") == r.sid)
                 .select(
-                    F.lit(x.name).alias("bit_name"),
-                    xbit_key_expr(x.track).alias("bit_key"),
+                    F.lit(bit_name).alias("bit_name"),
+                    key.alias("bit_key"),
                     F.col("ts").cast("double").alias("ts_d"),
                     F.col("event_key"),
                     F.lit(r.position * 2).alias("seq"),

@@ -173,11 +173,16 @@ class AfterSpec:
 @dataclass
 class XbitSpec:
     """``xbits: set|unset|isset|isnotset, name X, track ip_src|ip_dst|ip_pair
-    [, expire N]`` (reference src/xbit.c:54-105, src/xbit-mmap.c)."""
+    [, expire N]`` (reference src/xbit.c:54-105, src/xbit-mmap.c).
+
+    Flexbits (reference src/flexbit-mmap.c) reuse this spec with track
+    ``flex_auto`` (set side: key shape chosen per condition) or
+    ``flex_by_src|flex_by_dst|flex_both|flex_reverse|flex_none|
+    flex_username`` (condition side)."""
 
     action: str  # set|unset|isset|isnotset
     name: str
-    track: str  # ip_src | ip_dst | ip_pair
+    track: str  # ip_src | ip_dst | ip_pair | flex_*
     expire: int = 0
 
 
@@ -254,6 +259,9 @@ class RuleIR:
     threshold: ThresholdSpec | None = None
     after: AfterSpec | None = None
     xbits: list[XbitSpec] = field(default_factory=list)
+
+    # flexbit noalert/noeve suppression flags (reference src/rules.h:199-200)
+    flags: list[str] = field(default_factory=list)
 
     # A12: ruleset to load when this rule fires (reference
     # src/processors/dynamic-rules.c:61-189); batch analog = two-pass run

@@ -388,7 +388,7 @@ def parse_rule(
                 count=int(spec.get("count", "1")),
                 seconds=_value_to_seconds(spec.get("seconds", "0")),
             )
-        elif key in ("xbits", "flexbits", "flexbit", "xbit"):
+        elif key in ("xbits", "xbit"):
             parts = [p.strip() for p in val.split(",")]
             spec = {"action": parts[0].lower()}
             for p in parts[1:]:
@@ -402,6 +402,30 @@ def parse_rule(
                     expire=_value_to_seconds(spec.get("expire", "0")) if spec.get("expire") else 0,
                 )
             )
+        elif key in ("flexbits", "flexbit"):
+            # positional grammar (reference doc/source/rule-keywords.rst:297-336):
+            #   flexbits: set, {name}[, {expire seconds}]
+            #   flexbits: unset|isset|isnotset, {by_src|by_dst|both|reverse|none|username}, {name}
+            #   flexbits: noalert|noeve
+            parts = [p.strip() for p in val.split(",")]
+            action = parts[0].lower()
+            if action in ("noalert", "noeve"):
+                ir.flags.append(action)
+            elif action == "set":
+                ir.xbits.append(
+                    XbitSpec(
+                        action="set",
+                        name=parts[1],
+                        track="flex_auto",  # key shape decided by the conditions
+                        expire=_value_to_seconds(parts[2]) if len(parts) > 2 else 0,
+                    )
+                )
+            else:
+                track = parts[1].lower() if len(parts) > 2 else "by_src"
+                name = parts[2] if len(parts) > 2 else parts[1]
+                ir.xbits.append(
+                    XbitSpec(action=action, name=name, track=f"flex_{track}")
+                )
         elif key == "alert_time":
             spec = _parse_kv_list(val)
             days = {int(c) for c in spec.get("days", "0123456")}

@@ -92,6 +92,11 @@ class StreamingSaganEngine:
                             f"sid {r.sid}: xbit unset is batch-only in streaming "
                             "(the stream-static set join has no unset ordering)"
                         )
+                    if x.track.startswith("flex_"):
+                        raise NotImplementedError(
+                            f"sid {r.sid}: flexbit direction shapes are "
+                            "batch-only in streaming v1"
+                        )
                 if r.sid in self.cond_sids and (r.after or r.threshold):
                     raise NotImplementedError(
                         f"sid {r.sid}: after/threshold on an xbit-condition rule "
