@@ -216,7 +216,7 @@ def q_f6_json_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.col("event_type"), k.alias("k"))
         .filter(F.col("k") >= 90)
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("sum_k"))
     )
 
 
@@ -358,7 +358,10 @@ def q_a2_threshold_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= 2)
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_alerts"), F.max("sess").alias("n_sessions"))
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.max("sess").cast("long").alias("n_sessions"),
+        )
     )
 
 
@@ -510,7 +513,7 @@ def q_p1_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = ev.select(F.explode(json_flatten_udf(F.col("props"))).alias("key", "val"))
     return flat.groupBy("key").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("val").cast("long")).alias("sum_val"),
+        F.sum(F.col("val").cast("long")).cast("long").alias("sum_val"),
     )
 
 
@@ -536,7 +539,7 @@ def q_s6_json_input_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("0"),
     ).cast("long")
     return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(val).alias("sum_mapped")
+        F.count(F.lit(1)).alias("n"), F.sum(val).cast("long").alias("sum_mapped")
     )
 
 
@@ -549,7 +552,10 @@ def q_a6_flexbit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per.filter(F.col("c") > 3)
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_days_over"), F.sum("c").alias("events_in_over"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days_over"),
+            F.sum("c").cast("long").alias("events_in_over"),
+        )
     )
 
 
@@ -618,10 +624,10 @@ def q_a11_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = _events_frame(spark, sf_dir)
     lineage = partition_lineage(frame, run_id="contract", ruleset_version="r1")
     return lineage.agg(
-        F.sum("rows_in").alias("rows_in"),
-        F.sum("bytes_in").alias("bytes_in"),
-        F.max("max_bytes_length").alias("max_len"),
-        F.sum("rows_null_message").alias("n_null"),
+        F.sum("rows_in").cast("long").alias("rows_in"),
+        F.sum("bytes_in").cast("long").alias("bytes_in"),
+        F.max("max_bytes_length").cast("long").alias("max_len"),
+        F.sum("rows_null_message").cast("long").alias("n_null"),
     )
 
 
@@ -676,7 +682,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = exact_dup_groups(docs)
     return g.agg(
         F.count(F.lit(1)).alias("n_dup_groups"),
-        F.coalesce(F.sum("dup_count"), F.lit(0)).alias("n_dup_docs"),
+        F.coalesce(F.sum("dup_count"), F.lit(0)).cast("long").alias("n_dup_docs"),
     )
 
 
@@ -890,7 +896,7 @@ def oracle_sql() -> dict[str, str]:
             " AND position('slow' IN text) = 0 GROUP BY 1"
         ),
         "f6_json_content": (
-            "SELECT event_type, count(*) AS n, sum(k) AS sum_k FROM ("
+            "SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM ("
             "SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
             " FROM events) WHERE k >= 90 GROUP BY 1"
         ),
@@ -957,7 +963,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY 1"
         ),
         "p1_json_flatten": (
-            "SELECT '.' || k AS key, count(*) AS n, sum(v) AS sum_val FROM ("
+            "SELECT '.' || k AS key, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_val FROM ("
             "SELECT unnest(json_keys(props)) AS k,"
             " CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS v"
             " FROM events) GROUP BY 1"
@@ -968,13 +974,13 @@ def oracle_sql() -> dict[str, str]:
             " OR position('\"k\": 7' IN (props || ' | ' || event_type)) > 0 GROUP BY 1"
         ),
         "s6_json_input_map": (
-            "SELECT event_type, count(*) AS n, sum(CAST(coalesce("
+            "SELECT event_type, count(*) AS n, CAST(sum(CAST(coalesce("
             "json_extract_string(props, '$.missing'),"
-            " json_extract_string(props, '$.k'), '0') AS BIGINT)) AS sum_mapped"
+            " json_extract_string(props, '$.k'), '0') AS BIGINT)) AS BIGINT) AS sum_mapped"
             " FROM events GROUP BY 1"
         ),
         "a6_flexbit_count": (
-            "SELECT user_id, count(*) AS n_days_over, sum(c) AS events_in_over FROM ("
+            "SELECT user_id, count(*) AS n_days_over, CAST(sum(c) AS BIGINT) AS events_in_over FROM ("
             "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS c FROM events"
             " GROUP BY 1, 2) WHERE c > 3 GROUP BY 1"
         ),
@@ -1005,7 +1011,8 @@ def oracle_sql() -> dict[str, str]:
             + ", r AS (SELECT user_id, sess, row_number() OVER (PARTITION BY user_id, sess"
             " ORDER BY ts, event_id) AS rn FROM s) "
             "SELECT user_id, count(*) AS n_alerts,"
-            " (SELECT max(sess) FROM s s2 WHERE s2.user_id = r.user_id) AS n_sessions"
+            " CAST((SELECT max(sess) FROM s s2 WHERE s2.user_id = r.user_id) AS BIGINT)"
+            " AS n_sessions"
             " FROM r WHERE rn <= 2 GROUP BY user_id"
         ),
         "a3_after": (
@@ -1039,8 +1046,10 @@ def oracle_sql() -> dict[str, str]:
             " FROM events WHERE event_type = 'error'"
         ),
         "a11_lineage_rollup": (
-            "SELECT count(*) AS rows_in, sum(length(props)) AS bytes_in,"
-            " max(length(props)) AS max_len, 0 AS n_null FROM events"
+            "SELECT CAST(count(*) AS BIGINT) AS rows_in,"
+            " CAST(sum(length(props)) AS BIGINT) AS bytes_in,"
+            " CAST(max(length(props)) AS BIGINT) AS max_len,"
+            " CAST(0 AS BIGINT) AS n_null FROM events"
         ),
         # streaming_threshold: stateful streaming — rows-only gate
         "k7_sink_fanout": (
@@ -1051,7 +1060,8 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY 1"
         ),
         "dedup_exact": (
-            "SELECT count(*) AS n_dup_groups, coalesce(sum(dup_count), 0) AS n_dup_docs FROM ("
+            "SELECT count(*) AS n_dup_groups,"
+            " CAST(coalesce(sum(dup_count), 0) AS BIGINT) AS n_dup_docs FROM ("
             "SELECT md5(text) AS h, count(*) AS dup_count FROM documents"
             " GROUP BY 1 HAVING count(*) > 1)"
         ),

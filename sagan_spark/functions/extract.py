@@ -67,7 +67,15 @@ def _v4_int(tok: str) -> int | None:
         return None
     v = 0
     for p in parts:
-        if not p.isdigit() or (len(p) > 1 and p[0] == "0") or len(p) > 3:
+        # isascii() guard: str.isdigit() accepts Unicode digits ('²', '٢')
+        # which int() either rejects (crash) or parses (diverging from
+        # IPv4Address's ASCII-only accept set) — web text hits both.
+        if (
+            not p.isascii()
+            or not p.isdigit()
+            or (len(p) > 1 and p[0] == "0")
+            or len(p) > 3
+        ):
             return None
         o = int(p)
         if o > 255:
@@ -90,7 +98,9 @@ def _valid_v6(tok: str) -> bool:
 
 def _atoi(s: str) -> int:
     """C atoi: leading int prefix, 0 on garbage."""
-    m = re.match(r"\s*[+-]?\d+", s)
+    # [0-9] not \d: Python \d matches Unicode decimal digits, C atoi is
+    # ASCII-only.
+    m = re.match(r"\s*[+-]?[0-9]+", s)
     if not m:
         return 0
     try:

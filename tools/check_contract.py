@@ -73,7 +73,23 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             continue
         g = table_hash(got_pdf)
         w = table_hash(want_pdf)
-        if g == w:
+        # dtype parity: the driver's value hash stringifies cells without
+        # our float normalization, so an int64-vs-float64/object column
+        # (e.g. DuckDB HUGEINT sums) hash-mismatches there even when the
+        # normalized values agree — surface it locally.
+        dtype_mismatch = [
+            c
+            for c in sorted(set(got_pdf.columns) & set(want_pdf.columns))
+            if ("float" in str(got_pdf[c].dtype)) != ("float" in str(want_pdf[c].dtype))
+        ]
+        if g == w and dtype_mismatch:
+            failures += 1
+            print(
+                f"FAIL {name}: values match but dtypes diverge on {dtype_mismatch}: "
+                f"spark={[str(got_pdf[c].dtype) for c in dtype_mismatch]} "
+                f"duckdb={[str(want_pdf[c].dtype) for c in dtype_mismatch]}"
+            )
+        elif g == w:
             print(f"OK   {name}: {g[0]} rows hash={g[2]}")
         else:
             failures += 1
