@@ -161,6 +161,41 @@ def q_f2_isin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f2_syslog_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (complete): syslog_priority prefilter compiled through the
+    real engine path (reference src/processors/engine.c:565-581,
+    option parse src/rules.c:2706)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+
+    ev = _ev(spark, sf_dir)
+    frame = ev.select(
+        F.col("event_id").cast("string").alias("event_key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("user-"), F.col("user_id")).alias("host"),
+        F.col("event_type").alias("program"),
+        F.lit("").alias("facility"),
+        F.lit("").alias("level"),
+        F.lit("").alias("tag"),
+        F.when(F.col("value") > 150, "crit")
+        .when(F.col("value") > 50, "warning")
+        .otherwise("info")
+        .alias("priority"),
+        F.col("props").alias("message"),
+    )
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"pri gate"; '
+        'syslog_priority: crit|warning; content:"{"; sid:7300001; rev:1;)'
+    )
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    return (
+        alerts.join(frame.select("event_key", "program"), "event_key")
+        .groupBy("program")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_f3_content_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: content with offset/depth slicing + negation, exact C
     arithmetic (reference src/content.c:42-179)."""
@@ -717,6 +752,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding dedup — the 100 TB scale path (per-bucket
+    candidates instead of crossJoin).  Pinned against a pure-Python
+    twin in tests/test_dedup_ops.py; rows-only at the SQL gate (the
+    hyperplane family is not DuckDB-expressible)."""
+    from sagan_spark.ops.dedup import embedding_lsh_dups
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    pairs = embedding_lsh_dups(emb, threshold=0.3, n_planes=4, n_tables=4, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.similarity import brute_force_topk
 
@@ -783,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_pipe_decode": q_s5_pipe_decode,
         "f1_program_prefilter": q_f1_program_prefilter,
         "f2_isin_prefilter": q_f2_isin_prefilter,
+        "f2_syslog_priority": q_f2_syslog_priority,
         "f3_content_modifiers": q_f3_content_modifiers,
         "f4_pcre": q_f4_pcre,
         "f5_meta_content": q_f5_meta_content,
@@ -818,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_langid": q_text_langid,
@@ -877,6 +926,12 @@ def oracle_sql() -> dict[str, str]:
         "f2_isin_prefilter": (
             "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users "
             "FROM events WHERE event_type IN ('error','signup') GROUP BY 1"
+        ),
+        "f2_syslog_priority": (
+            "SELECT event_type AS program, count(*) AS n FROM events "
+            "WHERE (CASE WHEN value > 150 THEN 'crit' WHEN value > 50 THEN 'warning'"
+            " ELSE 'info' END) IN ('crit','warning')"
+            " AND length(props) > 0 AND position('{' IN props) > 0 GROUP BY 1"
         ),
         "f3_content_modifiers": (
             "SELECT lang, count(*) AS n FROM ("

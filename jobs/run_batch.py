@@ -13,9 +13,11 @@ counters to the metrics table (A11; north_rule requirement).
 
 On a cluster the session comes from spark-submit's conf (executors,
 shuffle partitions, AQE); builder settings here only fill local-run
-gaps.  Resume: with --format iceberg each sink append is a new
-snapshot; re-running after failure with the same --run-id skips
-partitions already recorded in the metrics table.
+gaps.  Resume: sink writes are overwrite-mode (re-runs replace, never
+duplicate); with --metrics set, a completion marker row lands in
+``<metrics>/runs`` after the sinks commit, and a re-run with the same
+--run-id that finds its marker exits without rewriting anything —
+lineage/counters rows are therefore appended at most once per run-id.
 """
 
 from __future__ import annotations
@@ -64,6 +66,18 @@ def main() -> None:
                 variables[k.strip()] = v.strip()
 
     rules = parse_rules(open(args.rules).read(), variables)
+
+    # resume guard: a completed run-id already has its marker -> no-op
+    if args.metrics:
+        try:
+            runs = spark.read.format(args.format).load(f"{args.metrics}/runs")
+            if runs.filter(runs.run_id == args.run_id).head(1):
+                print({"run_id": args.run_id, "skipped": "already completed"})
+                spark.stop()
+                return
+        except Exception:
+            pass  # no runs table yet — first run
+
     if args.format == "iceberg":
         pages = spark.read.format("iceberg").load(args.input)
     else:
@@ -84,6 +98,10 @@ def main() -> None:
     if args.metrics:
         counters = run_counters(result.hits)
         counters.write.mode("append").format(args.format).save(f"{args.metrics}/counters")
+        # completion marker LAST: its presence certifies the sinks above
+        # committed, making a same-run-id retry a no-op
+        marker = spark.createDataFrame([(args.run_id,)], "run_id string")
+        marker.write.mode("append").format(args.format).save(f"{args.metrics}/runs")
 
     print({"run_id": args.run_id, "sinks": paths})
     spark.stop()

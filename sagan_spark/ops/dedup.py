@@ -40,15 +40,20 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
 
 
 def shingle_df(docs: DataFrame, k: int = 8, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
-    """Distinct character k-gram shingles per document."""
+               id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """Character k-gram shingles per document.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is duplicate-insensitive (min-aggregates: min over the
+    multiset equals min over the set), which saves a corpus-sized
+    exchange in the MinHash path."""
     seq = F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1)))
     sh = F.transform(seq, lambda i: F.col(text_col).substr(i, F.lit(k)))
-    return (
+    out = (
         docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .filter(F.length("shingle") == k)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_band_signatures(shingles: DataFrame, n_bands: int = 4,
@@ -78,12 +83,21 @@ def minhash_band_signatures(shingles: DataFrame, n_bands: int = 4,
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any band signature.
 
     Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+
+    ``shingles``: pre-computed shingle frame to reuse (the caller may
+    already have shingled the corpus — don't shingle twice).  The
+    signature min-agg is duplicate-insensitive, so the default path
+    skips the distinct() shuffle entirely: explode -> partial min
+    map-side -> one narrow-ish agg exchange.
     """
-    sh = shingle_df(docs, k, text_col, id_col)
+    sh = shingles if shingles is not None else shingle_df(
+        docs, k, text_col, id_col, distinct=False
+    )
     sig = minhash_band_signatures(sh, n_bands, id_col)
     a = sig.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sig.select(F.col(id_col).alias("doc_b"), "band", "sig")
@@ -100,9 +114,17 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
                         id_col: str = "doc_id") -> DataFrame:
     """Exact n-gram Jaccard on LSH candidate pairs only (scale path:
     the O(n^2) similarity is bounded by bucket collisions, not corpus
-    size).  Returns (doc_a, doc_b, jaccard) above threshold."""
-    sh = shingle_df(docs, k, text_col, id_col)
-    pairs = minhash_lsh_pairs(docs, k, n_bands, text_col, id_col).select("doc_a", "doc_b")
+    size).  Returns (doc_a, doc_b, jaccard) above threshold.
+
+    The corpus is shingled ONCE: the distinct shingle frame feeds the
+    LSH candidate generation, the per-doc sizes, and the intersection
+    join."""
+    # persist: three consumers (signatures, sizes, intersection) would
+    # otherwise each re-run the explode+distinct; LRU eviction reclaims it
+    sh = shingle_df(docs, k, text_col, id_col, distinct=True).persist()
+    pairs = minhash_lsh_pairs(
+        docs, k, n_bands, text_col, id_col, shingles=sh
+    ).select("doc_a", "doc_b")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # intersection size via join on shingle, restricted to candidate pairs
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
@@ -128,43 +150,82 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
 
 SIMHASH_TYPE = T.LongType()
 
+# gram-hash constants: FNV-1a style polynomial over codepoints with a
+# splitmix64 finalizer — chosen because every step vectorizes to uint64
+# numpy ops AND has an obvious pure-Python scalar twin (tests/oracle)
+_FNV_PRIME = 0x100000001B3
+_FNV_OFFSET = 0xCBF29CE484222325
+_MIX1 = 0xBF58476D1CE4E5B9
+_MIX2 = 0x94D049BB133111EB
+_U64 = (1 << 64) - 1
+
+
+def simhash_scalar(text: str, k: int = 4) -> int:
+    """Pure-Python SimHash spec (the oracle the vectorized UDF must
+    equal).  Bit j of the output is the majority vote of bit j across
+    the gram-hashes of the doc's DISTINCT character k-grams."""
+    if not text:
+        return 0
+    hashes = set()
+    for i in range(max(len(text) - (k - 1), 1)):
+        g = text[i : i + k]
+        if len(g) < k and len(text) >= k:
+            continue
+        h = _FNV_OFFSET
+        for ch in g:
+            h = ((h ^ ord(ch)) * _FNV_PRIME) & _U64
+        h ^= h >> 30
+        h = (h * _MIX1) & _U64
+        h ^= h >> 27
+        h = (h * _MIX2) & _U64
+        h ^= h >> 31
+        hashes.add(h)
+    n = len(hashes)
+    v = 0
+    for j in range(64):
+        c = sum((h >> j) & 1 for h in hashes)
+        if c * 2 >= n:
+            v |= 1 << j
+    return v - (1 << 64) if v >= 1 << 63 else v
+
 
 def simhash_udf(k: int = 4):
-    """64-bit SimHash over character k-gram hashes (Arrow-batched).
+    """64-bit SimHash over character k-gram hashes, fully numpy-vectorized
+    per document (Arrow-batched): codepoints -> sliding windows ->
+    polynomial hash -> splitmix finalizer -> bit-majority, no per-
+    character Python.  Equals :func:`simhash_scalar` bit-for-bit
+    (pinned by tests)."""
+    import numpy as np
 
-    Bit j of the output is the majority vote of bit j across the
-    blake2b-64 hashes of the doc's k-grams.  Deterministic, seedless.
-    """
-    import hashlib
+    def _doc(t: str) -> int:
+        if not t:
+            return 0
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        if len(cp) < k:
+            win = cp[None, :]  # single short gram (scalar spec: whole text)
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(cp, k)
+        with np.errstate(over="ignore"):
+            h = np.full(len(win), _FNV_OFFSET, dtype=np.uint64)
+            prime = np.uint64(_FNV_PRIME)
+            for j in range(win.shape[1]):
+                h = (h ^ win[:, j]) * prime
+            h ^= h >> np.uint64(30)
+            h *= np.uint64(_MIX1)
+            h ^= h >> np.uint64(27)
+            h *= np.uint64(_MIX2)
+            h ^= h >> np.uint64(31)
+        h = np.unique(h)  # distinct grams (dedup on 64-bit gram hash)
+        n = len(h)
+        # bit-majority: (n, 64) bit matrix column sums
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        counts = bits.sum(axis=0)
+        v = int(((counts * 2 >= n).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return v - (1 << 64) if v >= 1 << 63 else v
 
     @F.pandas_udf(SIMHASH_TYPE)
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t:
-                out.append(0)
-                continue
-            counts = [0] * 64
-            n = 0
-            seen = set()
-            for i in range(max(len(t) - (k - 1), 1)):
-                g = t[i : i + k]
-                if g in seen:
-                    continue
-                seen.add(g)
-                h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                n += 1
-                for j in range(64):
-                    counts[j] += (h >> j) & 1
-            v = 0
-            for j in range(64):
-                if counts[j] * 2 >= n:
-                    v |= 1 << j
-            # to signed 64-bit
-            if v >= 1 << 63:
-                v -= 1 << 64
-            out.append(v)
-        return pd.Series(out, dtype="int64")
+        return pd.Series([_doc(t) for t in texts], dtype="int64")
 
     return _simhash
 
@@ -186,12 +247,64 @@ def simhash_near_dups(docs: DataFrame, k: int = 4, max_hamming: int = 3,
     )
 
 
+def embedding_lsh_dups(emb: DataFrame, threshold: float = 0.95,
+                       n_planes: int = 8, n_tables: int = 4, dim: int = 64,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs — the 100 TB scale path.
+
+    Random-hyperplane LSH buckets the corpus (n_tables independent
+    bucketings); candidate pairs form only INSIDE a bucket, then exact
+    cosine + threshold reranks.  The all-pairs product of
+    :func:`embedding_cosine_dups` becomes a per-bucket product: with B
+    buckets per table the join cost drops ~B× per table.  Recall is
+    tunable (more tables / fewer planes = higher recall); the pure-
+    Python twin in tests pins the exact candidate set.
+
+    Returns (id_a, id_b, cosine), id_a < id_b, deduplicated across
+    tables.
+    """
+    from sagan_spark.ops.similarity import _dot, _hyperplanes, _norm, lsh_bucket_expr
+
+    n = emb.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+    )
+    cands = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        be = lsh_bucket_expr(F.col(vec_col), planes)
+        bk = n.withColumn("bucket", be)
+        a = bk.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+            F.col("nrm").alias("n_a"), "bucket",
+        )
+        b = bk.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+            F.col("nrm").alias("n_b"), "bucket",
+        )
+        pair = (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "v_a", "v_b", "n_a", "n_b")
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    dot = _dot(F.col("v_a"), F.col("v_b"))
+    return (
+        cands.withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_cosine_dups(emb: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup pairs by cosine similarity.
 
-    Brute-force form; see similarity.py for the LSH-bucketed scale path.
+    Brute-force all-pairs form — the small-corpus / oracle baseline.
+    Use :func:`embedding_lsh_dups` at scale (bucketed candidates, no
+    cross product).
     """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
     n = emb.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))

@@ -59,6 +59,18 @@ from sagan_spark.rules.ir import RuleIR
 FLAG_FIELDS = ["suppressed_after", "suppressed_threshold"]
 
 
+def ts_seconds_d(col: F.Column) -> F.Column:
+    """Event-time as epoch seconds (double), NTZ-safe: Spark 4 ANSI
+    rejects CAST(TIMESTAMP_NTZ AS DOUBLE); NTZ -> TIMESTAMP first (the
+    session runs UTC, so the instant is unambiguous)."""
+    return F.unix_micros(col.cast("timestamp")).cast("double") / F.lit(1_000_000.0)
+
+
+def ts_seconds_l(col: F.Column) -> F.Column:
+    """Event-time as epoch seconds (long, floor), NTZ-safe."""
+    return F.unix_timestamp(col.cast("timestamp"))
+
+
 def _corr_spec_map(rules: list[RuleIR]) -> dict[int, dict]:
     out: dict[int, dict] = {}
     for r in rules:
@@ -72,6 +84,8 @@ def _corr_spec_map(rules: list[RuleIR]) -> dict[int, dict]:
                 )
                 if r.threshold
                 else None,
+                "after_track": tuple(r.after.track) if r.after else None,
+                "thr_track": tuple(r.threshold.track) if r.threshold else None,
             }
     return out
 
@@ -116,13 +130,22 @@ def apply_after_threshold(
     corr_sids = list(specs)
 
     # colocation key: one shuffle key per (sid, track-key) when one machine
-    # is active; coupled machines (both after+threshold) colocate per sid
-    # because the after gate mutes threshold updates (engine.c:1377-1389)
+    # is active.  A rule carrying BOTH after and threshold couples the two
+    # machines (the after gate mutes threshold updates, engine.c:1377-1389)
+    # — but when the two specs share the SAME track key (the common case)
+    # the coupled pair still partitions cleanly per key, because the
+    # reference serializes only per (hash, sid) slot and both machines
+    # hash the identical key string (threshold.c:111, after.c:108).  Only
+    # a mixed-track both-rule needs the per-sid funnel; without this
+    # distinction one hot both-rule made the whole correlation stage
+    # single-threaded.
     both_sids = [s for s, v in specs.items() if v["after"] and v["threshold"]]
+    both_mixed = [s for s in both_sids if specs[s]["after_track"] != specs[s]["thr_track"]]
     after_only = [s for s, v in specs.items() if v["after"] and not v["threshold"]]
     group_key = (
-        F.when(F.col("sid").isin(both_sids), F.lit(""))
-        .when(F.col("sid").isin(after_only), F.col("track_after"))
+        F.when(F.col("sid").isin(both_mixed), F.lit(""))
+        .when(F.col("sid").isin(after_only) | F.col("sid").isin(both_sids),
+              F.col("track_after"))
         .otherwise(F.col("track_threshold"))
     )
 
@@ -135,7 +158,7 @@ def apply_after_threshold(
             "track_after",
             "track_threshold",
             group_key.alias("corr_group"),
-            F.col("ts").cast("long").alias("ts_epoch"),
+            ts_seconds_l(F.col("ts")).alias("ts_epoch"),
         )
     )
 
@@ -303,6 +326,26 @@ def flex_check_key(shape: str) -> F.Column:
     return _FLEX_SHAPES[shape][1]()
 
 
+# flexbit direction predicate: does a STORED tuple (src, dst, user) match
+# the probing/unsetting EVENT per the given shape (reference condition
+# dispatch src/flexbit-mmap.c:106-258; unset dispatch :973-1100)
+def _flex_tuple_match(shape: str, stored: tuple, esrc, edst, euser) -> bool:
+    ssrc, sdst, suser = stored
+    if shape == "none":
+        return True
+    if shape == "both":
+        return ssrc == esrc and sdst == edst
+    if shape == "by_src":
+        return ssrc == esrc
+    if shape == "by_dst":
+        return sdst == edst
+    if shape == "reverse":
+        return ssrc == edst and sdst == esrc
+    if shape == "username":
+        return suser == euser
+    return False
+
+
 def apply_xbits(
     hits: DataFrame,
     rules: list[RuleIR],
@@ -319,6 +362,16 @@ def apply_xbits(
     (ts, event_key, rule position, check-before-set); a check sees a bit
     as set iff the latest set before it is not unset and not expired
     (reference src/xbit-mmap.c:181-264).
+
+    Flexbit bits WITHOUT unsets distribute per (bit, condition-shape
+    copy, key).  A flexbit UNSET clears every stored tuple matching its
+    direction predicate — including tuples another shape's copy would
+    probe (reference src/flexbit-mmap.c:973-1100 scans the whole store)
+    — so bits carrying unsets take the FUNNEL path: all their events
+    colocate per bit name and the walk replays the reference's
+    flat-tuple-store scan exactly.  The reference serializes *all*
+    flexbit ops behind one file lock; a per-bit funnel is still strictly
+    more parallel.
     """
     cond_rules = [r for r in rules if any(x.action in ("isset", "isnotset") for x in r.xbits)]
     if not cond_rules:
@@ -336,6 +389,31 @@ def apply_xbits(
             if x.action in ("isset", "isnotset") and s is not None:
                 shapes_by_bit.setdefault(x.name, set()).add(s)
 
+    # flexbit names with at least one unset -> exact funnel path
+    funnel_bits = {
+        x.name
+        for r in set_rules
+        for x in r.xbits
+        if x.action == "unset"
+        and (x.track == "flex_auto" or flex_shape(x.track) is not None)
+    }
+
+    _null_s = F.lit(None).cast("string")
+
+    def _tuple_cols():
+        return [
+            F.col("src_ip").alias("e_src"),
+            F.col("dst_ip").alias("e_dst"),
+            F.coalesce(F.col("username"), F.lit("")).alias("e_user"),
+        ]
+
+    def _no_tuple_cols():
+        return [
+            _null_s.alias("e_src"),
+            _null_s.alias("e_dst"),
+            _null_s.alias("e_user"),
+        ]
+
     # build set/unset event stream from surviving setter alerts
     spark_events = []
     src = survived if survived is not None else hits
@@ -343,7 +421,30 @@ def apply_xbits(
         for x in r.xbits:
             if x.action not in ("set", "unset"):
                 continue
-            if x.track == "flex_auto" or flex_shape(x.track) is not None:
+            is_flex = x.track == "flex_auto" or flex_shape(x.track) is not None
+            if is_flex and x.name in funnel_bits:
+                # funnel: one tuple-carrying event, colocated per bit name
+                kind = "fset" if x.action == "set" else "funset"
+                shape = flex_shape(x.track) or ""
+                ev = (
+                    src.filter(F.col("sid") == r.sid)
+                    .select(
+                        F.lit(x.name).alias("bit_name"),
+                        F.lit("").alias("bit_key"),
+                        ts_seconds_d(F.col("ts")).alias("ts_d"),
+                        F.col("event_key"),
+                        F.lit(r.position * 2 + 1).alias("seq"),
+                        F.lit(kind).alias("kind"),
+                        F.lit(x.expire).alias("expire"),
+                        _null_s.alias("hit_id"),
+                        F.lit(False).alias("want_set"),
+                        F.lit(shape).alias("shape"),
+                        *_tuple_cols(),
+                    )
+                )
+                spark_events.append(ev)
+                continue
+            if is_flex:
                 own = flex_shape(x.track)
                 shapes = [own] if own else sorted(shapes_by_bit.get(x.name, ()))
                 variants = [(f"{x.name}#{s}", flex_set_key(s)) for s in shapes]
@@ -355,15 +456,17 @@ def apply_xbits(
                     .select(
                         F.lit(bit_name).alias("bit_name"),
                         key.alias("bit_key"),
-                        F.col("ts").cast("double").alias("ts_d"),
+                        ts_seconds_d(F.col("ts")).alias("ts_d"),
                         F.col("event_key"),
                         # within one event: rule order, a rule's own check
                         # precedes its set (engine.c:999-1024 vs 1415-1427)
                         F.lit(r.position * 2 + 1).alias("seq"),
                         F.lit(x.action).alias("kind"),
                         F.lit(x.expire).alias("expire"),
-                        F.lit(None).cast("string").alias("hit_id"),
+                        _null_s.alias("hit_id"),
                         F.lit(False).alias("want_set"),
+                        F.lit("").alias("shape"),
+                        *_no_tuple_cols(),
                     )
                 )
                 spark_events.append(ev)
@@ -374,6 +477,25 @@ def apply_xbits(
             if x.action not in ("isset", "isnotset"):
                 continue
             s = flex_shape(x.track)
+            if s is not None and x.name in funnel_bits:
+                ev = (
+                    hits.filter(F.col("sid") == r.sid)
+                    .select(
+                        F.lit(x.name).alias("bit_name"),
+                        F.lit("").alias("bit_key"),
+                        ts_seconds_d(F.col("ts")).alias("ts_d"),
+                        F.col("event_key"),
+                        F.lit(r.position * 2).alias("seq"),
+                        F.lit("fcheck").alias("kind"),
+                        F.lit(0).alias("expire"),
+                        F.concat_ws("#", F.col("event_key"), F.col("sid").cast("string")).alias("hit_id"),
+                        F.lit(x.action == "isset").alias("want_set"),
+                        F.lit(s).alias("shape"),
+                        *_tuple_cols(),
+                    )
+                )
+                spark_events.append(ev)
+                continue
             if s is not None:
                 bit_name, key = f"{x.name}#{s}", flex_check_key(s)
             else:
@@ -383,13 +505,15 @@ def apply_xbits(
                 .select(
                     F.lit(bit_name).alias("bit_name"),
                     key.alias("bit_key"),
-                    F.col("ts").cast("double").alias("ts_d"),
+                    ts_seconds_d(F.col("ts")).alias("ts_d"),
                     F.col("event_key"),
                     F.lit(r.position * 2).alias("seq"),
                     F.lit("check").alias("kind"),
                     F.lit(0).alias("expire"),
                     F.concat_ws("#", F.col("event_key"), F.col("sid").cast("string")).alias("hit_id"),
                     F.lit(x.action == "isset").alias("want_set"),
+                    F.lit("").alias("shape"),
+                    *_no_tuple_cols(),
                 )
             )
             spark_events.append(ev)
@@ -411,6 +535,9 @@ def apply_xbits(
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # (bit_name, bit_key) -> (set_ts, expire); carried across batches
         state: dict = {}
+        # funnel bits: bit_name -> {(src, dst, user): (set_ts, expire)} —
+        # the reference's flat tuple store (src/flexbit-mmap.c)
+        fstate: dict = {}
         for pdf in batches:
             out_ids: list[str] = []
             out_ok: list[bool] = []
@@ -422,17 +549,41 @@ def apply_xbits(
                 pdf["expire"].to_numpy(),
                 pdf["hit_id"].to_numpy(),
                 pdf["want_set"].to_numpy(),
+                pdf["shape"].to_numpy(),
+                pdf["e_src"].to_numpy(),
+                pdf["e_dst"].to_numpy(),
+                pdf["e_user"].to_numpy(),
             )
-            for name, key, ts_d, kind, expire, hit_id, want_set in it:
-                k = (name, key)
+            for name, key, ts_d, kind, expire, hit_id, want_set, shape, esrc, edst, euser in it:
                 if kind == "set":
-                    state[k] = (ts_d, expire)
+                    state[(name, key)] = (ts_d, expire)
                 elif kind == "unset":
-                    state.pop(k, None)
-                else:  # check
-                    st = state.get(k)
+                    state.pop((name, key), None)
+                elif kind == "check":
+                    st = state.get((name, key))
                     active = st is not None and (
                         st[1] == 0 or (ts_d - st[0]) < st[1]
+                    )
+                    out_ids.append(hit_id)
+                    out_ok.append(bool(active) == bool(want_set))
+                elif kind == "fset":
+                    fstate.setdefault(name, {})[(esrc, edst, euser)] = (ts_d, expire)
+                elif kind == "funset":
+                    store = fstate.get(name)
+                    if store:
+                        dead = [
+                            tup
+                            for tup in store
+                            if _flex_tuple_match(shape, tup, esrc, edst, euser)
+                        ]
+                        for tup in dead:
+                            del store[tup]
+                else:  # fcheck
+                    store = fstate.get(name, {})
+                    active = any(
+                        (exp == 0 or (ts_d - set_ts) < exp)
+                        and _flex_tuple_match(shape, tup, esrc, edst, euser)
+                        for tup, (set_ts, exp) in store.items()
                     )
                     out_ids.append(hit_id)
                     out_ok.append(bool(active) == bool(want_set))

@@ -39,7 +39,10 @@ from sagan_spark.rules.ir import RuleIR
 # dominated the whole pipeline.
 PASSTHROUGH = ["event_key", "ts"]
 # full event column set (for the late-materialization join and streaming)
-EVENT_COLS = ["event_key", "ts", "host", "program", "facility", "level", "tag", "message"]
+EVENT_COLS = [
+    "event_key", "ts", "host", "program",
+    "facility", "level", "tag", "priority", "message",
+]
 
 ALERT_FIELDS = [
     "rule_idx",
@@ -99,6 +102,7 @@ class SaganSparkEngine:
             F.lit("").alias("facility"),
             F.lit("").alias("level"),
             F.lit("").alias("tag"),
+            F.lit("").alias("priority"),
             F.col("text").alias("message"),
         )
 
@@ -111,6 +115,7 @@ class SaganSparkEngine:
             facility=F.col("facility"),
             level=F.col("level"),
             tag=F.col("tag"),
+            priority=F.col("priority"),
             message=F.col("message"),
         )
         if self.compiler.needs_json:
@@ -142,16 +147,23 @@ class SaganSparkEngine:
         passthrough = passthrough or PASSTHROUGH
         comp = self.compiler
         df = frame
+        # frames built before the priority column existed stay valid
+        if "priority" not in df.columns:
+            df = df.withColumn("priority", F.lit(""))
 
         # saturate the cores in local mode: a small parquet input may scan
-        # as 2-3 splits.  On a real cluster the Iceberg scan already
-        # yields >= parallelism splits, so no blind shuffle there.
+        # as 2-3 splits.  Only shuffle when the scan genuinely yields too
+        # few — with files.maxPartitionBytes sized so splits >= cores
+        # (session.py) this repartition is normally SKIPPED, saving a
+        # corpus-wide exchange of the message strings.  On a real cluster
+        # the Iceberg scan already yields >= parallelism splits.
         spark = frame.sparkSession
         target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         if repartition and not frame.isStreaming and spark.conf.get(
             "spark.master", ""
         ).startswith("local"):
-            df = df.repartition(target)
+            if df.rdd.getNumPartitions() < max(2, target // 2):
+                df = df.repartition(target)
 
         # F14 ignore-list pre-drop (pushed into the scan by Catalyst)
         ig = comp.ignore_predicate(F.col("message"))

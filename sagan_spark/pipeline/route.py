@@ -87,10 +87,15 @@ def assemble_alerts(
     event_key, never crossing the Arrow boundary.  Pass None when the
     alert rows already carry the event columns (streaming)."""
     if events is not None:
+        if "priority" not in events.columns:
+            events = events.withColumn("priority", F.lit(""))
         fat = events.select(
-            "event_key", "host", "program", "facility", "level", "tag", "message"
+            "event_key", "host", "program", "facility", "level", "tag",
+            "priority", "message",
         )
         alerts = alerts.join(fat, "event_key", "left")
+    elif "priority" not in alerts.columns:
+        alerts = alerts.withColumn("priority", F.lit(""))
     joined = alerts.join(F.broadcast(meta), ["sid", "rev"], "left")
     ts = F.col("ts").cast("timestamp")  # NTZ inputs -> session-tz instants
     sec = ts.cast("long")
@@ -127,6 +132,9 @@ def eve_view(assembled: DataFrame, payload_base64: bool = False) -> DataFrame:
         F.col("proto_name").alias("proto"),
         payload.alias("payload"),
         F.col("facility"),
+        # syslog priority string rides EVE between facility and level
+        # (reference src/json-handler.c:172-179)
+        F.col("priority"),
         F.col("level"),
         F.col("tag"),
         F.col("program"),
@@ -233,6 +241,23 @@ def external_sink(assembled: DataFrame, command: list[str]) -> None:
             proc.wait()
 
     jsonified.foreachPartition(feed)
+
+
+def route_external(assembled: DataFrame, rules: list[RuleIR],
+                   runner=None) -> dict[str, list[int]]:
+    """Per-rule ``external`` routing (reference src/rules.c:3680-3705;
+    engine call src/output-plugins/external.c:58-110): alerts of rules
+    carrying ``external: /path/prog`` stream as JSON lines to that
+    program's stdin, one process per partition.  Rules sharing a program
+    share one pass.  Returns {program: [sids routed]}."""
+    runner = runner or external_sink
+    progs: dict[str, list[int]] = {}
+    for r in rules:
+        if r.external_program:
+            progs.setdefault(r.external_program, []).append(r.sid)
+    for prog, sids in progs.items():
+        runner(assembled.filter(F.col("sid").isin(sids)), [prog])
+    return progs
 
 
 SINK_BUILDERS = {

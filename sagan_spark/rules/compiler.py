@@ -58,6 +58,10 @@ class EngineConfig:
         default_factory=lambda: {"tcp": 6, "udp": 17, "icmp": 1}
     )
     protocol_map_program: dict[str, int] = field(default_factory=dict)
+    # J3 bluedot static intel snapshot (reference src/processors/bluedot.c
+    # live HTTP + cache; here a frozen feed): type -> {indicator: category}
+    # with types ip_reputation / file_hash / url / filename / ja3
+    bluedot_intel: dict[str, dict[str, str]] = field(default_factory=dict)
     # skew: sample the correlation key histogram and give hot
     # (sid, track-key) groups dedicated shuffle slots (pipeline/skew.py)
     hot_key_isolation: bool = False
@@ -74,6 +78,7 @@ class EventCols:
     facility: Column
     level: Column
     tag: Column
+    priority: Column  # syslog_priority (reference src/sagan.h:387)
     message: Column  # the text all matching runs on
     json: Column | None = None  # map<string,string> (flattened)
     ips: Column | None = None  # array<struct<ip,port,hi,lo>>
@@ -145,7 +150,11 @@ def _json_predicates(r: RuleIR, cols: EventCols) -> Column:
         hay = F.lower(val) if jm.nocase else val
         any_hit = F.lit(False)
         for lit in jm.literals:
-            any_hit = any_hit | hay.contains(F.lit(lit))
+            # default strcmp EQUALITY; json_meta_contains -> substring
+            # (reference Search_Case src/search-type.c:39-67 via
+            # src/json-meta-content.c:146, flag src/rules.c:2285-2295)
+            hit = hay.contains(F.lit(lit)) if jm.strstr else (hay == F.lit(lit))
+            any_hit = any_hit | hit
         m = ~any_hit if jm.negated else any_hit
         pred = pred & v.isNotNull() & F.coalesce(m, F.lit(False))
     return pred
@@ -231,6 +240,7 @@ class RuleCompiler:
         pred = pred & tm.isin_predicate(cols.facility, r.facilities)  # F2
         pred = pred & tm.isin_predicate(cols.level, r.levels)
         pred = pred & tm.isin_predicate(cols.tag, r.tags)
+        pred = pred & tm.isin_predicate(cols.priority, r.syslog_priorities)
         if r.contents:
             pred = pred & tm.content_predicate(msg, r.contents)  # F3
         if r.meta_contents:
@@ -440,6 +450,8 @@ class RuleCompiler:
                 pred = pred & hset
             else:  # domain / url / user_name / software / ... substring scan
                 pred = pred & substring_set_hit(cols.message, entries)
+        if r.bluedot is not None:
+            pred = pred & self._bluedot_predicate(r, ext, cols)
         if r.country_code is not None:
             cc = r.country_code
             ranges = self._compiled_geoip(cc.codes)
@@ -452,6 +464,45 @@ class RuleCompiler:
             pred = pred & (~in_cc if cc.negated else in_cc)
         return pred
 
+    def _bluedot_predicate(self, r: RuleIR, ext: dict[str, Column],
+                           cols: EventCols) -> Column:
+        """J3 bluedot gate (reference engine probe
+        src/processors/engine.c:1176-1289; category compare
+        Sagan_Bluedot_Cat_Compare).  The live HTTP cache becomes a static
+        snapshot (EngineConfig.bluedot_intel): the category filter runs
+        on the DRIVER — each rule reduces to a literal-set membership
+        probe over the indicators whose category is in the rule's list,
+        fully codegen'd like J2."""
+        from sagan_spark.pipeline.enrich import in_set, substring_set_hit
+
+        bd = r.bluedot
+        feed = self.config.bluedot_intel.get(bd.btype, {})
+        wanted = [ind for ind, cat in feed.items() if cat.lower() in bd.categories]
+        if not wanted:
+            return F.lit(False)
+        if bd.btype == "ip_reputation":
+            hit = F.lit(False)
+            if bd.track in ("by_src", "both"):
+                hit = hit | in_set(ext["src_ip"], wanted)
+            if bd.track in ("by_dst", "both"):
+                hit = hit | in_set(ext["dst_ip"], wanted)
+            if bd.track == "all" and cols.ips is not None:
+                hit = hit | F.coalesce(
+                    F.exists(cols.ips, lambda h: h.getField("ip").isin(wanted)),
+                    F.lit(False),
+                )
+            elif bd.track == "all":
+                hit = hit | in_set(ext["src_ip"], wanted) | in_set(ext["dst_ip"], wanted)
+            return hit
+        if bd.btype == "file_hash":
+            hit = F.lit(False)
+            for h in ("md5", "sha1", "sha256"):
+                hit = hit | in_set(ext[h], wanted, nocase=True)
+            return hit
+        # url / filename / ja3: the canonical frame carries no dedicated
+        # column — substring scan of the message, like the J2 fallback
+        return substring_set_hit(cols.message, wanted)
+
     # -- alert struct ---------------------------------------------------------
 
     def match_expr(self, r: RuleIR, cols: EventCols, cheap: Column,
@@ -459,7 +510,12 @@ class RuleCompiler:
         """Full per-rule match: cheap AND flow AND enrichment gates."""
         ext = ext if ext is not None else self.extraction_exprs(r, cols)
         match = cheap & self.flow_predicate(r, ext)
-        if r.blacklist or r.zeek_intel or r.country_code is not None:
+        if (
+            r.blacklist
+            or r.zeek_intel
+            or r.bluedot is not None
+            or r.country_code is not None
+        ):
             match = match & self.enrichment_predicate(r, ext, cols)
         return match
 

@@ -84,13 +84,19 @@ class JsonContentSpec:
 class JsonMetaContentSpec:
     """``json_meta_content: "key", "tmpl %sagan%", $LIST`` — meta_content
     semantics against one JSON key's value (reference
-    src/json-meta-content.c, parse src/rules.c:2408+).  Missing key =>
-    rule fails."""
+    src/json-meta-content.c, parse src/rules.c:2449+).  Missing key =>
+    rule fails.
+
+    strstr=False (default) compares each literal with strcmp EQUALITY
+    (reference Search_Case src/search-type.c:39-67 with type=false);
+    the ``json_meta_contains`` modifier (src/rules.c:2285-2295) switches
+    to substring search."""
 
     key: str
     literals: list[str]
     negated: bool = False
     nocase: bool = False
+    strstr: bool = False
 
 
 @dataclass
@@ -187,6 +193,28 @@ class XbitSpec:
 
 
 @dataclass
+class BluedotSpec:
+    """``bluedot: type ip_reputation, track by_src|by_dst|both|all,
+    [mdate_effective_period N unit | cdate_effective_period N unit |
+    none], cat1&cat2;`` or ``bluedot: type ja3|file_hash|url|filename,
+    categories;`` (reference parse src/rules.c:3742-3965; engine probe
+    src/processors/engine.c:1176-1289).
+
+    In the Spark engine the live HTTP cache becomes a static intel
+    snapshot (EngineConfig.bluedot_intel: type -> {indicator: category});
+    a rule matches when the probed indicator's category is in
+    ``categories``.  The effective-period fields are cache-freshness
+    knobs in the reference — parsed for fidelity, no-op against a static
+    snapshot."""
+
+    btype: str  # ip_reputation | ja3 | file_hash | url | filename
+    track: str = "by_src"  # by_src | by_dst | both | all (ip_reputation)
+    categories: list[str] = field(default_factory=list)
+    mdate_period: int = 0
+    cdate_period: int = 0
+
+
+@dataclass
 class CountrySpec:
     """``country_code: track by_src|by_dst, is|isnot CC,CC``
     (reference src/processors/engine.c:1047-1124, compare loop
@@ -250,6 +278,11 @@ class RuleIR:
     parse_src_ip_pos: int = 0  # 1-based position into Parse_IP cache; 0 = off
     parse_dst_ip_pos: int = 0
     parse_hash: str = ""  # md5 | sha1 | sha256
+    # parse_port (reference src/rules.c:960-964, rules.h:244): parsed into
+    # s_find_port but the current reference engine has no consumer — the
+    # port rides the Parse_IP positional cache (engine.c:818,837).  Parsed
+    # here for option-surface parity; same no-op behavior.
+    parse_port: bool = False
     parse_proto: bool = False
     parse_proto_program: bool = False
     default_proto: int = 0
@@ -267,10 +300,31 @@ class RuleIR:
     # src/processors/dynamic-rules.c:61-189); batch analog = two-pass run
     dynamic_load: str = ""
 
-    # enrichment gates (J1/J2/J4; reference engine.c:1128-1360)
+    # enrichment gates (J1/J2/J3/J4; reference engine.c:1128-1360)
     blacklist: list[str] = field(default_factory=list)  # by_src|by_dst|all
     zeek_intel: list[str] = field(default_factory=list)  # src_ipaddr|dst_ipaddr|both_ipaddr|all_ipaddr|file_hash|domain|url|user_name
+    bluedot: BluedotSpec | None = None
     country_code: CountrySpec | None = None
+
+    # K6: route this rule's alerts to the external-program sink
+    # (reference src/rules.c:3680-3705, external_flag/external_program)
+    external_program: str = ""
+    # K5: e-mail target for this rule (reference src/rules.c:2735);
+    # carried as routing metadata — SMTP delivery is out of core scope
+    email: str = ""
+
+    # flexbits_pause/xbits_pause/_upause (reference src/rules.c:984-1032):
+    # per-rule delays before bit set/unset take effect.  Parsed so real
+    # rulesets don't silently lose options; the event-time replay walk
+    # applies set/unset at event order, so a pause would shift the
+    # effective set time — carried for future use, counted not dropped.
+    flexbit_pause: int = 0
+    flexbit_upause: int = 0
+    xbit_pause: int = 0
+    xbit_upause: int = 0
+
+    # options the parser did not recognize (strict=False only)
+    unknown_options: list[str] = field(default_factory=list)
 
     append_program: bool = False  # P9: match against "message | program"
 

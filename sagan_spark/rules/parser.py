@@ -22,6 +22,7 @@ import re
 
 from sagan_spark.rules.ir import (
     AfterSpec,
+    BluedotSpec,
     CidrGroup,
     ContentSpec,
     CountrySpec,
@@ -194,10 +195,27 @@ def _value_to_seconds(v: str) -> int:
     return int(v)
 
 
+# options with no match semantics we deliberately accept and ignore
+# (metadata/normalize are routing/liblognorm hints; flowbits is the
+# Snort spelling Sagan itself tolerates; offload needs a remote HTTP
+# evaluator — out of scope per SURVEY §2.8)
+_IGNORABLE_OPTIONS = {"metadata", "normalize", "flowbits", "offload"}
+
+
 def parse_rule(
-    text: str, variables: dict[str, str] | None = None, position: int = 0
+    text: str,
+    variables: dict[str, str] | None = None,
+    position: int = 0,
+    strict: bool = True,
 ) -> RuleIR:
-    """Parse one rule line into a RuleIR."""
+    """Parse one rule line into a RuleIR.
+
+    ``strict=True`` (default) raises on unrecognized options instead of
+    silently dropping predicates — the reference aborts on malformed
+    options too (Sagan_Log(ERROR, ...) exits), and a tolerated unknown
+    option on a security rule means silent over-alerting.  With
+    ``strict=False`` unknown options are collected in
+    ``RuleIR.unknown_options`` (counted, never dropped invisibly)."""
     text = _expand_vars(text.strip(), variables)
     try:
         lpar = text.index("(")
@@ -245,19 +263,19 @@ def parse_rule(
             ir.rev = int(val)
         elif key == "classtype":
             ir.classtype = val
-        elif key == "priority":
+        elif key in ("priority", "pri"):  # both spellings, rules.c:2720
             ir.priority = int(val)
         elif key == "reference":
             ir.reference.append(val)
-        elif key == "program":
+        elif key in ("program", "event_type"):  # aliases, rules.c:2596
             ir.programs = [p for p in _unquote(val).split("|") if p]
-        elif key == "facility":
+        elif key in ("facility", "syslog_facility"):  # rules.c:2680
             ir.facilities = [p for p in _unquote(val).split("|") if p]
-        elif key == "level":
+        elif key in ("level", "syslog_level"):  # rules.c:2693
             ir.levels = [p for p in _unquote(val).split("|") if p]
-        elif key == "tag":
+        elif key in ("tag", "syslog_tag"):  # rules.c:2651
             ir.tags = [p for p in _unquote(val).split("|") if p]
-        elif key == "syslog_priority":
+        elif key == "syslog_priority":  # rules.c:2706
             ir.syslog_priorities = [p for p in _unquote(val).split("|") if p]
         elif key == "content":
             neg = val.startswith("!")
@@ -320,6 +338,16 @@ def parse_rule(
                 jc = ir.json_contents[-1]
                 jc.nocase = True
                 jc.value = jc.value.lower()
+        elif key == "json_contains":
+            # flag modifier: previous json_content compares via strstr
+            # instead of strcmp (reference src/rules.c:2222-2234)
+            if ir.json_contents:
+                ir.json_contents[-1].strstr = True
+        elif key == "json_meta_contains":
+            # flag modifier: previous json_meta_content literals compare
+            # via strstr instead of strcmp (reference src/rules.c:2285-2295)
+            if ir.json_meta_contents:
+                ir.json_meta_contents[-1].strstr = True
         elif key == "json_meta_content":
             # json_meta_content: "key", "tmpl with %sagan%", item list
             parts = _split_quoted_csv(val)
@@ -361,6 +389,8 @@ def parse_rule(
             ir.parse_dst_ip_pos = int(val)
         elif key == "parse_hash":
             ir.parse_hash = val.lower()
+        elif key == "parse_port":
+            ir.parse_port = True
         elif key == "parse_proto":
             ir.parse_proto = True
         elif key == "parse_proto_program":
@@ -456,15 +486,87 @@ def parse_rule(
             )
         elif key == "dynamic_load":
             ir.dynamic_load = _unquote(val)
-        elif key in ("metadata", "normalize", "flowbits"):
-            pass  # routing metadata / liblognorm hint — no match semantics
+        elif key == "external":
+            # K6: route this rule's alerts to the external program
+            # (reference src/rules.c:3680-3705; the stat/X_OK checks are
+            # deploy-time concerns — the sink validates at run time)
+            prog = _unquote(val)
+            if not prog:
+                raise ValueError("external option with no program")
+            ir.external_program = prog
+        elif key == "email":
+            ir.email = _unquote(val)  # reference src/rules.c:2735
+        elif key == "flexbits_pause":
+            ir.flexbit_pause = int(val)  # reference src/rules.c:1008-1018
+        elif key == "flexbits_upause":
+            ir.flexbit_upause = int(val)  # reference src/rules.c:984-994
+        elif key == "xbits_pause":
+            ir.xbit_pause = int(val)  # reference src/rules.c:1020-1030
+        elif key == "xbits_upause":
+            ir.xbit_upause = int(val)  # reference src/rules.c:996-1006
+        elif key == "bluedot":
+            ir.bluedot = _parse_bluedot(val)
+        elif key in _IGNORABLE_OPTIONS:
+            pass  # no match semantics (see _IGNORABLE_OPTIONS)
+        elif strict:
+            raise ValueError(
+                f"unknown rule option {key!r} (sid hint: {ir.sid or '?'}); "
+                "pass strict=False to collect instead of abort"
+            )
         else:
-            # unknown options are tolerated (forward compat), like -T mode
-            pass
+            ir.unknown_options.append(key)
 
     if ir.sid == 0:
         raise ValueError(f"rule missing sid: {text[:80]!r}")
     return ir
+
+
+def _parse_bluedot(val: str) -> BluedotSpec:
+    """``type ip_reputation, track by_src, mdate_effective_period 1 month,
+    cat1&cat2`` / ``type file_hash|url|filename|ja3, cats`` (reference
+    src/rules.c:3742-3965).  Categories split on '&' per
+    Sagan_Verify_Categories."""
+    parts = [p.strip() for p in val.split(",")]
+    if not parts or "type" not in parts[0]:
+        raise ValueError(f"bluedot option missing 'type': {val!r}")
+    tspec = parts[0]
+    spec = BluedotSpec(btype="")
+    for bt in ("ip_reputation", "file_hash", "filename", "url", "ja3"):
+        if bt in tspec:
+            spec.btype = bt
+            break
+    if not spec.btype:
+        raise ValueError(f"bluedot type not recognized: {val!r}")
+    rest = parts[1:]
+    if spec.btype == "ip_reputation":
+        if not rest or "track" not in rest[0]:
+            raise ValueError(f"bluedot ip_reputation missing track: {val!r}")
+        # reference checks by_src/by_dst before both/all via substring
+        for t in ("by_src", "by_dst", "both", "all"):
+            if t in rest[0]:
+                spec.track = t
+                break
+        rest = rest[1:]
+        if rest and ("effective_period" in rest[0] or rest[0] == "none"):
+            period = rest[0]
+            rest = rest[1:]
+            if period != "none":
+                # '<name> N unit' -> seconds (Value_To_Seconds analog)
+                toks = period.split()
+                unit = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                        "week": 604800, "month": 2592000, "year": 31536000}
+                n = int(toks[1]) if len(toks) > 1 else 0
+                u = toks[2].rstrip("s") if len(toks) > 2 else "second"
+                secs = n * unit.get(u, 1)
+                if "mdate" in period:
+                    spec.mdate_period = secs
+                else:
+                    spec.cdate_period = secs
+    cats = ",".join(rest)
+    spec.categories = [c.strip().lower() for c in cats.replace("&", ",").split(",") if c.strip()]
+    if not spec.categories:
+        raise ValueError(f"bluedot option has no categories: {val!r}")
+    return spec
 
 
 def _parse_kv_list(val: str) -> dict[str, str]:
@@ -488,12 +590,14 @@ def _parse_track(spec: str) -> list[str]:
     return keys
 
 
-def parse_rules(text: str, variables: dict[str, str] | None = None) -> list[RuleIR]:
+def parse_rules(
+    text: str, variables: dict[str, str] | None = None, strict: bool = True
+) -> list[RuleIR]:
     """Parse a whole ruleset file body; '#' comments and blanks skipped."""
     rules: list[RuleIR] = []
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
-        rules.append(parse_rule(line, variables, position=len(rules)))
+        rules.append(parse_rule(line, variables, position=len(rules), strict=strict))
     return rules

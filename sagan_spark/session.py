@@ -51,6 +51,11 @@ def build_spark(
         # no use for sorted output — shuffled-hash beats sort-merge's
         # 20M-row sorts; executors have the memory for the hash side
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # split scans finely enough that local parallelism saturates from
+        # the SCAN itself — the engine then skips its saturation
+        # repartition (a full corpus-wide exchange of message strings).
+        # On a real cluster Iceberg's split planning plays this role.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # fewer, larger Arrow batches through the pandas-UDF hot path
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")

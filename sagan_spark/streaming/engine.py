@@ -19,10 +19,14 @@ counters keyed by (rule_sid, track field) with event-time watermarks"):
   with the streaming checkpoint providing exactly-once resume — the
   north_rule's "resumes from Iceberg snapshot + checkpoint".
 
-xbit/flexbit **conditions** (cross-rule bits) are a batch-mode feature
-in v1: they need a second chained stateful operator fed by this one's
-output; the batch time-range join form (pipeline/correlate.apply_xbits)
-is the oracle for them.
+xbit/flexbit **conditions** (cross-rule bits) run as a chained
+two-query pipeline (``run_pipeline_with_xbits``): stage A routes
+stateless+stateful rules and stages set/unset events into a
+time-bucketed store; stage B replays condition rules against the staged
+store with last-write-wins precedence.  Plain-xbit unset and flexbit
+direction shapes are supported; flexbit UNSET stays batch-only (the
+reference clears tuples across shapes — needs the batch funnel walk,
+pipeline/correlate.apply_xbits).
 """
 
 from __future__ import annotations
@@ -65,6 +69,54 @@ def pages_stream_frame(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(PAGES_SCHEMA).parquet(path)
 
 
+def _idempotent_write(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    extra_partition: str | None = None,
+    writer_id: str = "a",
+) -> None:
+    """Idempotent foreachBatch write: the batch's rows land in a
+    ``_batch_id=<writer>_<N>`` partition via dynamic partition
+    overwrite, so a replayed micro-batch (restart after mid-write
+    failure) rewrites its own partition instead of appending
+    duplicates.  ``writer_id`` namespaces the partition when two
+    queries (the chained pipeline's stage A and B) share one sink
+    path — without it their equal batch numbers would clobber each
+    other."""
+    parts = ["_batch_id"] + ([extra_partition] if extra_partition else [])
+    (
+        df.withColumn("_batch_id", F.lit(f"{writer_id}_{batch_id}"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*parts)
+        .parquet(path)
+    )
+
+
+def _sweep_dead_buckets(
+    path: str, bucket_secs: int, max_expire: int, min_live_ts: float
+) -> list[str]:
+    """Physically delete staged-set bucket dirs that no live check can
+    see: every set in bucket b has set_ts < (b+1)*bucket_secs, so the
+    bucket is dead once (b+1)*bucket_secs + max_expire <= min_live_ts.
+    Permanent sets (bucket -1) are never swept — the reference keeps
+    them until the IPC store wraps too (src/ipc.c:78-200)."""
+    import glob
+    import shutil
+
+    removed = []
+    for d in glob.glob(f"{path}/_batch_id=*/set_bucket=*"):
+        try:
+            b = int(d.rsplit("=", 1)[1])
+        except ValueError:
+            continue
+        if b >= 0 and (b + 1) * bucket_secs + max_expire <= min_live_ts:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 class StreamingSaganEngine:
     """Streaming wrapper around the batch-compiled ruleset."""
 
@@ -87,15 +139,12 @@ class StreamingSaganEngine:
         if enable_xbits:
             for r in rules:
                 for x in r.xbits:
-                    if x.action == "unset":
+                    is_flex = x.track == "flex_auto" or x.track.startswith("flex_")
+                    if x.action == "unset" and is_flex:
                         raise NotImplementedError(
-                            f"sid {r.sid}: xbit unset is batch-only in streaming "
-                            "(the stream-static set join has no unset ordering)"
-                        )
-                    if x.track.startswith("flex_"):
-                        raise NotImplementedError(
-                            f"sid {r.sid}: flexbit direction shapes are "
-                            "batch-only in streaming v1"
+                            f"sid {r.sid}: flexbit unset is batch-only in "
+                            "streaming (the reference clears tuples across "
+                            "shapes — needs the batch funnel walk)"
                         )
                 if r.sid in self.cond_sids and (r.after or r.threshold):
                     raise NotImplementedError(
@@ -135,11 +184,18 @@ class StreamingSaganEngine:
         )
         corr = hits.filter(F.col("sid").isin(corr_sids))
 
+        # both-after+threshold rules group per shared track key when the
+        # two machines key identically (see correlate.apply_after_threshold
+        # — only a mixed-track both-rule needs the per-sid funnel)
         both_sids = [s for s, v in specs.items() if v["after"] and v["threshold"]]
+        both_mixed = [
+            s for s in both_sids if specs[s]["after_track"] != specs[s]["thr_track"]
+        ]
         after_only = [s for s, v in specs.items() if v["after"] and not v["threshold"]]
         group_key = (
-            F.when(F.col("sid").isin(both_sids), F.lit(""))
-            .when(F.col("sid").isin(after_only), F.col("track_after"))
+            F.when(F.col("sid").isin(both_mixed), F.lit(""))
+            .when(F.col("sid").isin(after_only) | F.col("sid").isin(both_sids),
+                  F.col("track_after"))
             .otherwise(F.col("track_threshold"))
         )
         corr = corr.withWatermark("ts", self.watermark).withColumn(
@@ -247,6 +303,33 @@ class StreamingSaganEngine:
 
     # -- sinks -----------------------------------------------------------------
 
+    # -- staged xbit set-store layout -----------------------------------------
+
+    def _max_expire(self) -> int:
+        """Largest expire across setter xbits (0 when all permanent)."""
+        return max(
+            (x.expire for r in self.rules for x in r.xbits if x.action in ("set", "unset")),
+            default=0,
+        )
+
+    def _bucket_secs(self) -> int:
+        """Time-bucket width for the staged set store — buckets older
+        than (min live check ts - max expire) physically prune."""
+        return max(3600, self._max_expire())
+
+    def _cond_shapes_by_bit(self) -> dict[str, set]:
+        from sagan_spark.pipeline.correlate import flex_shape
+
+        out: dict[str, set] = {}
+        for r in self.rules:
+            if r.sid not in self.cond_sids:
+                continue
+            for x in r.xbits:
+                s = flex_shape(x.track)
+                if x.action in ("isset", "isnotset") and s is not None:
+                    out.setdefault(x.name, set()).add(s)
+        return out
+
     def start_sink_query(
         self,
         frame: DataFrame,
@@ -255,28 +338,49 @@ class StreamingSaganEngine:
         sinks: list[str] | None = None,
         trigger_available_now: bool = True,
     ):
-        """foreachBatch fan-out to the per-sink tables (K7), exactly-once
-        via the streaming checkpoint.  Restarting with the same
-        checkpoint resumes from the last committed micro-batch."""
+        """foreachBatch fan-out to the per-sink tables (K7).
+
+        Exactly-once on restart: each micro-batch's output lands in a
+        ``_batch_id=N`` partition written with dynamic partition
+        OVERWRITE, so a batch replayed after a mid-write failure
+        rewrites its own partition instead of appending duplicates
+        (foreachBatch alone is only at-least-once)."""
+        from sagan_spark.pipeline.correlate import (
+            flex_set_key,
+            flex_shape,
+            ts_seconds_d,
+            xbit_key_expr,
+        )
         from sagan_spark.pipeline.route import (
             SINK_BUILDERS,
             assemble_alerts,
             rule_metadata_df,
         )
 
-        from sagan_spark.pipeline.correlate import xbit_key_expr
-
         rules = self.rules
         sink_names = sinks or list(SINK_BUILDERS)
-        # setter rules' surviving alerts also stage their set events for
-        # the chained xbit query (engine.c:1415-1427: sets happen only
-        # after after/threshold survival)
-        setters = [
-            (r.sid, x, r.position)
-            for r in rules
-            for x in r.xbits
-            if x.action == "set" and r.sid not in self.cond_sids
-        ]
+        shapes_by_bit = self._cond_shapes_by_bit()
+        bucket_secs = self._bucket_secs()
+        # setter rules' surviving alerts also stage their set/unset events
+        # for the chained xbit query (engine.c:1415-1427: sets happen only
+        # after after/threshold survival).  Flexbit sets stage one keyed
+        # copy per condition-probed shape (batch walk's variant model).
+        setters = []
+        for r in rules:
+            if r.sid in self.cond_sids:
+                continue
+            for x in r.xbits:
+                if x.action not in ("set", "unset"):
+                    continue
+                is_flex = x.track == "flex_auto" or flex_shape(x.track) is not None
+                if is_flex:
+                    own = flex_shape(x.track)
+                    shapes = [own] if own else sorted(shapes_by_bit.get(x.name, ()))
+                    variants = [(f"{x.name}#{s}", flex_set_key(s)) for s in shapes]
+                else:
+                    variants = [(x.name, xbit_key_expr(x.track))]
+                for bit_name, key in variants:
+                    setters.append((r.sid, x, r.position, bit_name, key))
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
@@ -284,19 +388,39 @@ class StreamingSaganEngine:
             assembled = assemble_alerts(batch_df, meta).persist()
             try:
                 for sink in sink_names:
-                    SINK_BUILDERS[sink](assembled).write.mode("append").parquet(
-                        f"{base_path}/{sink}"
+                    _idempotent_write(
+                        SINK_BUILDERS[sink](assembled),
+                        f"{base_path}/{sink}",
+                        batch_id,
+                        writer_id="a",
                     )
-                for sid, x, pos in setters:
+                all_sets = None
+                for sid, x, pos, bit_name, key in setters:
+                    set_ts = ts_seconds_d(F.col("ts"))
+                    bucket = (
+                        F.floor(set_ts / F.lit(bucket_secs)).cast("long")
+                        if x.expire
+                        else F.lit(-1).cast("long")  # permanent: never pruned
+                    )
                     sets = assembled.filter(F.col("sid") == sid).select(
-                        F.lit(x.name).alias("bit_name"),
-                        xbit_key_expr(x.track).alias("bit_key"),
-                        F.col("ts").cast("double").alias("set_ts"),
+                        F.lit(bit_name).alias("bit_name"),
+                        key.alias("bit_key"),
+                        set_ts.alias("set_ts"),
                         F.col("event_key").alias("set_event_key"),
                         F.lit(pos * 2 + 1).alias("set_seq"),
                         F.lit(x.expire).alias("expire"),
+                        F.lit(x.action).alias("kind"),
+                        bucket.alias("set_bucket"),
                     )
-                    sets.write.mode("append").parquet(f"{base_path}/xbit_sets")
+                    all_sets = sets if all_sets is None else all_sets.unionByName(sets)
+                if all_sets is not None:
+                    _idempotent_write(
+                        all_sets,
+                        f"{base_path}/xbit_sets",
+                        batch_id,
+                        extra_partition="set_bucket",
+                        writer_id="a",
+                    )
             finally:
                 assembled.unpersist()
 
@@ -332,8 +456,22 @@ class StreamingSaganEngine:
         Cross-query propagation is drain-ordered: with availableNow run
         stage A to completion first (sets staged), then stage B — exact
         parity with batch.  In continuous mode sets become visible one
-        micro-batch later (documented eventual consistency)."""
-        from sagan_spark.pipeline.correlate import xbit_key_expr
+        micro-batch later (documented eventual consistency).
+
+        Scale: the staged store is partitioned by time bucket — each
+        micro-batch reads only buckets still visible to its earliest
+        check (partition pruning) and sweeps dead buckets afterwards, so
+        the store stays bounded by (max expire window + bucket width) of
+        live data instead of growing with stream lifetime.  A check's
+        verdict is the LATEST staged set/unset before it in replay
+        order: live set => bit set (mirrors the batch walk's
+        last-write-wins state)."""
+        from sagan_spark.pipeline.correlate import (
+            flex_check_key,
+            flex_shape,
+            ts_seconds_d,
+            xbit_key_expr,
+        )
         from sagan_spark.pipeline.route import (
             SINK_BUILDERS,
             assemble_alerts,
@@ -343,6 +481,8 @@ class StreamingSaganEngine:
         rules = self.rules
         cond_rules = [r for r in rules if r.sid in self.cond_sids]
         sink_names = sinks or list(SINK_BUILDERS)
+        bucket_secs = self._bucket_secs()
+        max_expire = self._max_expire()
 
         hits = self.engine.match_hits(frame, passthrough=EVENT_COLS).filter(
             F.col("sid").isin(self.cond_sids)
@@ -357,8 +497,17 @@ class StreamingSaganEngine:
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
+            batch_df = batch_df.persist()
+            min_chk = batch_df.agg(F.min(ts_seconds_d(F.col("ts")))).first()[0]
+            sets_path = f"{base_path}/xbit_sets"
             try:
-                sets = spark.read.parquet(f"{base_path}/xbit_sets")
+                sets = spark.read.option("basePath", sets_path).parquet(sets_path)
+                # partition-prune buckets no check in this batch can see
+                if min_chk is not None:
+                    live_from = int((min_chk - max_expire) // bucket_secs)
+                    sets = sets.filter(
+                        (F.col("set_bucket") < 0) | (F.col("set_bucket") >= live_from)
+                    )
             except Exception:  # no setter fired yet
                 sets = None
             flag_cols = []
@@ -368,11 +517,16 @@ class StreamingSaganEngine:
                     batch_df = batch_df.withColumn(col_name, F.lit(False))
                     flag_cols.append((sid, x.action, col_name))
                     continue
-                s = sets.filter(F.col("bit_name") == x.name)
+                shape = flex_shape(x.track)
+                if shape is not None:
+                    bit_name, key = f"{x.name}#{shape}", flex_check_key(shape)
+                else:
+                    bit_name, key = x.name, xbit_key_expr(x.track)
+                s = sets.filter(F.col("bit_name") == bit_name)
                 probe = batch_df.filter(F.col("sid") == sid).select(
                     F.col("event_key").alias("chk_event_key"),
-                    xbit_key_expr(x.track).alias("bit_key"),
-                    F.col("ts").cast("double").alias("chk_ts"),
+                    key.alias("bit_key"),
+                    ts_seconds_d(F.col("ts")).alias("chk_ts"),
                     F.lit(pos * 2).alias("chk_seq"),
                 )
                 # strict replay-order precedence (ts, event_key, seq)
@@ -389,15 +543,29 @@ class StreamingSaganEngine:
                         )
                     )
                 )
-                live = (F.col("expire") == 0) | (
-                    F.col("chk_ts") - F.col("set_ts") < F.col("expire")
+                # last-write-wins: the LATEST staged set/unset before the
+                # check decides (the batch walk's state[k] overwrite)
+                last = (
+                    probe.join(F.broadcast(s), ["bit_key"])
+                    .filter(before)
+                    .groupBy("chk_event_key")
+                    .agg(
+                        F.max_by(
+                            F.struct("kind", "set_ts", "expire"),
+                            F.struct("set_ts", "set_event_key", "set_seq"),
+                        ).alias("last"),
+                        F.max("chk_ts").alias("chk_ts"),
+                    )
                 )
                 hit_keys = (
-                    probe.join(F.broadcast(s), ["bit_key"])
-                    .filter(before & live)
-                    .select("chk_event_key")
-                    .distinct()
-                    .withColumnRenamed("chk_event_key", "event_key")
+                    last.filter(
+                        (F.col("last.kind") == "set")
+                        & (
+                            (F.col("last.expire") == 0)
+                            | (F.col("chk_ts") - F.col("last.set_ts") < F.col("last.expire"))
+                        )
+                    )
+                    .select(F.col("chk_event_key").alias("event_key"))
                     .withColumn(col_name, F.lit(True))
                 )
                 batch_df = batch_df.join(hit_keys, "event_key", "left").withColumn(
@@ -415,11 +583,17 @@ class StreamingSaganEngine:
             assembled = assemble_alerts(routed, meta).persist()
             try:
                 for sink in sink_names:
-                    SINK_BUILDERS[sink](assembled).write.mode("append").parquet(
-                        f"{base_path}/{sink}"
+                    _idempotent_write(
+                        SINK_BUILDERS[sink](assembled),
+                        f"{base_path}/{sink}",
+                        batch_id,
+                        writer_id="b",
                     )
             finally:
                 assembled.unpersist()
+                batch_df.unpersist()
+            if min_chk is not None and max_expire > 0:
+                _sweep_dead_buckets(sets_path, bucket_secs, max_expire, min_chk)
 
         writer = (
             hits.withColumn("suppressed_after", F.lit(False))
@@ -449,8 +623,17 @@ class StreamingSaganEngine:
         qa = self.start_sink_query(
             frame_factory(), base_path, f"{checkpoint_base}/stage_a", sinks=sinks
         )
-        qa.awaitTermination(timeout)
+        if not qa.awaitTermination(timeout):
+            # starting stage B against a half-staged set store would
+            # silently break the documented drain-ordered batch parity
+            qa.stop()
+            raise TimeoutError(
+                f"stage A did not drain within {timeout}s; aborting before "
+                "stage B reads an incomplete staged set store"
+            )
         qb = self.start_xbit_query(
             frame_factory(), base_path, f"{checkpoint_base}/stage_b", sinks=sinks
         )
-        qb.awaitTermination(timeout)
+        if not qb.awaitTermination(timeout):
+            qb.stop()
+            raise TimeoutError(f"stage B did not drain within {timeout}s")

@@ -1,0 +1,149 @@
+"""Dedup-op oracles: the vectorized SimHash UDF must equal the pure-
+Python scalar spec bit-for-bit; the LSH-bucketed embedding dedup must
+equal its pure-Python twin; shingle reuse must not change MinHash/
+Jaccard results (VERDICT r1 #7-#9)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sagan_spark.ops.dedup import (
+    embedding_cosine_dups,
+    embedding_lsh_dups,
+    simhash_near_dups,
+    simhash_scalar,
+    simhash_udf,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",  # near-dup of [0]
+    "completely different content about databases",
+    "",  # empty
+    "ab",  # shorter than k
+    "über-unicode ♞ content £€ with symbols",  # non-ASCII
+    "aaaaaaaaaaaa",  # degenerate: one distinct gram
+]
+
+
+def test_simhash_udf_equals_scalar_spec(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "i int, t string")
+    got = {
+        r.i: r.h
+        for r in df.select("i", simhash_udf(k=4)(F.col("t")).alias("h")).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert got[i] == simhash_scalar(t, k=4), f"text {i!r} diverges"
+
+
+def test_simhash_near_dup_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS) if t], "doc_id int, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dups(df, k=4, max_hamming=16).collect()
+    }
+    # the two fox sentences are near-dups; nothing pairs with databases
+    assert (0, 1) in pairs
+    assert all({a, b} != {0, 2} and {a, b} != {1, 2} for a, b in pairs)
+
+
+def test_simhash_hamming_matches_python(spark):
+    """The banded join may MISS pairs whose top-16 bits differ (that is
+    the documented LSH trade-off), but every pair it returns must carry
+    the exact hamming distance of the two scalar hashes."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS) if t], "doc_id int, text string"
+    )
+    rows = simhash_near_dups(df, k=4, max_hamming=64).collect()
+    hs = {i: simhash_scalar(t, 4) for i, t in enumerate(TEXTS) if t}
+    for r in rows:
+        want = bin((hs[r.doc_a] ^ hs[r.doc_b]) & ((1 << 64) - 1)).count("1")
+        assert r.hamming == want
+
+
+# ---------------------------------------------------------------------------
+# embedding LSH dedup vs pure-Python twin
+# ---------------------------------------------------------------------------
+
+
+def _py_lsh_dups(vectors, threshold, n_planes, n_tables, dim):
+    """Pure-Python twin of embedding_lsh_dups (same planes, same
+    candidate generation, same rerank)."""
+    cand = set()
+    for t in range(n_tables):
+        rng = np.random.RandomState(42 + 1000 * t)
+        planes = rng.randn(n_planes, dim)
+        buckets: dict[int, list[int]] = {}
+        for vid, v in vectors.items():
+            b = 0
+            for p in range(n_planes):
+                if float(np.dot(v, planes[p])) >= 0:
+                    b |= 1 << p
+            buckets.setdefault(b, []).append(vid)
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand.add((ids[i], ids[j]))
+    out = set()
+    for a, b in cand:
+        va, vb = vectors[a], vectors[b]
+        cos = float(np.dot(va, vb)) / (
+            math.sqrt(float(np.dot(va, va))) * math.sqrt(float(np.dot(vb, vb)))
+        )
+        if cos >= threshold:
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.RandomState(7)
+    base = rng.randn(30, 16)
+    # make ids 0/1 and 2/3 near-duplicates
+    base[1] = base[0] + 0.01 * rng.randn(16)
+    base[3] = base[2] + 0.01 * rng.randn(16)
+    return {i: base[i] for i in range(30)}
+
+
+def test_embedding_lsh_dups_equals_python_twin(spark, vectors):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_lsh_dups(
+            df, threshold=0.8, n_planes=4, n_tables=3, dim=16
+        ).collect()
+    }
+    want = _py_lsh_dups(vectors, 0.8, 4, 3, 16)
+    assert got == want
+    assert (0, 1) in got and (2, 3) in got
+
+
+def test_embedding_lsh_recall_vs_bruteforce(spark, vectors):
+    """Every LSH pair is a true pair (precision 1 by construction) and
+    the obvious near-dup pairs are recalled."""
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_dups(df, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_lsh_dups(
+            df, threshold=0.8, n_planes=4, n_tables=3, dim=16
+        ).collect()
+    }
+    assert lsh <= exact
+    assert {(0, 1), (2, 3)} <= lsh

@@ -110,3 +110,85 @@ def test_range_join_scale_path(spark):
         ("10.1.2.3", "rfc1918-10"),
         ("10.9.9.9", "rfc1918-10"),
     }
+
+
+BLUEDOT_CFG = EngineConfig(
+    bluedot_intel={
+        "ip_reputation": {"10.1.2.3": "Malicious", "10.9.9.9": "Tor"},
+        "file_hash": {"abcdef0123456789abcdef0123456789": "Malicious"},
+        "url": {"evil.example/malware": "Malicious"},
+    },
+)
+
+
+def test_bluedot_ip_reputation_by_src(spark, events_frame):
+    # J3: category filter on the driver -> literal set probe (reference
+    # probe src/processors/engine.c:1176-1289)
+    txt = ('alert any any any -> any any (msg:"bd"; content:"conn from";'
+           ' parse_src_ip: 1; bluedot: type ip_reputation, track by_src,'
+           ' none, Malicious; sid:7100001;)')
+    assert _alert_keys(spark, txt, events_frame, BLUEDOT_CFG) == {("e1", 7100001)}
+
+
+def test_bluedot_category_mismatch_no_alert(spark, events_frame):
+    txt = ('alert any any any -> any any (msg:"bd"; content:"conn from";'
+           ' parse_src_ip: 1; bluedot: type ip_reputation, track by_src,'
+           ' none, Proxy; sid:7100002;)')
+    assert _alert_keys(spark, txt, events_frame, BLUEDOT_CFG) == set()
+
+
+def test_bluedot_file_hash(spark, events_frame):
+    txt = ('alert any any any -> any any (msg:"bd"; content:"hash";'
+           ' parse_hash: md5; bluedot: type file_hash, Malicious; sid:7100003;)')
+    assert _alert_keys(spark, txt, events_frame, BLUEDOT_CFG) == {("e4", 7100003)}
+
+
+def test_bluedot_url_substring(spark, events_frame):
+    txt = ('alert any any any -> any any (msg:"bd"; content:"visit";'
+           ' bluedot: type url, Malicious; sid:7100004;)')
+    assert _alert_keys(spark, txt, events_frame, BLUEDOT_CFG) == {("e5", 7100004)}
+
+
+def test_syslog_priority_prefilter(spark):
+    # F2 completion: syslog_priority now compiles against the canonical
+    # frame's priority column (reference engine.c:565-581)
+    rows = [
+        ("e1", "2026-01-01 00:00:01", "m1", "alert"),
+        ("e2", "2026-01-01 00:00:02", "m2", "info"),
+        ("e3", "2026-01-01 00:00:03", "m3", "crit"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_key string, ts string, message string, priority string"
+    )
+    frame = df.select(
+        "event_key", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("h").alias("host"), F.lit("p").alias("program"),
+        F.lit("").alias("facility"), F.lit("").alias("level"),
+        F.lit("").alias("tag"), "priority", "message",
+    )
+    txt = ('alert any any any -> any any (msg:"pri"; syslog_priority: alert|crit;'
+           ' content:"m"; sid:7100005;)')
+    assert _alert_keys(spark, txt, frame) == {("e1", 7100005), ("e3", 7100005)}
+
+
+def test_external_rule_routing(spark, events_frame):
+    # K6: the 'external' rule option routes only that rule's alerts
+    from sagan_spark.pipeline.route import assemble_alerts, route_external, rule_metadata_df
+
+    txt = (
+        'alert any any any -> any any (msg:"x1"; content:"conn from"; external: /bin/true; sid:7200001;)\n'
+        'alert any any any -> any any (msg:"x2"; content:"hash"; sid:7200002;)\n'
+    )
+    rules = parse_rules(txt)
+    eng = SaganSparkEngine(rules)
+    alerts = eng.run(events_frame).alerts()
+    assembled = assemble_alerts(alerts, rule_metadata_df(spark, rules), events=events_frame)
+
+    captured = {}
+
+    def fake_runner(df, command):
+        captured[command[0]] = {r.sid for r in df.select("sid").collect()}
+
+    progs = route_external(assembled, rules, runner=fake_runner)
+    assert progs == {"/bin/true": [7200001]}
+    assert captured["/bin/true"] == {7200001}

@@ -28,13 +28,28 @@ def _alert_keys(spark, rules_text, frame):
     return {r.event_key for r in eng.run(frame).alerts().select("event_key").collect()}
 
 
-def test_json_meta_content(spark):
+def test_json_meta_content_exact_equality_default(spark):
+    # default compare is strcmp EQUALITY, not substring (reference
+    # Search_Case src/search-type.c:39-67 called with json_meta_strstr=0
+    # at src/json-meta-content.c:146)
+    frame = _frame(spark, [
+        ("e1", "2026-01-01 00:00:01", '{"user": "login admin"}'),
+        ("e2", "2026-01-01 00:00:02", '{"user": "login admin ok"}'),  # superstring
+        ("e3", "2026-01-01 00:00:03", '{"other": "login admin"}'),  # missing key
+    ])
+    txt = 'alert any any any -> any any (msg:"jm"; json_meta_content: ".user", "login %sagan%", admin,root; sid:1;)'
+    assert _alert_keys(spark, txt, frame) == {"e1"}
+
+
+def test_json_meta_contains_substring(spark):
+    # json_meta_contains flips the previous json_meta_content to strstr
+    # (reference src/rules.c:2285-2295)
     frame = _frame(spark, [
         ("e1", "2026-01-01 00:00:01", '{"user": "login admin ok"}'),
         ("e2", "2026-01-01 00:00:02", '{"user": "login guest ok"}'),
-        ("e3", "2026-01-01 00:00:03", '{"other": "login admin ok"}'),  # missing key
     ])
-    txt = 'alert any any any -> any any (msg:"jm"; json_meta_content: ".user", "login %sagan%", admin,root; sid:1;)'
+    txt = ('alert any any any -> any any (msg:"jm"; json_meta_content: ".user",'
+           ' "login %sagan%", admin,root; json_meta_contains; sid:1;)')
     assert _alert_keys(spark, txt, frame) == {"e1"}
 
 

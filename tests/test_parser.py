@@ -1,5 +1,7 @@
 """Rule parser unit tests (grammar per reference src/rules.c:102-4125)."""
 
+import pytest
+
 from sagan_spark.rules.parser import parse_rule, parse_rules
 
 
@@ -82,3 +84,97 @@ def test_ruleset_file_and_pass():
     assert [r.sid for r in rules] == [10, 11]
     assert rules[0].action == "pass" and rules[0].position == 0
     assert rules[1].position == 1
+
+
+def test_syslog_option_spellings():
+    # reference spellings (src/rules.c:2651,2680,2693,2706) and the short
+    # aliases both land in the same IR fields
+    r = parse_rule(
+        'alert any any any -> any any (msg:"s"; syslog_facility: daemon|auth;'
+        " syslog_level: info; syslog_tag: 2d; syslog_priority: alert|crit;"
+        " sid:20;)"
+    )
+    assert r.facilities == ["daemon", "auth"]
+    assert r.levels == ["info"]
+    assert r.tags == ["2d"]
+    assert r.syslog_priorities == ["alert", "crit"]
+    r2 = parse_rule(
+        'alert any any any -> any any (msg:"s"; facility: daemon; level: info; tag: 2d; sid:21;)'
+    )
+    assert r2.facilities == ["daemon"] and r2.levels == ["info"] and r2.tags == ["2d"]
+
+
+def test_event_type_program_alias_and_pri():
+    r = parse_rule(
+        'alert any any any -> any any (msg:"e"; event_type: sshd|su; pri: 2; sid:22;)'
+    )
+    assert r.programs == ["sshd", "su"]
+    assert r.priority == 2
+
+
+def test_json_contains_modifier():
+    r = parse_rule(
+        'alert any any any -> any any (msg:"j"; json_content: ".k","v";'
+        " json_contains; sid:23;)"
+    )
+    assert r.json_contents[0].strstr is True
+
+
+def test_json_meta_contains_modifier():
+    r = parse_rule(
+        'alert any any any -> any any (msg:"j"; json_meta_content: ".k","t %sagan%",a,b;'
+        " json_meta_contains; sid:24;)"
+    )
+    assert r.json_meta_contents[0].strstr is True
+    # default is exact-equality (strcmp)
+    r2 = parse_rule(
+        'alert any any any -> any any (msg:"j"; json_meta_content: ".k","t %sagan%",a; sid:25;)'
+    )
+    assert r2.json_meta_contents[0].strstr is False
+
+
+def test_parse_port_external_email_pauses():
+    r = parse_rule(
+        'alert any any any -> any any (msg:"x"; parse_port; external: /bin/cat;'
+        " email: soc@example.com; flexbits_pause: 5; xbits_upause: 7; sid:26;)"
+    )
+    assert r.parse_port is True
+    assert r.external_program == "/bin/cat"
+    assert r.email == "soc@example.com"
+    assert r.flexbit_pause == 5 and r.xbit_upause == 7
+
+
+def test_bluedot_ip_reputation():
+    r = parse_rule(
+        'alert any any any -> any any (msg:"b"; bluedot: type ip_reputation,'
+        " track by_src, mdate_effective_period 1 month, Malicious&Tor; sid:27;)"
+    )
+    assert r.bluedot is not None
+    assert r.bluedot.btype == "ip_reputation"
+    assert r.bluedot.track == "by_src"
+    assert r.bluedot.mdate_period == 2592000
+    assert r.bluedot.categories == ["malicious", "tor"]
+
+
+def test_bluedot_file_hash():
+    r = parse_rule(
+        'alert any any any -> any any (msg:"b"; bluedot: type file_hash, Malicious; sid:28;)'
+    )
+    assert r.bluedot.btype == "file_hash"
+    assert r.bluedot.categories == ["malicious"]
+
+
+def test_strict_mode_unknown_option():
+    bad = 'alert any any any -> any any (msg:"u"; totally_bogus: 1; sid:29;)'
+    with pytest.raises(ValueError, match="totally_bogus"):
+        parse_rule(bad)
+    r = parse_rule(bad, strict=False)
+    assert r.unknown_options == ["totally_bogus"]
+
+
+def test_ignorable_options_pass_strict():
+    r = parse_rule(
+        'alert any any any -> any any (msg:"m"; metadata: x y; normalize;'
+        " offload: http://x/; sid:30;)"
+    )
+    assert r.sid == 30 and not r.unknown_options

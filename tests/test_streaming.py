@@ -142,3 +142,133 @@ def test_chained_xbit_pipeline_equals_batch(spark, fixture_rules, tmp_path):
         f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]} "
         f"want={len(want)} got={len(got)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r1 #6: streaming parity for xbit unset + flexbit shapes, and
+# VERDICT r1 #4: the staged set store stays physically bounded
+# ---------------------------------------------------------------------------
+
+
+def _mini_pages(rows):
+    """rows: list of (url, ts_iso, text) -> pages-schema pyarrow table."""
+    return pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array(
+                [pd.Timestamp(r[1]) for r in rows], type=pa.timestamp("us")
+            ),
+            "html": [b"" for _ in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en" for _ in rows],
+        }
+    )
+
+
+UNSET_RULES = """\
+alert any any any -> any any (msg:"set"; content:"setme"; parse_src_ip: 1; xbits: set, name b1, track ip_src, expire 1h; sid:9300001;)
+alert any any any -> any any (msg:"clear"; content:"clearme"; parse_src_ip: 1; xbits: unset, name b1, track ip_src; sid:9300002;)
+alert any any any -> any any (msg:"check"; content:"checkme"; parse_src_ip: 1; xbits: isset, name b1, track ip_src; sid:9300003;)
+"""
+
+
+def _run_chained(spark, rules, table, tmp_path, name):
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(rules) if isinstance(rules, str) else rules
+    input_dir = tmp_path / f"{name}_in"
+    input_dir.mkdir()
+    out = str(tmp_path / f"{name}_sinks")
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    pq.write_table(table, str(input_dir / "c1.parquet"))
+
+    full_path = str(tmp_path / f"{name}_full.parquet")
+    pq.write_table(table, full_path)
+    pages = spark.read.parquet(full_path)
+    batch_engine = SaganSparkEngine(rules)
+    batch_alerts = batch_engine.run(batch_engine.frame_from_pages(pages)).alerts()
+    want = {
+        (r.event_key, r.sid)
+        for r in batch_alerts.select("event_key", "sid").collect()
+    }
+
+    seng = StreamingSaganEngine(rules, watermark="0 seconds", enable_xbits=True)
+
+    def frame_factory():
+        return SaganSparkEngine.frame_from_pages(
+            pages_stream_frame(spark, str(input_dir))
+        )
+
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+    got_df = (
+        spark.read.parquet(f"{out}/alerts_eve")
+        .select("url", "alert_signature_id")
+        .toPandas()
+    )
+    got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
+    return want, got, out
+
+
+def test_streaming_xbit_unset_equals_batch(spark, tmp_path):
+    table = _mini_pages(
+        [
+            ("u://a/1", "2026-01-01 00:00:01", "setme from 10.0.0.1 ok"),
+            ("u://a/2", "2026-01-01 00:00:10", "checkme from 10.0.0.1 now"),  # set
+            ("u://a/3", "2026-01-01 00:00:20", "clearme from 10.0.0.1 done"),
+            ("u://a/4", "2026-01-01 00:00:30", "checkme from 10.0.0.1 again"),  # unset
+            ("u://a/5", "2026-01-01 00:00:40", "checkme from 10.0.0.9 other"),  # never
+        ]
+    )
+    want, got, _ = _run_chained(spark, UNSET_RULES, table, tmp_path, "unset")
+    assert got == want
+    # the check between set and unset routed; the one after unset did not
+    assert ("u://a/2", 9300003) in got
+    assert ("u://a/4", 9300003) not in got
+    assert ("u://a/5", 9300003) not in got
+
+
+FLEX_STREAM_RULES = """\
+alert any any any -> any any (msg:"reboot"; content:"reboot"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: set, win_reboot, 60; sid:9400001;)
+alert any any any -> any any (msg:"avoff"; content:"av-off"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: isset, reverse, win_reboot; sid:9400002;)
+"""
+
+
+def test_streaming_flexbit_reverse_equals_batch(spark, tmp_path):
+    table = _mini_pages(
+        [
+            ("u://f/1", "2026-01-01 00:00:01", "reboot started from 10.0.0.1 to 10.0.0.9 now"),
+            ("u://f/2", "2026-01-01 00:00:10", "av-off alert from 10.0.0.9 to 10.0.0.1 bad"),  # reverse hit
+            ("u://f/3", "2026-01-01 00:00:11", "av-off alert from 10.0.0.1 to 10.0.0.9 fwd"),  # same dir: miss
+            ("u://f/4", "2026-01-01 00:02:30", "av-off alert from 10.0.0.9 to 10.0.0.1 late"),  # expired
+        ]
+    )
+    want, got, _ = _run_chained(spark, FLEX_STREAM_RULES, table, tmp_path, "flex")
+    assert got == want
+    assert ("u://f/2", 9400002) in got
+    assert ("u://f/3", 9400002) not in got
+    assert ("u://f/4", 9400002) not in got
+
+
+def test_staged_set_store_physically_pruned(spark, tmp_path):
+    """A bucket whose sets can no longer satisfy any live check is
+    DELETED from disk after stage B (bounded store, VERDICT r1 #4)."""
+    import glob
+
+    rules = """\
+alert any any any -> any any (msg:"set"; content:"setme"; parse_src_ip: 1; xbits: set, name b2, track ip_src, expire 60; sid:9500001;)
+alert any any any -> any any (msg:"check"; content:"checkme"; parse_src_ip: 1; xbits: isset, name b2, track ip_src; sid:9500002;)
+"""
+    # set at t0; every check far in a later bucket (>
+    # bucket_end + expire), so the set's bucket is dead for stage B
+    table = _mini_pages(
+        [
+            ("u://p/1", "2026-01-01 00:00:01", "setme from 10.0.0.1 ok"),
+            ("u://p/2", "2026-01-01 03:00:00", "checkme from 10.0.0.1 late"),
+        ]
+    )
+    want, got, out = _run_chained(spark, rules, table, tmp_path, "prune")
+    assert got == want  # expired set: late check must NOT route
+    assert ("u://p/2", 9500002) not in got
+    buckets = glob.glob(f"{out}/xbit_sets/_batch_id=*/set_bucket=*")
+    live = [b for b in buckets if not b.endswith("=-1")]
+    assert live == [], f"dead bucket dirs not swept: {live}"
