@@ -695,12 +695,13 @@ def q_streaming_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = seng.start_sink_query(frame, f"{work}/out", f"{work}/ckpt", sinks=["alerts_eve"])
         q.awaitTermination(180)
         eve = spark.read.parquet(f"{work}/out/alerts_eve")
-        out = (
-            eve.groupBy("alert_signature_id")
-            .agg(F.count(F.lit(1)).alias("n_routed"))
-            .collect()
+        # grouped result is tiny but still returned as a plan, not via a
+        # driver collect/createDataFrame funnel; localCheckpoint detaches
+        # it from the temp dir being cleaned below
+        out = eve.groupBy("alert_signature_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_routed")
         )
-        return spark.createDataFrame(out, "alert_signature_id long, n_routed long")
+        return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -40,6 +40,9 @@ HEADLINE = [
     "k3_eve_assembly",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
     "ann_cosine_topk",
     "text_quality",
     "text_fingerprint",

@@ -57,12 +57,14 @@ def rule_metadata_df(spark: SparkSession, rules: list[RuleIR],
         pri = r.priority if r.priority else cls_pri
         rows.append(
             (r.sid, r.rev, r.msg, r.classtype, desc, pri,
-             ";".join(r.reference), r.action == "drop")
+             ";".join(r.reference), r.action == "drop",
+             r.raw, r.metadata or None)
         )
     return spark.createDataFrame(
         rows,
         "sid long, rev int, signature string, classtype string, "
-        "category string, severity int, rule_reference string, drop boolean",
+        "category string, severity int, rule_reference string, drop boolean, "
+        "rule_text string, rule_metadata string",
     )
 
 
@@ -110,12 +112,18 @@ def assemble_alerts(
     )
 
 
-def eve_view(assembled: DataFrame, payload_base64: bool = False) -> DataFrame:
-    """K3: Suricata-EVE alert projection (src/json-handler.c:54-286).
-    Nested alert.* fields are flattened with '_' (parquet-friendly);
-    'url' is the lineage key back to the input table.
-    payload_base64 mirrors the eve 'base64' payload option
-    (reference src/json-handler.c:102-105)."""
+def eve_view(assembled: DataFrame, payload_base64: bool = False,
+             eve_interface: str = "logs") -> DataFrame:
+    """K3: Suricata-EVE alert projection (src/json-handler.c:54-286),
+    field-for-field: timestamp/flow_id/in_iface/event_type/src/dest/
+    proto/payload/stream/xff/syslog block/alert.* (incl. the original
+    rule text, signature_copy)/metadata/normalize.  Nested alert.*
+    fields are flattened with '_' (parquet-friendly); 'url' is the
+    lineage key back to the input table.  payload_base64 mirrors the
+    eve 'base64' payload option (reference src/json-handler.c:102-105);
+    eve_interface mirrors the config default 'logs'
+    (reference src/config-yaml.c:2090).  `normalize` is null — grok
+    output is a parse-stage column here, not threaded per-alert."""
     payload = (
         F.base64(F.encode(F.col("message"), "UTF-8"))
         if payload_base64
@@ -124,6 +132,7 @@ def eve_view(assembled: DataFrame, payload_base64: bool = False) -> DataFrame:
     return assembled.select(
         F.col("timestamp"),
         F.col("flow_id"),
+        F.lit(eve_interface).alias("in_iface"),
         F.lit("alert").alias("event_type"),
         F.col("src_ip"),
         F.col("dst_ip").alias("dest_ip"),
@@ -131,6 +140,8 @@ def eve_view(assembled: DataFrame, payload_base64: bool = False) -> DataFrame:
         F.col("dst_port").alias("dest_port"),
         F.col("proto_name").alias("proto"),
         payload.alias("payload"),
+        F.lit("0").alias("stream"),
+        F.col("host").alias("xff"),
         F.col("facility"),
         # syslog priority string rides EVE between facility and level
         # (reference src/json-handler.c:172-179)
@@ -146,6 +157,9 @@ def eve_view(assembled: DataFrame, payload_base64: bool = False) -> DataFrame:
         F.col("category").alias("alert_category"),
         F.col("severity").alias("alert_severity"),
         F.when(F.col("drop"), "blocked").otherwise("allowed").alias("alert_action"),
+        F.col("rule_text").alias("alert_rule"),
+        F.col("rule_metadata").alias("metadata"),
+        F.lit(None).cast("string").alias("normalize"),
         F.col("event_key").alias("url"),
     )
 

@@ -326,6 +326,13 @@ class RuleIR:
     # options the parser did not recognize (strict=False only)
     unknown_options: list[str] = field(default_factory=list)
 
+    # original rule text (reference signature_copy, src/rules.c:364) —
+    # emitted as EVE alert.rule (src/json-handler.c:214)
+    raw: str = ""
+    # raw `metadata:` option value (reference metadata_json, emitted in
+    # EVE after the alert block, src/json-handler.c:224-231)
+    metadata: str = ""
+
     append_program: bool = False  # P9: match against "message | program"
 
     # ordinal position in the loaded ruleset (pass-rule short circuit F15)

@@ -506,6 +506,8 @@ def parse_rule(
             ir.xbit_upause = int(val)  # reference src/rules.c:996-1006
         elif key == "bluedot":
             ir.bluedot = _parse_bluedot(val)
+        elif key == "metadata":
+            ir.metadata = val  # routing metadata, emitted in EVE
         elif key in _IGNORABLE_OPTIONS:
             pass  # no match semantics (see _IGNORABLE_OPTIONS)
         elif strict:
@@ -518,6 +520,7 @@ def parse_rule(
 
     if ir.sid == 0:
         raise ValueError(f"rule missing sid: {text[:80]!r}")
+    ir.raw = text  # signature_copy (reference src/rules.c:364)
     return ir
 
 

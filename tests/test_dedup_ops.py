@@ -147,3 +147,50 @@ def test_embedding_lsh_recall_vs_bruteforce(spark, vectors):
     }
     assert lsh <= exact
     assert {(0, 1), (2, 3)} <= lsh
+
+
+def test_ann_lsh_topk_equals_python_twin(spark, vectors):
+    """ann_lsh_topk (rows-only at the SQL gate) pinned here against a
+    pure-Python twin: same planes, same bucket candidates, same exact
+    rerank and (cosine desc, neighbor_id asc) tiebreak."""
+    from sagan_spark.ops.similarity import lsh_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in lsh_topk(df, queries, k=3, n_planes=4, n_tables=3, dim=16).collect()
+    }
+
+    # python twin
+    def buckets_for(v, planes):
+        b = 0
+        for p in range(len(planes)):
+            if float(np.dot(v, planes[p])) >= 0:
+                b |= 1 << p
+        return b
+
+    cand: dict[int, set] = {q: set() for q in range(3)}
+    for t in range(3):
+        rng = np.random.RandomState(42 + 1000 * t)
+        planes = rng.randn(4, 16)
+        bk = {vid: buckets_for(v, planes) for vid, v in vectors.items()}
+        for q in range(3):
+            for vid in vectors:
+                if vid != q and bk[vid] == bk[q]:
+                    cand[q].add(vid)
+    want = {}
+    for q in range(3):
+        scored = []
+        vq = vectors[q]
+        nq = math.sqrt(float(np.dot(vq, vq)))
+        for vid in cand[q]:
+            vc = vectors[vid]
+            cos = float(np.dot(vq, vc)) / (nq * math.sqrt(float(np.dot(vc, vc))))
+            scored.append((-cos, vid))
+        for rank, (_, vid) in enumerate(sorted(scored)[:3], start=1):
+            want[(q, rank)] = vid
+    assert got == want
