@@ -788,6 +788,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — spherical-kmeans centroid lists +
+    n_probe rerank.  Pinned against a pure-Python twin in
+    tests/test_dedup_ops.py; rows-only at the SQL gate (the k-means
+    family is not DuckDB-expressible)."""
+    from sagan_spark.ops.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.textstats import lang_id
 
@@ -870,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,

@@ -40,7 +40,10 @@ HEADLINE = [
     "k3_eve_assembly",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard stays in the sf0.01 correctness gate only: its
+    # exact-Jaccard join is |candidate pairs| x |shingles/doc| and the
+    # synthetic corpus is near-dup-dense (~12% of all pairs collide), so
+    # at sf0.1 it measures corpus pathology, not engine speed
     "dedup_simhash",
     "dedup_embedding_lsh",
     "ann_cosine_topk",
@@ -102,6 +105,9 @@ def main() -> None:
         t0 = time.monotonic()
         fn(spark, SF_DIR).count()
         times[name] = round(time.monotonic() - t0, 3)
+        # ops may persist() scratch frames (shingle reuse); drop them so
+        # one query's cache never skews the next measurement
+        spark.catalog.clearCache()
 
     engine_stats = run_engine_bench(spark)
     total = round(sum(times.values()) + engine_stats["engine_sec"], 3)

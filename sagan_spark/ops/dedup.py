@@ -125,10 +125,19 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
     pairs = minhash_lsh_pairs(
         docs, k, n_bands, text_col, id_col, shingles=sh
     ).select("doc_a", "doc_b")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # only docs that appear in a candidate pair matter downstream: on a
+    # realistic corpus candidates are a sliver of the corpus, so the
+    # semi-join cuts the intersection-join input by orders of magnitude
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_docs, id_col, "leftsemi")
+    sizes = sh_cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # intersection size via join on shingle, restricted to candidate pairs
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    sa = sh_cand.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    sb = sh_cand.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
     inter_counts = (
         pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")

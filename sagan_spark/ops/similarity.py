@@ -71,6 +71,117 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def _train_centroids(sample: list[list[float]], n_centroids: int,
+                     iters: int = 5, seed: int = 42):
+    """Driver-side spherical k-means on a deterministic sample.
+
+    Tiny by design: the sample is a bounded collect (the IVF 'training
+    set'), the loop is numpy, and only the resulting n_centroids × dim
+    floats ship to executors as literals."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cent[c] = m / n
+    return cent.tolist()
+
+
+def _centroid_dots(vec_col, centroids: list[list[float]]):
+    """array<double> of dot(v, centroid_i) — all JVM-side."""
+    return F.array(*[
+        _dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) for c in centroids
+    ])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+             sample_n: int = 256, iters: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard ANN
+    scale path beside hyperplane LSH.
+
+    Spherical k-means centroids train driver-side on the deterministic
+    sample ``vec_id < sample_n``; every corpus vector lands in its
+    nearest centroid's list (argmax of n_centroids JVM dot products —
+    one narrow projection, no shuffle); each query probes its n_probe
+    nearest lists and reranks exactly.  At 100 TB the bucket join reads
+    n_probe/n_centroids of the corpus per query batch instead of all of
+    it; recall is tunable via n_probe.  Deterministic given the corpus
+    (fixed sample, fixed seed) — pinned against a pure-Python twin in
+    tests."""
+    sample = [
+        row[0]
+        for row in corpus.filter(F.col(id_col) < sample_n)
+        .select(vec_col)
+        .collect()
+    ]
+    cent = _train_centroids(sample, n_centroids, iters)
+
+    dots = _centroid_dots(F.col(vec_col), cent)
+    centroid_id = F.expr(
+        "array_position(_dots, array_max(_dots))"
+    ).cast("int") - 1
+
+    c = (
+        corpus.withColumn("_dots", dots)
+        .withColumn("centroid", centroid_id)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("v_c"),
+            "centroid",
+        )
+    )
+    # per query: top-n_probe centroids via sorted (dot, idx) structs
+    probe_entries = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    dots,
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        queries.withColumn("_dots", dots)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("v_q"),
+            F.explode(probe_entries).alias("probe"),
+        )
+        .select("query_id", "v_q", F.col("probe.i").cast("int").alias("centroid"))
+    )
+    cands = (
+        c.join(F.broadcast(q), "centroid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "v_q", "v_c")
+    )
+    scored = cands.withColumn(
+        "cosine",
+        _dot(F.col("v_q"), F.col("v_c"))
+        / (_norm(F.col("v_q")) * _norm(F.col("v_c"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 6, n_tables: int = 3, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -194,3 +194,45 @@ def test_ann_lsh_topk_equals_python_twin(spark, vectors):
         for rank, (_, vid) in enumerate(sorted(scored)[:3], start=1):
             want[(q, rank)] = vid
     assert got == want
+
+
+def test_ivf_topk_equals_python_twin(spark, vectors):
+    """IVF ANN pinned against a pure-Python twin: same deterministic
+    sample, same spherical k-means, same probe/rerank."""
+    from sagan_spark.ops.similarity import _train_centroids, ivf_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(
+            df, queries, k=3, n_centroids=4, n_probe=2, dim=16, sample_n=30
+        ).collect()
+    }
+
+    sample = [list(vectors[i]) for i in sorted(vectors) if i < 30]
+    cent = np.asarray(_train_centroids(sample, 4))
+
+    def dots(v):
+        return cent @ (np.asarray(v))
+
+    assign = {vid: int(np.argmax(dots(v))) for vid, v in vectors.items()}
+    want = {}
+    for qid in range(3):
+        d = dots(vectors[qid])
+        probes = list(np.argsort(-d)[:2])
+        scored = []
+        vq = vectors[qid]
+        nq = math.sqrt(float(np.dot(vq, vq)))
+        for vid, v in vectors.items():
+            if vid == qid or assign[vid] not in probes:
+                continue
+            cos = float(np.dot(vq, v)) / (nq * math.sqrt(float(np.dot(v, v))))
+            scored.append((-cos, vid))
+        for rank, (_, vid) in enumerate(sorted(scored)[:3], start=1):
+            want[(qid, rank)] = vid
+    assert got == want
+    assert got  # probes found neighbors
