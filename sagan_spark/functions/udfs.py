@@ -41,8 +41,13 @@ PARSE_IP_RESULT_TYPE = T.StructType(
 )
 
 
-def make_parse_ip_udf(sagan_port: int = DEFAULT_SAGAN_PORT):
-    """pandas UDF: text -> struct<ips: array<struct>, proto: int>."""
+def make_parse_ip_udf(sagan_port: int = DEFAULT_SAGAN_PORT, barrier: bool = True):
+    """pandas UDF: text -> struct<ips: array<struct>, proto: int>.
+
+    ``barrier=False`` for STREAMING plans: stateful streaming operators
+    reject nondeterministic expressions, so the inlining barrier (see
+    below) is batch-only; a micro-batch is small enough that the
+    collapse-induced re-evaluation costs little there."""
 
     @F.pandas_udf(PARSE_IP_RESULT_TYPE)
     def parse_ip_udf(texts: pd.Series) -> pd.DataFrame:
@@ -58,11 +63,16 @@ def make_parse_ip_udf(sagan_port: int = DEFAULT_SAGAN_PORT):
             proto_out.append(proto)
         return pd.DataFrame({"ips": ips_out, "proto": proto_out})
 
-    return parse_ip_udf
+    # The function IS deterministic; the flag is an optimizer barrier.
+    # Without it CollapseProject inlines the UDF column through the
+    # candidate filter and the plan evaluates Parse_IP TWICE — once
+    # over ALL rows below the filter, once over candidates above it
+    # (seen in the physical plan as two ArrowEvalPython nodes).
+    return parse_ip_udf.asNondeterministic() if barrier else parse_ip_udf
 
 
 @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
-def json_flatten_udf(texts: pd.Series) -> pd.Series:
+def _json_flatten_udf(texts: pd.Series) -> pd.Series:
     """pandas UDF: text -> map<string,string> of dotted keys
     (reference src/parsers/json.c:40-134).
 
@@ -75,6 +85,14 @@ def json_flatten_udf(texts: pd.Series) -> pd.Series:
     if mask.any():
         out[mask] = texts[mask].map(json_flatten)
     return out
+
+
+# deterministic in fact; flagged as an optimizer barrier so the flatten
+# column is computed once and carried, not inlined and re-evaluated
+# above the candidate filter (see make_parse_ip_udf).  Streaming plans
+# must use the unflagged variant (stateful ops reject nondeterminism).
+json_flatten_udf = _json_flatten_udf.asNondeterministic()
+json_flatten_udf_stream = _json_flatten_udf
 
 
 def make_python_regex_udf(pattern: str, flags_str: str):

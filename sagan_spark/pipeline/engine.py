@@ -26,7 +26,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sagan_spark.functions.udfs import json_flatten_udf, make_parse_ip_udf
+from sagan_spark.functions.udfs import (
+    json_flatten_udf,
+    json_flatten_udf_stream,
+    make_parse_ip_udf,
+)
 from sagan_spark.pipeline.correlate import apply_after_threshold, apply_xbits
 from sagan_spark.rules.compiler import EngineConfig, EventCols, RuleCompiler
 from sagan_spark.rules.ir import RuleIR
@@ -165,14 +169,21 @@ class SaganSparkEngine:
             if df.rdd.getNumPartitions() < max(2, target // 2):
                 df = df.repartition(target)
 
-        # F14 ignore-list pre-drop (pushed into the scan by Catalyst)
+        # F13 valid-message guard applied ONCE at scan level so Catalyst
+        # pushes it into the parquet/Iceberg scan (the per-rule copies in
+        # cheap_predicate sit above the non-inlinable flatten UDF and
+        # can't reach the scan); F14 ignore-list pre-drop likewise
+        df = df.filter(F.col("message").isNotNull() & (F.length("message") > 0))
         ig = comp.ignore_predicate(F.col("message"))
         df = df.filter(~ig)
 
         # input-stage JSON detect+flatten (reference engine.c:250-263 runs
-        # this once per event before the rule loop)
+        # this once per event before the rule loop).  Batch uses the
+        # nondeterministic-flagged variant as an inlining barrier
+        # (evaluate-once); streaming must stay deterministic.
+        flatten = json_flatten_udf_stream if frame.isStreaming else json_flatten_udf
         if comp.needs_json:
-            df = df.withColumn("_json", json_flatten_udf(F.col("message")))
+            df = df.withColumn("_json", flatten(F.col("message")))
 
         # ---- phase 1: cheap predicates for every rule (pure Catalyst) ----
         cheap_cols_ctx = self._event_cols(df, with_extraction=False)
@@ -191,7 +202,9 @@ class SaganSparkEngine:
 
         # ---- phase 2: extraction on candidates only ----
         if comp.needs_parse_ip:
-            parse_ip_udf = make_parse_ip_udf(self.config.sagan_port)
+            parse_ip_udf = make_parse_ip_udf(
+                self.config.sagan_port, barrier=not frame.isStreaming
+            )
             cand = cand.withColumn("_pi", parse_ip_udf(F.col("message")))
             cand = cand.withColumn("_ips", F.col("_pi.ips")).withColumn(
                 "_ip_proto", F.col("_pi.proto")

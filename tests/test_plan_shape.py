@@ -1,0 +1,75 @@
+"""Physical-plan regression guards: the optimizer must not silently
+undo the engine's evaluate-once discipline (SURVEY §4 parse-once
+caching; reference src/processors/engine.c:736-806).
+
+Catalyst's CollapseProject inlines deterministic expression columns, so
+without the asNondeterministic barrier on the extraction UDFs the plan
+evaluates Parse_IP over ALL rows below the candidate filter AND again
+over candidates above it — two ArrowEvalPython nodes per UDF instead
+of one."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sagan_spark.pipeline.engine import SaganSparkEngine
+from sagan_spark.rules.parser import parse_rules
+
+RULES = """\
+alert any any any -> any any (msg:"r1"; content:"alpha"; parse_src_ip: 1; sid:9600001;)
+alert any any any -> any any (msg:"r2"; json_content:".k","v"; sid:9600002;)
+alert any any any -> any any (msg:"r3"; content:"gamma"; parse_dst_ip: 2; sid:9600003;)
+"""
+
+
+def _frame(spark):
+    df = spark.createDataFrame(
+        [("e1", "2026-01-01 00:00:01", "alpha from 10.0.0.1 to 10.0.0.2")],
+        "event_key string, ts string, message string",
+    )
+    return df.select(
+        "event_key", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("h").alias("host"), F.lit("p").alias("program"),
+        F.lit("").alias("facility"), F.lit("").alias("level"),
+        F.lit("").alias("tag"), F.lit("").alias("priority"), "message",
+    )
+
+
+def test_each_extraction_udf_evaluates_once(spark):
+    hits = SaganSparkEngine(parse_rules(RULES)).match_hits(_frame(spark))
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    n_parse_ip_nodes = len(re.findall(r"ArrowEvalPython \[[^\]]*parse_ip", plan))
+    n_flatten_nodes = len(re.findall(r"ArrowEvalPython \[[^\]]*json_flatten", plan))
+    assert n_parse_ip_nodes == 1, f"parse_ip evaluated in {n_parse_ip_nodes} nodes:\n{plan[:2000]}"
+    assert n_flatten_nodes == 1, f"json_flatten evaluated in {n_flatten_nodes} nodes"
+
+
+def test_parse_ip_sits_above_cheap_filter(spark):
+    """Parse_IP must only see candidate rows: in the plan tree its node
+    appears ABOVE (before, in toString order) the literal prefilter."""
+    hits = SaganSparkEngine(parse_rules(RULES)).match_hits(_frame(spark))
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    # toString prints top-down: a node higher in the plan appears
+    # earlier.  The CHEAP prefilter is the lowest Contains() in the
+    # tree (the alert-struct filter above parse_ip also mentions
+    # Contains), so compare against the LAST occurrence.
+    ip_pos = plan.find("parse_ip")
+    filt_pos = plan.rfind("Contains(message")
+    assert 0 <= ip_pos < filt_pos, "parse_ip runs below the cheap prefilter"
+
+
+def test_scan_prunes_and_pushes(spark, tmp_path):
+    """Column pruning + null-guard pushdown must reach the parquet scan."""
+    p = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [("u://1", "2026-01-01 00:00:01", b"", "alpha text", "en")],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp")).write.parquet(p)
+    pages = spark.read.parquet(p)
+    eng = SaganSparkEngine(parse_rules(RULES))
+    plan = eng.match_hits(eng.frame_from_pages(pages))._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "html" not in scan_line.split("ReadSchema")[-1], "html column not pruned"
+    assert "IsNotNull(text)" in scan_line, "null guard not pushed to scan"
