@@ -841,6 +841,48 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("id", "n_bytes", "content_sha")
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample plumbing: every-30th frame index per media item
+    (n_frames derived deterministically by the stub decoder)."""
+    from sagan_spark.ops.multimodal import attach_binary, decode_metadata, frame_sample_plan
+
+    docs = _docs(spark, sf_dir)
+    meta = decode_metadata(attach_binary(docs))
+    frames = frame_sample_plan(meta, every_n=30)
+    return frames.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_idx").cast("long").alias("last_idx"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize target dims from the decoded metadata."""
+    from sagan_spark.ops.multimodal import attach_binary, decode_metadata, resize_plan
+
+    docs = _docs(spark, sf_dir)
+    meta = decode_metadata(attach_binary(docs))
+    return resize_plan(meta, max_w=224, max_h=224).select(
+        "id", "width", "height", "out_w", "out_h"
+    )
+
+
+def q_multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: multimodal payload -> stub feature vectors -> exact
+    cosine top-k (the real 100 TB shape: decode feeds the ANN ops
+    unchanged).  Rows-only gate (the PRNG stub is not SQL-expressible);
+    determinism pinned in tests/test_multimodal.py."""
+    from sagan_spark.ops.multimodal import attach_binary, extract_features
+    from sagan_spark.ops.similarity import brute_force_topk
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    emb = extract_features(attach_binary(docs), dim=16).withColumnRenamed("id", "vec_id")
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, queries_df, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_pipe_decode": q_s5_pipe_decode,
@@ -891,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features_ann": q_multimodal_features_ann,
     }
 
 
@@ -1232,5 +1277,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,"
             " sha256(text) AS content_sha FROM documents"
         ),
+        "multimodal_frame_sample": (
+            "WITH m AS (SELECT doc_id AS id,"
+            " (('0x' || substr(sha256(text), 1, 8))::BIGINT % 300) + 1 AS n_frames"
+            " FROM documents) "
+            "SELECT id, count(*) AS n_sampled,"
+            " CAST(max(f) AS BIGINT) AS last_idx FROM m,"
+            " LATERAL unnest(range(0, n_frames, 30)) t(f) GROUP BY id"
+        ),
+        "multimodal_resize": (
+            "WITH m AS (SELECT doc_id AS id,"
+            " (('0x' || substr(sha256(text), 1, 8))::BIGINT % 1920) + 1 AS width,"
+            " (('0x' || substr(sha256(text), 1, 8))::BIGINT % 1080) + 1 AS height"
+            " FROM documents) "
+            "SELECT id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,"
+            " CAST(greatest(floor(width * least(224.0/width, 224.0/height, 1.0)), 1) AS INT) AS out_w,"
+            " CAST(greatest(floor(height * least(224.0/width, 224.0/height, 1.0)), 1) AS INT) AS out_h"
+            " FROM m"
+        ),
+        # multimodal_features_ann: PRNG stub kernel — rows-only
         # dedup_simhash, ann_lsh_topk: pandas-UDF / hyperplane ops — rows-only
     }

@@ -85,3 +85,59 @@ def frame_sample_plan(meta: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_plan(meta: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Resize stage, metadata half: aspect-preserving target dimensions
+    (the arithmetic every image pipeline runs before the kernel).  Pure
+    Catalyst — the pixel kernel itself is the stubbed part (plug a
+    Pillow/libvips pandas UDF over the payload where noted in
+    decode_metadata)."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    return meta.select(
+        "id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("out_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("out_h"),
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 64,
+                     decode_stub: bool = True) -> DataFrame:
+    """Feature-extraction stage: binary payload -> embedding vector.
+
+    The real kernel (CLIP/audio fingerprint/...) is stubbed; the stub
+    derives a deterministic unit-norm vector from the payload digest so
+    downstream composition is REAL and testable: the output feeds the
+    similarity/dedup ops unchanged (array<double> `embedding` + id) —
+    multimodal -> embeddings -> ANN/near-dup is the actual 100 TB
+    pipeline shape.  Arrow-batched mapInPandas; payloads never touch
+    the driver."""
+    import numpy as np
+
+    out_schema = "id long, embedding array<double>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real feature extraction requires model/media libs not "
+                    "present in this container; plug the kernel in here"
+                )
+            embs = []
+            for b in pdf["payload"]:
+                if b is None:
+                    embs.append([0.0] * dim)
+                    continue
+                seed = int.from_bytes(hashlib.sha256(bytes(b)).digest()[:4], "big")
+                v = np.random.RandomState(seed).randn(dim)
+                v /= max(float(np.linalg.norm(v)), 1e-12)
+                embs.append([float(x) for x in v])
+            yield pd.DataFrame({"id": pdf["id"], "embedding": embs})
+
+    return media.mapInPandas(batches, schema=out_schema)

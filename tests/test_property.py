@@ -107,3 +107,28 @@ def test_parse_ip_fast_v4_equals_ipaddress():
         except Exception:
             want = None
         assert _v4_int(tok) == want, tok
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Nd", "Po", "Ll"),
+            whitelist_characters=".0123456789²³٢",
+        ),
+        max_size=18,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_v4_int_equals_ipaddress_on_arbitrary_tokens(tok):
+    """Property form of the accept-set claim, covering the Unicode-digit
+    class that crashed the round-1 implementation (str.isdigit() is True
+    for '²'/'٢' but int() rejects or mis-parses them)."""
+    import ipaddress
+
+    from sagan_spark.functions.extract import _v4_int
+
+    try:
+        want = int(ipaddress.IPv4Address(tok))
+    except Exception:
+        want = None
+    assert _v4_int(tok) == want, repr(tok)
