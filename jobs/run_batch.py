@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", default="")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    # pages = Common-Crawl-style table (url/warc_ts/html/text/lang);
+    # pipe  = raw '|'-framed syslog text lines (reference S5 feed);
+    # json  = raw JSON lines (reference S6 feed; key mapping in --json-map
+    #         as field=key1,key2 pairs separated by ';')
+    ap.add_argument("--input-format", default="pages", choices=["pages", "pipe", "json"])
+    ap.add_argument("--json-map", default="message=%JSON%")
     ap.add_argument("--run-id", default=uuid.uuid4().hex[:12])
     args = ap.parse_args()
 
@@ -78,13 +84,26 @@ def main() -> None:
         except Exception:
             pass  # no runs table yet — first run
 
-    if args.format == "iceberg":
-        pages = spark.read.format("iceberg").load(args.input)
-    else:
-        pages = spark.read.parquet(args.input)
-
     engine = SaganSparkEngine(rules)
-    frame = engine.frame_from_pages(pages)
+    if args.input_format == "pipe":
+        from sagan_spark.pipeline.decode import decode_pipe_frame
+
+        frame = decode_pipe_frame(spark.read.text(args.input), line_col="value")
+    elif args.input_format == "json":
+        from sagan_spark.pipeline.decode import decode_json_frame
+
+        mapping = {}
+        for pair in args.json_map.split(";"):
+            if "=" in pair:
+                fld, _, keys = pair.partition("=")
+                mapping[fld.strip()] = [k.strip() for k in keys.split(",") if k.strip()]
+        frame = decode_json_frame(spark.read.text(args.input), mapping, line_col="value")
+    else:
+        if args.format == "iceberg":
+            pages = spark.read.format("iceberg").load(args.input)
+        else:
+            pages = spark.read.parquet(args.input)
+        frame = engine.frame_from_pages(pages)
 
     if args.metrics:
         lineage = partition_lineage(frame, run_id=args.run_id)
