@@ -23,10 +23,13 @@ xbit/flexbit **conditions** (cross-rule bits) run as a chained
 two-query pipeline (``run_pipeline_with_xbits``): stage A routes
 stateless+stateful rules and stages set/unset events into a
 time-bucketed store; stage B replays condition rules against the staged
-store with last-write-wins precedence.  Plain-xbit unset and flexbit
-direction shapes are supported; flexbit UNSET stays batch-only (the
-reference clears tuples across shapes — needs the batch funnel walk,
-pipeline/correlate.apply_xbits).
+store with last-write-wins precedence.  Plain-xbit unset, flexbit
+direction shapes, AND flexbit unset are all supported — bits carrying a
+flexbit unset stage full-tuple events and stage B replays the
+reference's flat-store scan per bit (the same funnel model as batch
+correlate.apply_xbits).  The only remaining batch-only combination is
+after/threshold ON an xbit-condition rule (two chained stateful
+operators).
 """
 
 from __future__ import annotations
@@ -138,14 +141,6 @@ class StreamingSaganEngine:
             )
         if enable_xbits:
             for r in rules:
-                for x in r.xbits:
-                    is_flex = x.track == "flex_auto" or x.track.startswith("flex_")
-                    if x.action == "unset" and is_flex:
-                        raise NotImplementedError(
-                            f"sid {r.sid}: flexbit unset is batch-only in "
-                            "streaming (the reference clears tuples across "
-                            "shapes — needs the batch funnel walk)"
-                        )
                 if r.sid in self.cond_sids and (r.after or r.threshold):
                     raise NotImplementedError(
                         f"sid {r.sid}: after/threshold on an xbit-condition rule "
@@ -330,6 +325,21 @@ class StreamingSaganEngine:
                     out.setdefault(x.name, set()).add(s)
         return out
 
+    def _funnel_bits(self) -> set[str]:
+        """Flexbit names carrying an UNSET: the reference clears matching
+        tuples across ALL shapes (flexbit-mmap.c:973-1100), so these bits
+        stage full-tuple events and stage B replays the flat-store walk
+        per bit (same funnel model as batch correlate.apply_xbits)."""
+        from sagan_spark.pipeline.correlate import flex_shape
+
+        return {
+            x.name
+            for r in self.rules
+            for x in r.xbits
+            if x.action == "unset"
+            and (x.track == "flex_auto" or flex_shape(x.track) is not None)
+        }
+
     def start_sink_query(
         self,
         frame: DataFrame,
@@ -365,6 +375,8 @@ class StreamingSaganEngine:
         # for the chained xbit query (engine.c:1415-1427: sets happen only
         # after after/threshold survival).  Flexbit sets stage one keyed
         # copy per condition-probed shape (batch walk's variant model).
+        funnel_bits = self._funnel_bits()
+        # (sid, xbit, pos, bit_name, key_expr, funnel?)
         setters = []
         for r in rules:
             if r.sid in self.cond_sids:
@@ -373,6 +385,10 @@ class StreamingSaganEngine:
                 if x.action not in ("set", "unset"):
                     continue
                 is_flex = x.track == "flex_auto" or flex_shape(x.track) is not None
+                if is_flex and x.name in funnel_bits:
+                    # funnel: one full-tuple event, no per-shape copies
+                    setters.append((r.sid, x, r.position, x.name, F.lit(""), True))
+                    continue
                 if is_flex:
                     own = flex_shape(x.track)
                     shapes = [own] if own else sorted(shapes_by_bit.get(x.name, ()))
@@ -380,7 +396,7 @@ class StreamingSaganEngine:
                 else:
                     variants = [(x.name, xbit_key_expr(x.track))]
                 for bit_name, key in variants:
-                    setters.append((r.sid, x, r.position, bit_name, key))
+                    setters.append((r.sid, x, r.position, bit_name, key, False))
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
@@ -395,13 +411,15 @@ class StreamingSaganEngine:
                         writer_id="a",
                     )
                 all_sets = None
-                for sid, x, pos, bit_name, key in setters:
+                for sid, x, pos, bit_name, key, funnel in setters:
                     set_ts = ts_seconds_d(F.col("ts"))
                     bucket = (
                         F.floor(set_ts / F.lit(bucket_secs)).cast("long")
                         if x.expire
                         else F.lit(-1).cast("long")  # permanent: never pruned
                     )
+                    kind = ("f" + x.action) if funnel else x.action
+                    shape = (flex_shape(x.track) or "") if funnel else ""
                     sets = assembled.filter(F.col("sid") == sid).select(
                         F.lit(bit_name).alias("bit_name"),
                         key.alias("bit_key"),
@@ -409,7 +427,15 @@ class StreamingSaganEngine:
                         F.col("event_key").alias("set_event_key"),
                         F.lit(pos * 2 + 1).alias("set_seq"),
                         F.lit(x.expire).alias("expire"),
-                        F.lit(x.action).alias("kind"),
+                        F.lit(kind).alias("kind"),
+                        F.lit(shape).alias("shape"),
+                        (F.col("src_ip") if funnel else F.lit("")).alias("e_src"),
+                        (F.col("dst_ip") if funnel else F.lit("")).alias("e_dst"),
+                        (
+                            F.coalesce(F.col("username"), F.lit(""))
+                            if funnel
+                            else F.lit("")
+                        ).alias("e_user"),
                         bucket.alias("set_bucket"),
                     )
                     all_sets = sets if all_sets is None else all_sets.unionByName(sets)
@@ -467,6 +493,7 @@ class StreamingSaganEngine:
         order: live set => bit set (mirrors the batch walk's
         last-write-wins state)."""
         from sagan_spark.pipeline.correlate import (
+            _flex_tuple_match,
             flex_check_key,
             flex_shape,
             ts_seconds_d,
@@ -483,6 +510,7 @@ class StreamingSaganEngine:
         sink_names = sinks or list(SINK_BUILDERS)
         bucket_secs = self._bucket_secs()
         max_expire = self._max_expire()
+        funnel_bits = self._funnel_bits()
 
         hits = self.engine.match_hits(frame, passthrough=EVENT_COLS).filter(
             F.col("sid").isin(self.cond_sids)
@@ -518,6 +546,83 @@ class StreamingSaganEngine:
                     flag_cols.append((sid, x.action, col_name))
                     continue
                 shape = flex_shape(x.track)
+                if shape is not None and x.name in funnel_bits:
+                    # funnel bit: replay the flat-tuple-store walk over
+                    # (staged fset/funset events + this batch's checks),
+                    # one ordered pass per bit — exactly the batch
+                    # apply_xbits funnel path
+                    staged = sets.filter(
+                        (F.col("bit_name") == x.name)
+                        & F.col("kind").isin("fset", "funset")
+                    ).select(
+                        "kind",
+                        "shape",
+                        F.col("set_ts").alias("ts_d"),
+                        F.col("set_event_key").alias("event_key"),
+                        F.col("set_seq").alias("seq"),
+                        "expire",
+                        "e_src",
+                        "e_dst",
+                        "e_user",
+                        F.lit(None).cast("string").alias("hit_id"),
+                    )
+                    checks = batch_df.filter(F.col("sid") == sid).select(
+                        F.lit("fcheck").alias("kind"),
+                        F.lit(shape).alias("shape"),
+                        ts_seconds_d(F.col("ts")).alias("ts_d"),
+                        F.col("event_key"),
+                        F.lit(pos * 2).cast("int").alias("seq"),
+                        F.lit(0).alias("expire"),
+                        F.col("src_ip").alias("e_src"),
+                        F.col("dst_ip").alias("e_dst"),
+                        F.coalesce(F.col("username"), F.lit("")).alias("e_user"),
+                        F.col("event_key").alias("hit_id"),
+                    )
+                    events = staged.unionByName(checks).repartition(1)
+
+                    # _col bound at definition: the walk executes lazily
+                    # at write time, after col_name has moved on
+                    def funnel_walk(batches, _col=col_name):
+                        store: dict = {}
+                        for pdf in batches:
+                            ids, active_out = [], []
+                            it = zip(
+                                pdf["kind"], pdf["shape"], pdf["ts_d"],
+                                pdf["expire"], pdf["e_src"], pdf["e_dst"],
+                                pdf["e_user"], pdf["hit_id"],
+                            )
+                            for kind, shp, ts_d, expire, es, ed, eu, hid in it:
+                                if kind == "fset":
+                                    store[(es, ed, eu)] = (ts_d, expire)
+                                elif kind == "funset":
+                                    dead = [
+                                        t for t in store
+                                        if _flex_tuple_match(shp, t, es, ed, eu)
+                                    ]
+                                    for t in dead:
+                                        del store[t]
+                                else:
+                                    active = any(
+                                        (exp == 0 or (ts_d - st) < exp)
+                                        and _flex_tuple_match(shp, t, es, ed, eu)
+                                        for t, (st, exp) in store.items()
+                                    )
+                                    ids.append(hid)
+                                    active_out.append(bool(active))
+                            yield pd.DataFrame({"event_key": ids, _col: active_out})
+
+                    verdicts = (
+                        events.sortWithinPartitions("ts_d", "event_key", "seq")
+                        .mapInPandas(
+                            funnel_walk,
+                            schema=f"event_key string, {col_name} boolean",
+                        )
+                    )
+                    batch_df = batch_df.join(
+                        verdicts.filter(F.col(col_name)), "event_key", "left"
+                    ).withColumn(col_name, F.coalesce(F.col(col_name), F.lit(False)))
+                    flag_cols.append((sid, x.action, col_name))
+                    continue
                 if shape is not None:
                     bit_name, key = f"{x.name}#{shape}", flex_check_key(shape)
                 else:

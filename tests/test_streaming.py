@@ -272,3 +272,30 @@ alert any any any -> any any (msg:"check"; content:"checkme"; parse_src_ip: 1; x
     buckets = glob.glob(f"{out}/xbit_sets/_batch_id=*/set_bucket=*")
     live = [b for b in buckets if not b.endswith("=-1")]
     assert live == [], f"dead bucket dirs not swept: {live}"
+
+
+FLEX_UNSET_STREAM_RULES = """\
+alert any any any -> any any (msg:"reboot"; content:"reboot"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: set, win_reboot, 3600; sid:9450001;)
+alert any any any -> any any (msg:"clear"; content:"allclear"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: unset, reverse, win_reboot; sid:9450002;)
+alert any any any -> any any (msg:"avoff"; content:"av-off"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: isset, both, win_reboot; sid:9450003;)
+"""
+
+
+def test_streaming_flexbit_unset_funnel_equals_batch(spark, tmp_path):
+    """Flexbit unset now runs in the chained pipeline via the per-bit
+    funnel walk: the reverse-direction allclear clears the stored
+    (1->9) tuple before the check (reference flexbit-mmap.c:1071-1090)."""
+    table = _mini_pages(
+        [
+            ("u://fu/1", "2026-01-01 00:00:01", "reboot started from 10.0.0.1 to 10.0.0.9 now"),
+            ("u://fu/2", "2026-01-01 00:00:05", "allclear done from 10.0.0.9 to 10.0.0.1 ok"),
+            ("u://fu/3", "2026-01-01 00:00:10", "av-off alert from 10.0.0.1 to 10.0.0.9 bad"),
+            # second setter after the clear: bit set again
+            ("u://fu/4", "2026-01-01 00:00:20", "reboot started from 10.0.0.1 to 10.0.0.9 again"),
+            ("u://fu/5", "2026-01-01 00:00:30", "av-off alert from 10.0.0.1 to 10.0.0.9 late"),
+        ]
+    )
+    want, got, _ = _run_chained(spark, FLEX_UNSET_STREAM_RULES, table, tmp_path, "funset")
+    assert got == want
+    assert ("u://fu/3", 9450003) not in got  # cleared before this check
+    assert ("u://fu/5", 9450003) in got  # re-set before this check
