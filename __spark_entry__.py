@@ -462,6 +462,39 @@ def q_a10_client_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a9_client_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (complete): per-source liveness transitions — DOWN at
+    last_seen+timeout when a gap exceeds the timeout (or at the data
+    horizon), UP at the first event after such a gap (reference
+    src/processors/track-clients.c:232-290, event-time form)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.clients import track_client_transitions
+
+    frame = _events_frame(spark, sf_dir)
+    tr = track_client_transitions(frame, timeout_minutes=1440)
+    return tr.groupBy("host", "change").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.date_format(F.max("at_ts"), "yyyy-MM-dd HH:mm:ss").alias("latest_at"),
+    )
+
+
+def q_a10_client_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (complete): per-client counters incl. byte totals and
+    first/last seen (reference src/processors/client-stats.c)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.clients import client_stats
+
+    frame = _events_frame(spark, sf_dir)
+    st = client_stats(frame)
+    return st.select(
+        "host",
+        "n_events",
+        "bytes_total",
+        F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )
+
+
 def q_k3_eve_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3/K8: EVE alert assembly — flow_id bit layout
     (reference FlowGetId src/util.c:1316-1320) + severity join."""
@@ -914,7 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_after": q_a3_after,
         "a4_xbit_interval_join": q_a4_xbit_interval_join,
         "a9_track_clients": q_a9_track_clients,
+        "a9_client_transitions": q_a9_client_transitions,
         "a10_client_stats": q_a10_client_stats,
+        "a10_client_stats_full": q_a10_client_stats_full,
         "k3_eve_assembly": q_k3_eve_assembly,
         "k7_sink_fanout": q_k7_sink_fanout,
         "a11_lineage_rollup": q_a11_lineage_rollup,
@@ -1153,6 +1188,31 @@ def oracle_sql() -> dict[str, str]:
         "a10_client_stats": (
             "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,"
             " count(DISTINCT event_type) AS n_types FROM events GROUP BY 1"
+        ),
+        "a9_client_transitions": (
+            "WITH f AS (SELECT 'user-' || CAST(user_id AS VARCHAR) AS host, ts"
+            " FROM events), "
+            "o AS (SELECT host, ts,"
+            " lag(ts) OVER (PARTITION BY host ORDER BY ts) AS prev_ts,"
+            " lead(ts) OVER (PARTITION BY host ORDER BY ts) AS next_ts FROM f), "
+            "h AS (SELECT max(ts) AS horizon FROM f), "
+            "downs AS (SELECT host, 'down' AS change,"
+            " ts + INTERVAL 86400 SECOND AS at_ts FROM o, h"
+            " WHERE (next_ts IS NULL AND epoch(horizon) - epoch(ts) >= 86400)"
+            " OR (next_ts IS NOT NULL AND epoch(next_ts) - epoch(ts) >= 86400)), "
+            "ups AS (SELECT host, 'up' AS change, ts AS at_ts FROM o"
+            " WHERE prev_ts IS NOT NULL AND epoch(ts) - epoch(prev_ts) >= 86400) "
+            "SELECT host, change, count(*) AS n,"
+            " strftime(max(at_ts), '%Y-%m-%d %H:%M:%S') AS latest_at"
+            " FROM (SELECT * FROM downs UNION ALL SELECT * FROM ups) GROUP BY 1, 2"
+        ),
+        "a10_client_stats_full": (
+            "SELECT 'user-' || CAST(user_id AS VARCHAR) AS host,"
+            " count(*) AS n_events,"
+            " CAST(sum(length(props)) AS BIGINT) AS bytes_total,"
+            " strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,"
+            " strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen"
+            " FROM events GROUP BY 1"
         ),
         "k3_eve_assembly": (
             "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS timestamp,"
