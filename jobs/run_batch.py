@@ -111,7 +111,13 @@ def main() -> None:
 
     result = engine.run(frame)
     alerts = result.alerts()
-    assembled = assemble_alerts(alerts, rule_metadata_df(spark, rules), events=frame)
+    cond_sids = [
+        r.sid for r in rules if any(x.action in ("isset", "isnotset") for x in r.xbits)
+    ]
+    assembled = assemble_alerts(
+        alerts, rule_metadata_df(spark, rules), events=frame,
+        xbit_condition_sids=cond_sids,
+    )
     paths = write_sinks(assembled, args.output, fmt=args.format)
 
     if args.metrics:

@@ -78,7 +78,11 @@ def _proto_name() -> F.Column:
 
 
 def assemble_alerts(
-    alerts: DataFrame, meta: DataFrame, events: DataFrame | None = None
+    alerts: DataFrame,
+    meta: DataFrame,
+    events: DataFrame | None = None,
+    xbit_condition_sids: list[int] | None = None,
+    sensor_name: str = "sagan_spark",
 ) -> DataFrame:
     """K8: event columns + rule metadata -> the routed alert table.
 
@@ -87,7 +91,12 @@ def assemble_alerts(
     correlation (see engine.PASSTHROUGH); the fat event strings
     (message/host/program/...) join back here, one JVM hash join on
     event_key, never crossing the Arrow boundary.  Pass None when the
-    alert rows already carry the event columns (streaming)."""
+    alert rows already carry the event columns (streaming).
+
+    ``xbit_condition_sids``: rules whose xbit/flexbit condition gated
+    the match — their alerts carry the reference's correlation JSON
+    (a snapshot of the matching event, reference
+    src/xbit-mmap.c:272-398), emitted in EVE as ``correlation``."""
     if events is not None:
         if "priority" not in events.columns:
             events = events.withColumn("priority", F.lit(""))
@@ -105,11 +114,44 @@ def assemble_alerts(
     flow_id = (
         sec.bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16)
     ) + usec.bitwiseAND(F.lit(0xFFFF))
-    return (
+    out = (
         joined.withColumn("flow_id", flow_id)
         .withColumn("proto_name", _proto_name())
         .withColumn("timestamp", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
     )
+    if xbit_condition_sids:
+        corr = F.when(
+            F.col("sid").isin(xbit_condition_sids),
+            F.to_json(
+                F.struct(
+                    F.lit(sensor_name).alias("sensor"),
+                    F.col("host").alias("syslog_source"),
+                    F.col("src_ip"),
+                    F.col("dst_ip").alias("dest_ip"),
+                    F.col("username"),
+                    F.col("priority"),
+                    F.col("facility"),
+                    F.col("level"),
+                    F.col("tag"),
+                    F.date_format("ts", "yyyy-MM-dd").alias("date"),
+                    F.date_format("ts", "HH:mm:ss").alias("time"),
+                    F.col("program"),
+                    F.col("message").alias("payload"),
+                    F.col("signature"),
+                    F.col("rev"),
+                    F.lit("xbit").alias("type"),
+                    # reference says "mmap"; this engine's bit store is
+                    # the replayed event-time state, named honestly
+                    F.lit("spark").alias("storage"),
+                    F.col("rule_text").alias("rule"),
+                    F.col("proto_name").alias("proto"),
+                )
+            ),
+        )
+        out = out.withColumn("correlation", corr)
+    else:
+        out = out.withColumn("correlation", F.lit(None).cast("string"))
+    return out
 
 
 def eve_view(assembled: DataFrame, payload_base64: bool = False,
@@ -159,6 +201,7 @@ def eve_view(assembled: DataFrame, payload_base64: bool = False,
         F.when(F.col("drop"), "blocked").otherwise("allowed").alias("alert_action"),
         F.col("rule_text").alias("alert_rule"),
         F.col("rule_metadata").alias("metadata"),
+        F.col("correlation"),
         F.lit(None).cast("string").alias("normalize"),
         F.col("event_key").alias("url"),
     )

@@ -685,7 +685,9 @@ class StreamingSaganEngine:
 
             routed = batch_df.filter(verdict).drop(*[c for _, _, c in flag_cols])
             meta = rule_metadata_df(spark, rules)
-            assembled = assemble_alerts(routed, meta).persist()
+            assembled = assemble_alerts(
+                routed, meta, xbit_condition_sids=self.cond_sids
+            ).persist()
             try:
                 for sink in sink_names:
                     _idempotent_write(

@@ -74,3 +74,43 @@ def test_dynamic_rules_not_fired_not_loaded(spark, frame, tmp_path):
     result, effective = eng.run_with_dynamic_rules(frame)
     assert result.alerts().count() == 0
     assert len(effective) == 1
+
+
+def test_eve_correlation_json_for_xbit_condition_alerts(spark, tmp_path):
+    """Alerts gated by an xbit condition carry the reference's
+    correlation JSON — a snapshot of the matching event (reference
+    src/xbit-mmap.c:272-398); other alerts carry null."""
+    import json
+
+    from sagan_spark.pipeline.route import eve_view
+
+    rows = [
+        ("e1", "2026-01-01 00:00:01", "reboot seen from 10.0.0.1 now", "en"),
+        ("e2", "2026-01-01 00:00:10", "av-off alert from 10.0.0.1 bad", "en"),
+    ]
+    df = spark.createDataFrame(rows, "event_key string, ts string, message string, program string")
+    frame = df.select(
+        "event_key", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("h").alias("host"), "program",
+        F.lit("").alias("facility"), F.lit("").alias("level"), F.lit("").alias("tag"),
+        F.lit("warn").alias("priority"), "message",
+    )
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"set rb"; content:"reboot"; parse_src_ip: 1; xbits: set, name rb, track ip_src, expire 1h; sid:9000010;)\n'
+        'alert any any any -> any any (msg:"avoff after rb"; content:"av-off"; parse_src_ip: 1; xbits: isset, name rb, track ip_src; sid:9000011;)\n'
+    )
+    eng = SaganSparkEngine(rules)
+    alerts = eng.run(frame).alerts()
+    assembled = assemble_alerts(
+        alerts, rule_metadata_df(spark, rules), events=frame,
+        xbit_condition_sids=[9000011],
+    )
+    eve = {r.alert_signature_id: r for r in eve_view(assembled).collect()}
+    assert eve[9000010].correlation is None
+    corr = json.loads(eve[9000011].correlation)
+    assert corr["type"] == "xbit"
+    assert corr["src_ip"] == "10.0.0.1"
+    assert corr["payload"].startswith("av-off")
+    assert corr["signature"] == "avoff after rb"
+    assert corr["priority"] == "warn"
+    assert corr["rule"].startswith("alert any any any")
