@@ -181,9 +181,23 @@ class SaganSparkEngine:
         # this once per event before the rule loop).  Batch uses the
         # nondeterministic-flagged variant as an inlining barrier
         # (evaluate-once); streaming must stay deterministic.
+        # BATCH ONLY: the '{ in first 3 bytes' JSON-detect gate runs
+        # JVM-SIDE — rows that cannot be JSON ship a NULL into the UDF
+        # instead of the full message string, so the Arrow boundary
+        # carries only the JSON-looking sliver of the corpus.  In
+        # streaming the gate expressions would be INLINED (no barrier)
+        # into every consumer and the optimizer blows up exponentially,
+        # so the stream ships plain messages (micro-batches are small).
+        gate_args = not frame.isStreaming
         flatten = json_flatten_udf_stream if frame.isStreaming else json_flatten_udf
         if comp.needs_json:
-            df = df.withColumn("_json", flatten(F.col("message")))
+            if gate_args:
+                json_gate = F.substring(F.col("message"), 1, 3).contains("{")
+                df = df.withColumn(
+                    "_json", flatten(F.when(json_gate, F.col("message")))
+                )
+            else:
+                df = df.withColumn("_json", flatten(F.col("message")))
 
         # ---- phase 1: cheap predicates for every rule (pure Catalyst) ----
         cheap_cols_ctx = self._event_cols(df, with_extraction=False)
@@ -205,7 +219,21 @@ class SaganSparkEngine:
             parse_ip_udf = make_parse_ip_udf(
                 self.config.sagan_port, barrier=not frame.isStreaming
             )
-            cand = cand.withColumn("_pi", parse_ip_udf(F.col("message")))
+            # second-level gate (batch only, see gate_args note): only
+            # rows where a parse_ip-NEEDING rule's cheap predicate
+            # passed ship their message across the Arrow boundary;
+            # everyone else ships NULL (their alert structs never read
+            # _ips)
+            if gate_args:
+                ip_needed = F.lit(False)
+                for i, r in enumerate(self.rules):
+                    if r.uses_ip_cache:
+                        ip_needed = ip_needed | F.col(f"_c{i}")
+                cand = cand.withColumn(
+                    "_pi", parse_ip_udf(F.when(ip_needed, F.col("message")))
+                )
+            else:
+                cand = cand.withColumn("_pi", parse_ip_udf(F.col("message")))
             cand = cand.withColumn("_ips", F.col("_pi.ips")).withColumn(
                 "_ip_proto", F.col("_pi.proto")
             ).drop("_pi")

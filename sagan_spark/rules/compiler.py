@@ -216,7 +216,7 @@ class RuleCompiler:
 
     @property
     def needs_parse_ip(self) -> bool:
-        return any(r.needs_parse_ip for r in self.rules)
+        return any(r.uses_ip_cache for r in self.rules)
 
     @property
     def needed_hashes(self) -> set[str]:

@@ -343,6 +343,19 @@ class RuleIR:
         return self.parse_src_ip_pos > 0 or self.parse_dst_ip_pos > 0
 
     @property
+    def uses_ip_cache(self) -> bool:
+        """True when the rule reads the Parse_IP positional cache at all
+        — positional extraction, or an 'all parsed IPs' enrichment probe
+        (reference Sagan_Blacklist_IPADDR_All engine.c:1164; zeek
+        all_ipaddr; bluedot track all)."""
+        return (
+            self.needs_parse_ip
+            or "all" in self.blacklist
+            or "all_ipaddr" in self.zeek_intel
+            or (self.bluedot is not None and self.bluedot.track == "all")
+        )
+
+    @property
     def needs_json(self) -> bool:
         return bool(
             self.json_contents
