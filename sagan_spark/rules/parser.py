@@ -343,9 +343,11 @@ def parse_rule(
             # instead of strcmp (reference src/rules.c:2222-2234)
             if ir.json_contents:
                 ir.json_contents[-1].strstr = True
-        elif key == "json_meta_contains":
+        elif key in ("json_meta_contains", "json_meta_strstr"):
             # flag modifier: previous json_meta_content literals compare
-            # via strstr instead of strcmp (reference src/rules.c:2285-2295)
+            # via strstr instead of strcmp (reference src/rules.c:2285-2295;
+            # json_meta_strstr appears in VALID_RULE_OPTIONS src/rules.h:25
+            # with no handler of its own — accepted as the same modifier)
             if ir.json_meta_contents:
                 ir.json_meta_contents[-1].strstr = True
         elif key == "json_meta_content":

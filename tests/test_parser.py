@@ -178,3 +178,37 @@ def test_ignorable_options_pass_strict():
         " offload: http://x/; sid:30;)"
     )
     assert r.sid == 30 and not r.unknown_options
+
+
+def test_valid_rule_options_all_accepted_strict():
+    """Every name in the reference's VALID_RULE_OPTIONS
+    (src/rules.h:25) must parse under strict mode."""
+    rule = (
+        'alert tcp any any -> any any ('
+        'msg:"all options"; sid:31; rev:2; pri: 1; classtype: misc-activity; '
+        'reference: url,example.com; program: a|b; event_type: c; '
+        'syslog_tag: t; syslog_facility: f; syslog_level: l; syslog_priority: p; '
+        'content:"x"; nocase; offset: 1; depth: 5; '
+        'content:"y"; distance: 1; within: 4; '
+        'meta_content:"m %sagan%",a,b; meta_nocase; meta_offset: 1; '
+        'meta_depth: 9; meta_distance: 0; meta_within: 0; '
+        'pcre:"/z/i"; alert_time: days 0123456, hours 0000-2359; '
+        'threshold: type limit, track by_src, count 2, seconds 60; '
+        'after: track by_src, count 2, seconds 60; '
+        'blacklist: by_src; zeek-intel: src_ipaddr; '
+        'external: /bin/true; metadata: a b; email: x@y.z; '
+        'event_id: 4625; json_content: ".k","v"; json_nocase; json_contains; '
+        'json_pcre: ".k","/v/"; json_meta_content: ".k","t %sagan%",a; '
+        'json_meta_nocase; json_meta_contains; json_meta_strstr; '
+        'json_strstr: ".j","w"; append_program; json_map: "src_ip",".s"; '
+        'json_decode_base64; json_decode_base64_pcre; json_decode_base64_meta; '
+        'parse_port; parse_proto; parse_proto_program; '
+        'flexbits_upause: 1; xbits_upause: 1; flexbits_pause: 1; xbits_pause: 1; '
+        'default_proto: tcp; default_src_port: 1; default_dst_port: 2; '
+        'parse_src_ip: 1; parse_dst_ip: 2; parse_hash: md5; '
+        'xbits: set, name n1, track ip_src, expire 60; '
+        'flexbits: set, n2, 60; dynamic_load: /tmp/x.rules; '
+        'country_code: track by_src, isnot [RU]; normalize; offload: http://x/;)'
+    )
+    r = parse_rule(rule)  # strict=True default: must not raise
+    assert r.sid == 31 and not r.unknown_options
