@@ -122,3 +122,18 @@ def test_json_decode_whole_doc_message(spark):
         df, mapping={"program": ["prog"], "message": ["%JSON%"]}
     ).collect()[0]
     assert out.message == line
+
+
+def test_gzip_input_transparent(spark, tmp_path):
+    """S3: gzip feeds decode transparently (reference src/input-plugins/
+    gzip.c — Spark's text source decompresses .gz on read)."""
+    import gzip
+
+    p = tmp_path / "feed.txt.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(GOOD + "\n")
+        fh.write("10.0.0.8|f|p|l|t|2026-01-01|09:00:00|cron|job done\n")
+    df = spark.read.text(str(tmp_path))
+    out = decode_pipe_frame(df, line_col="value").collect()
+    assert {r.program for r in out} == {"sshd", "cron"}
+    assert all(r.host.startswith("10.0.0.") for r in out)
