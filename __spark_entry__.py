@@ -699,6 +699,260 @@ def q_a11_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j3_bluedot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: bluedot IP-reputation gate through the real engine path —
+    the live HTTP cache becomes a driver-side category-filtered
+    snapshot probed as a literal set (reference option parse
+    src/rules.c:3742-3965, engine probe src/processors/engine.c:1176-1289)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.compiler import EngineConfig
+    from sagan_spark.rules.parser import parse_rules
+
+    ev = _ev(spark, sf_dir)
+    msg = F.format_string(
+        "conn from 10.%d.0.1 port 22", (F.col("user_id") % 100).cast("int")
+    )
+    frame = ev.select(
+        F.col("event_id").cast("string").alias("event_key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("user-"), F.col("user_id")).alias("host"),
+        F.col("event_type").alias("program"),
+        F.lit("").alias("facility"),
+        F.lit("").alias("level"),
+        F.lit("").alias("tag"),
+        msg.alias("message"),
+    )
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"bd hit"; content:"conn from"; '
+        "parse_src_ip: 1; bluedot: type ip_reputation, track by_src, none, "
+        "Malicious&Tor; classtype: misc-attack; sid:7500001; rev:1;)"
+    )
+    cfg = EngineConfig(
+        bluedot_intel={
+            "ip_reputation": {
+                "10.7.0.1": "Malicious",
+                "10.23.0.1": "Tor",
+                "10.55.0.1": "Proxy",  # category not in the rule -> no alert
+            }
+        }
+    )
+    alerts = SaganSparkEngine(rules, cfg).run(frame).alerts()
+    return alerts.groupBy("src_ip").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def q_k6_external_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: per-rule ``external`` routing — alerts of rules carrying
+    ``external: /path`` stream to that program, one process per
+    partition (reference option src/rules.c:3680-3705, plugin
+    src/output-plugins/external.c:58-110).  The gate runs the selection
+    with a capture runner instead of fork/exec so the routed-row set
+    itself is checked."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.pipeline.route import (
+        assemble_alerts,
+        route_external,
+        rule_metadata_df,
+    )
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"ext errors"; program: error; '
+        'content:"{"; external: /bin/report-error; classtype: misc-attack; '
+        "sid:7500011; rev:1;)\n"
+        'alert any any any -> any any (msg:"local purchases"; program: purchase; '
+        'content:"{"; classtype: misc-activity; sid:7500012; rev:1;)'
+    )
+    frame = _events_frame(spark, sf_dir)
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    assembled = assemble_alerts(alerts, rule_metadata_df(spark, rules), events=frame)
+    routed: dict[str, DataFrame] = {}
+
+    def capture(df: DataFrame, command: list[str]) -> None:
+        routed[command[0]] = df
+
+    progs = route_external(assembled, rules, runner=capture)
+    assert progs == {"/bin/report-error": [7500011]}
+    ext = routed["/bin/report-error"]
+    return ext.groupBy("sid", "program").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_f7_json_pcre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: pcre over a flattened-JSON value (reference
+    src/json-pcre.c:46-103; missing key => no match)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+
+    frame = _events_frame(spark, sf_dir)
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"k 9x"; '
+        'json_pcre: ".k", "/^9[0-9]$/"; classtype: misc-activity; '
+        "sid:7500021; rev:1;)"
+    )
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    return (
+        alerts.join(frame.select("event_key", "program"), "event_key")
+        .groupBy("program")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_f8_json_meta_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: json_meta_content — OR-list of %sagan%-templated literals
+    strcmp'd against a flattened-JSON value (reference
+    src/json-meta-content.c:146 via Search_Case src/search-type.c:39-67)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+
+    frame = _events_frame(spark, sf_dir)
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"k in set"; '
+        'json_meta_content: ".k", "%sagan%", 91,93,95; '
+        "classtype: misc-activity; sid:7500031; rev:1;)"
+    )
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    return (
+        alerts.join(frame.select("event_key", "program"), "event_key")
+        .groupBy("program")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_f9_event_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/P7: Windows-style event-id framing match — ' <id>: ' searched
+    within the first 9 chars of the message (strlcpy size 10, reference
+    src/event-id.c:61-126)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+
+    ev = _ev(spark, sf_dir)
+    msg = F.format_string(
+        " %d: %s event", (4600 + F.col("user_id") % 50).cast("int"), F.col("event_type")
+    )
+    frame = ev.select(
+        F.col("event_id").cast("string").alias("event_key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("user-"), F.col("user_id")).alias("host"),
+        F.col("event_type").alias("program"),
+        F.lit("").alias("facility"),
+        F.lit("").alias("level"),
+        F.lit("").alias("tag"),
+        msg.alias("message"),
+    )
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"win evid"; '
+        'event_id: "4624|4648"; classtype: suspicious-login; sid:7500041; rev:1;)'
+    )
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    return (
+        alerts.join(frame.select("event_key", "program"), "event_key")
+        .groupBy("program", "event_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_p10_base64_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: json_decode_base64 — the flattened-JSON value is
+    base64-decoded before the json_content compare (reference
+    src/rules.c:2291-2307, decode src/processors/engine.c:652-700)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+
+    ev = _ev(spark, sf_dir)
+    msg = F.concat(
+        F.lit('{"b": "'),
+        F.base64(F.encode(F.col("event_type"), "UTF-8")),
+        F.lit('"}'),
+    )
+    frame = ev.select(
+        F.col("event_id").cast("string").alias("event_key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("user-"), F.col("user_id")).alias("host"),
+        F.col("event_type").alias("program"),
+        F.lit("").alias("facility"),
+        F.lit("").alias("level"),
+        F.lit("").alias("tag"),
+        msg.alias("message"),
+    )
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"b64 error"; '
+        'json_content: ".b", "error"; json_decode_base64; '
+        "classtype: misc-attack; sid:7500051; rev:1;)"
+    )
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    return (
+        alerts.join(
+            frame.select("event_key", F.substring("host", 6, 20).alias("uid")),
+            "event_key",
+        )
+        .groupBy((F.col("uid").cast("long") % 10).cast("long").alias("user_mod"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_a12_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: dynamic rules, two-pass batch analog — a fired
+    ``dynamic_load`` rule loads its ruleset and the combined set re-runs
+    (reference src/processors/dynamic-rules.c:61-189)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+
+    base = parse_rules(
+        'alert any any any -> any any (msg:"dyn trigger"; program: signup; '
+        'json_pcre: ".k", "/^9[5-9]$/"; dynamic_load: /dyn/extra.rules; '
+        "classtype: misc-activity; sid:7600001; rev:1;)"
+    )
+    dyn_text = (
+        'alert any any any -> any any (msg:"loaded purchases"; '
+        'program: purchase; content:"{"; classtype: misc-activity; '
+        "sid:7600002; rev:1;)"
+    )
+
+    def loader(path: str):
+        assert path == "/dyn/extra.rules"
+        return parse_rules(dyn_text)
+
+    frame = _events_frame(spark, sf_dir)
+    result, effective = SaganSparkEngine(base).run_with_dynamic_rules(
+        frame, loader=loader
+    )
+    assert [r.sid for r in effective] == [7600001, 7600002]
+    return (
+        result.alerts()
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_k2_fast_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: the one-line snort 'fast' sink format, field-for-field
+    (reference src/output-plugins/fast.c:65-88) — timestamp, sid/rev,
+    signature, classification, priority, program, proto and the
+    defaulted endpoint columns (src_ip/dst_ip fall back to the event
+    host, ports to the sagan_port 514, reference engine.c:855-870)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.pipeline.route import assemble_alerts, fast_view, rule_metadata_df
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"fast line"; program: error; '
+        'content:"{"; classtype: misc-attack; sid:7500061; rev:3;)'
+    )
+    frame = _events_frame(spark, sf_dir)
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    assembled = assemble_alerts(alerts, rule_metadata_df(spark, rules), events=frame)
+    return fast_view(assembled).select("url", "sid", "rev", "line")
+
+
 def q_streaming_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3 streaming form: applyInPandasWithState counters with
     checkpointed availableNow drain (rows-only gate — Structured
@@ -953,6 +1207,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k3_eve_assembly": q_k3_eve_assembly,
         "k7_sink_fanout": q_k7_sink_fanout,
         "a11_lineage_rollup": q_a11_lineage_rollup,
+        "j3_bluedot": q_j3_bluedot,
+        "k6_external_route": q_k6_external_route,
+        "f7_json_pcre": q_f7_json_pcre,
+        "f8_json_meta_content": q_f8_json_meta_content,
+        "f9_event_id": q_f9_event_id,
+        "p10_base64_json": q_p10_base64_json,
+        "a12_dynamic_rules": q_a12_dynamic_rules,
+        "k2_fast_format": q_k2_fast_format,
         "streaming_threshold": q_streaming_threshold,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1227,6 +1489,62 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(length(props)) AS BIGINT) AS bytes_in,"
             " CAST(max(length(props)) AS BIGINT) AS max_len,"
             " CAST(0 AS BIGINT) AS n_null FROM events"
+        ),
+        "j3_bluedot": (
+            "SELECT '10.' || CAST(user_id % 100 AS VARCHAR) || '.0.1' AS src_ip,"
+            " CAST(count(*) AS BIGINT) AS n FROM events"
+            " WHERE (user_id % 100) IN (7, 23) GROUP BY 1"
+        ),
+        "k6_external_route": (
+            "SELECT CAST(7500011 AS BIGINT) AS sid, 'error' AS program,"
+            " CAST(count(*) AS BIGINT) AS n FROM events"
+            " WHERE event_type = 'error' AND position('{' IN props) > 0"
+            " HAVING count(*) > 0"
+        ),
+        "f7_json_pcre": (
+            "SELECT event_type AS program, CAST(count(*) AS BIGINT) AS n FROM events"
+            " WHERE regexp_matches(json_extract_string(props, '$.k'), '^9[0-9]$')"
+            " GROUP BY 1"
+        ),
+        "f8_json_meta_content": (
+            "SELECT event_type AS program, CAST(count(*) AS BIGINT) AS n FROM events"
+            " WHERE json_extract_string(props, '$.k') IN ('91','93','95')"
+            " GROUP BY 1"
+        ),
+        "f9_event_id": (
+            "SELECT event_type AS program,"
+            " CAST(4600 + user_id % 50 AS VARCHAR) AS event_id,"
+            " CAST(count(*) AS BIGINT) AS n FROM events"
+            " WHERE (user_id % 50) IN (24, 48) GROUP BY 1, 2"
+        ),
+        "p10_base64_json": (
+            "SELECT CAST(user_id % 10 AS BIGINT) AS user_mod,"
+            " CAST(count(*) AS BIGINT) AS n FROM events"
+            " WHERE decode(from_base64(to_base64(encode(event_type)))) = 'error'"
+            " GROUP BY 1"
+        ),
+        "a12_dynamic_rules": (
+            "SELECT CAST(sid AS BIGINT) AS sid, CAST(n AS BIGINT) AS n FROM ("
+            "SELECT 7600001 AS sid, count(*) AS n FROM events"
+            " WHERE event_type = 'signup'"
+            " AND regexp_matches(json_extract_string(props, '$.k'), '^9[5-9]$')"
+            " UNION ALL "
+            "SELECT 7600002, count(*) FROM events"
+            " WHERE event_type = 'purchase' AND position('{' IN props) > 0"
+            " AND EXISTS (SELECT 1 FROM events WHERE event_type = 'signup'"
+            " AND regexp_matches(json_extract_string(props, '$.k'), '^9[5-9]$'))"
+            ") WHERE n > 0"
+        ),
+        "k2_fast_format": (
+            "SELECT CAST(event_id AS VARCHAR) AS url,"
+            " CAST(7500061 AS BIGINT) AS sid, 3 AS rev,"
+            " strftime(ts, '%m/%d/%Y-%H:%M:%S.%f')"
+            " || ' [**] [1:7500061:3] fast line [**]"
+            " [Classification: Misc Attack] [Priority: 2] [Program: error]"
+            " {UNKNOWN} user-' || CAST(user_id AS VARCHAR) || ':514 -> user-'"
+            " || CAST(user_id AS VARCHAR) || ':514' AS line"
+            " FROM events WHERE event_type = 'error'"
+            " AND position('{' IN props) > 0"
         ),
         # streaming_threshold: stateful streaming — rows-only gate
         "k7_sink_fanout": (
