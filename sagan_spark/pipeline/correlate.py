@@ -94,6 +94,31 @@ def _shuffle_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
+def corr_group_key(specs: dict[int, dict]) -> F.Column:
+    """Colocation key for the after/threshold shuffle: one shuffle key
+    per (sid, track-key) when one machine is active.  A rule carrying
+    BOTH after and threshold couples the two machines (the after gate
+    mutes threshold updates, engine.c:1377-1389) — but when the two
+    specs share the SAME track key (the common case) the coupled pair
+    still partitions cleanly per key, because the reference serializes
+    only per (hash, sid) slot and both machines hash the identical key
+    string (threshold.c:111, after.c:108).  Only a mixed-track
+    both-rule needs the per-sid funnel."""
+    both_sids = [s for s, v in specs.items() if v["after"] and v["threshold"]]
+    both_mixed = [
+        s for s in both_sids if specs[s]["after_track"] != specs[s]["thr_track"]
+    ]
+    after_only = [s for s, v in specs.items() if v["after"] and not v["threshold"]]
+    return (
+        F.when(F.col("sid").isin(both_mixed), F.lit(""))
+        .when(
+            F.col("sid").isin(after_only) | F.col("sid").isin(both_sids),
+            F.col("track_after"),
+        )
+        .otherwise(F.col("track_threshold"))
+    )
+
+
 def apply_after_threshold(
     hits: DataFrame,
     rules: list[RuleIR],
@@ -129,25 +154,10 @@ def apply_after_threshold(
 
     corr_sids = list(specs)
 
-    # colocation key: one shuffle key per (sid, track-key) when one machine
-    # is active.  A rule carrying BOTH after and threshold couples the two
-    # machines (the after gate mutes threshold updates, engine.c:1377-1389)
-    # — but when the two specs share the SAME track key (the common case)
-    # the coupled pair still partitions cleanly per key, because the
-    # reference serializes only per (hash, sid) slot and both machines
-    # hash the identical key string (threshold.c:111, after.c:108).  Only
-    # a mixed-track both-rule needs the per-sid funnel; without this
-    # distinction one hot both-rule made the whole correlation stage
-    # single-threaded.
-    both_sids = [s for s, v in specs.items() if v["after"] and v["threshold"]]
-    both_mixed = [s for s in both_sids if specs[s]["after_track"] != specs[s]["thr_track"]]
-    after_only = [s for s, v in specs.items() if v["after"] and not v["threshold"]]
-    group_key = (
-        F.when(F.col("sid").isin(both_mixed), F.lit(""))
-        .when(F.col("sid").isin(after_only) | F.col("sid").isin(both_sids),
-              F.col("track_after"))
-        .otherwise(F.col("track_threshold"))
-    )
+    # colocation key — see corr_group_key: per (sid, track-key) normally,
+    # per-sid funnel only for mixed-track both-rules (without this one
+    # hot both-rule made the whole correlation stage single-threaded)
+    group_key = corr_group_key(specs)
 
     narrow = (
         hits.filter(F.col("sid").isin(corr_sids))

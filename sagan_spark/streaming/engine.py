@@ -27,9 +27,12 @@ store with last-write-wins precedence.  Plain-xbit unset, flexbit
 direction shapes, AND flexbit unset are all supported — bits carrying a
 flexbit unset stage full-tuple events and stage B replays the
 reference's flat-store scan per bit (the same funnel model as batch
-correlate.apply_xbits).  The only remaining batch-only combination is
-after/threshold ON an xbit-condition rule (two chained stateful
-operators).
+correlate.apply_xbits).  after/threshold ON an xbit-condition rule also
+runs in stage B: the counters advance only on condition-PASSING rows
+(reference order engine.c:999-1024 vs 1373-1389) via a per-(sid,
+track-key) replay whose state is seeded from the previous micro-batch's
+snapshot (``corr_state_b``, idempotent batch-id partitions, retry reads
+the prior batch's snapshot).  No batch-only rule combinations remain.
 """
 
 from __future__ import annotations
@@ -120,6 +123,118 @@ def _sweep_dead_buckets(
     return removed
 
 
+_CORR_B_OUT_SCHEMA = (
+    "kind string, sid long, corr_group string, event_key string, "
+    "suppressed_after boolean, suppressed_threshold boolean, "
+    "machine string, mkey string, cnt long, utime long"
+)
+
+
+def _read_prev_corr_state(spark: SparkSession, path: str, batch_id: int):
+    """Latest stage-B correlation state snapshot written BEFORE this
+    batch (retry-safe: a replayed batch N reads N-1's snapshot even if a
+    half-written N partition exists)."""
+    try:
+        df = spark.read.option("basePath", path).parquet(path)
+    except Exception:  # first batch: no state yet
+        return None
+    df = df.withColumn(
+        "_bnum", F.regexp_extract("_batch_id", r"_(\d+)$", 1).cast("long")
+    ).filter(F.col("_bnum") < batch_id)
+    mx = df.agg(F.max("_bnum")).first()[0]
+    if mx is None:
+        return None
+    return df.filter(F.col("_bnum") == mx).select(
+        "sid", "corr_group", "machine", "mkey", "cnt", "utime"
+    )
+
+
+def _make_seeded_replay(specs: dict[int, dict], max_secs: int):
+    """Per-(sid, corr_group) after/threshold replay with state seeded
+    from the previous micro-batch's snapshot — the same machines as
+    correlate.apply_after_threshold (threshold.c:54-234, after.c:51-229),
+    running on xbit-condition-PASSING rows only (engine.c:1373-1389).
+    Emits one flag row per event plus the group's surviving state rows
+    (keys silent past max_secs gap-reset to fresh state and are
+    dropped)."""
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["sid"].iloc[0])
+        grp = pdf["corr_group"].iloc[0]
+        spec = specs.get(sid)
+        st = pdf[pdf["kind"] == "s"]
+        a_state = {
+            r.mkey: [int(r.cnt), int(r.utime)]
+            for r in st[st["machine"] == "a"].itertuples()
+        }
+        t_state = {
+            r.mkey: [int(r.cnt), int(r.utime)]
+            for r in st[st["machine"] == "t"].itertuples()
+        }
+        ev = pdf[pdf["kind"] == "e"].sort_values(
+            ["ts_epoch", "event_key"], kind="mergesort"
+        )
+        out_ek, out_a, out_t = [], [], []
+        max_t = 0
+        for r in ev.itertuples():
+            t = int(r.ts_epoch)
+            max_t = max(max_t, t)
+            suppressed = False
+            if spec and spec["after"] is not None:
+                a_count, a_secs = spec["after"]
+                s = a_state.get(r.track_after)
+                if s is None:
+                    a_state[r.track_after] = [1, t]
+                    suppressed = True
+                else:
+                    s[0] += 1
+                    oldtime = t - s[1]
+                    flag = True
+                    if oldtime > a_secs:
+                        s[0], s[1] = 1, t
+                    if a_count < s[0]:
+                        s[1] = t
+                        flag = False
+                    suppressed = flag
+            sup_thr = False
+            if spec and spec["threshold"] is not None and not suppressed:
+                ttype, t_count, t_secs = spec["threshold"]
+                s = t_state.get(r.track_threshold)
+                if s is None:
+                    t_state[r.track_threshold] = [1, t]
+                else:
+                    s[0] += 1
+                    oldtime = t - s[1]
+                    if ttype == "suppress":
+                        s[1] = t
+                    if oldtime > t_secs:
+                        s[0], s[1] = 1, t
+                    if t_count < s[0]:
+                        sup_thr = True
+            out_ek.append(r.event_key)
+            out_a.append(suppressed)
+            out_t.append(sup_thr)
+        rows = [
+            ("e", sid, grp, ek, sa, stp, "", "", 0, 0)
+            for ek, sa, stp in zip(out_ek, out_a, out_t)
+        ]
+        # survive-or-evict: a key silent past max_secs replays as fresh
+        cutoff = max_t - max_secs
+        for machine, state in (("a", a_state), ("t", t_state)):
+            for k, (cnt, utime) in state.items():
+                if utime >= cutoff:
+                    rows.append(("s", sid, grp, "", None, None, machine, k, cnt, utime))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "kind", "sid", "corr_group", "event_key", "suppressed_after",
+                "suppressed_threshold", "machine", "mkey", "cnt", "utime",
+            ],
+        )
+
+    return replay
+
+
 class StreamingSaganEngine:
     """Streaming wrapper around the batch-compiled ruleset."""
 
@@ -139,13 +254,10 @@ class StreamingSaganEngine:
                 "pipeline — use start_pipeline_with_xbits (or batch "
                 "SaganSparkEngine.run)"
             )
-        if enable_xbits:
-            for r in rules:
-                if r.sid in self.cond_sids and (r.after or r.threshold):
-                    raise NotImplementedError(
-                        f"sid {r.sid}: after/threshold on an xbit-condition rule "
-                        "would chain two stateful operators — batch-only"
-                    )
+        # after/threshold ON a condition rule runs in stage B, seeded
+        # across micro-batches from a snapshotted state store (the
+        # reference order: condition gate first, then the counters —
+        # engine.c:999-1024 vs 1373-1389)
         self.engine = SaganSparkEngine(rules, config)
         self.rules = rules
         self.watermark = watermark
@@ -155,7 +267,11 @@ class StreamingSaganEngine:
     def _corr_specs(self) -> dict[int, dict]:
         from sagan_spark.pipeline.correlate import _corr_spec_map
 
-        return _corr_spec_map(self.rules)
+        # stage A machines: condition rules' after/threshold runs AFTER
+        # the xbit gate in stage B (engine.c:999-1024 vs 1373-1389)
+        return _corr_spec_map(
+            [r for r in self.rules if r.sid not in self.cond_sids]
+        )
 
     def alerts_stream(self, frame: DataFrame) -> DataFrame:
         """frame: streaming canonical event frame -> streaming alert rows."""
@@ -180,21 +296,12 @@ class StreamingSaganEngine:
         corr = hits.filter(F.col("sid").isin(corr_sids))
 
         # both-after+threshold rules group per shared track key when the
-        # two machines key identically (see correlate.apply_after_threshold
-        # — only a mixed-track both-rule needs the per-sid funnel)
-        both_sids = [s for s, v in specs.items() if v["after"] and v["threshold"]]
-        both_mixed = [
-            s for s in both_sids if specs[s]["after_track"] != specs[s]["thr_track"]
-        ]
-        after_only = [s for s, v in specs.items() if v["after"] and not v["threshold"]]
-        group_key = (
-            F.when(F.col("sid").isin(both_mixed), F.lit(""))
-            .when(F.col("sid").isin(after_only) | F.col("sid").isin(both_sids),
-                  F.col("track_after"))
-            .otherwise(F.col("track_threshold"))
-        )
+        # two machines key identically (see correlate.corr_group_key —
+        # only a mixed-track both-rule needs the per-sid funnel)
+        from sagan_spark.pipeline.correlate import corr_group_key
+
         corr = corr.withWatermark("ts", self.watermark).withColumn(
-            "corr_group", group_key
+            "corr_group", corr_group_key(specs)
         )
 
         base_fields = [f for f in corr.schema.fields if f.name != "corr_group"]
@@ -493,10 +600,13 @@ class StreamingSaganEngine:
         order: live set => bit set (mirrors the batch walk's
         last-write-wins state)."""
         from sagan_spark.pipeline.correlate import (
+            _corr_spec_map,
             _flex_tuple_match,
+            corr_group_key,
             flex_check_key,
             flex_shape,
             ts_seconds_d,
+            ts_seconds_l,
             xbit_key_expr,
         )
         from sagan_spark.pipeline.route import (
@@ -684,6 +794,91 @@ class StreamingSaganEngine:
                 verdict = verdict & F.when(F.col("sid") == sid, ok).otherwise(F.lit(True))
 
             routed = batch_df.filter(verdict).drop(*[c for _, _, c in flag_cols])
+
+            # after/threshold ON condition rules: counters advance only
+            # on condition-PASSING rows (engine.c:1373-1389), replayed
+            # per (sid, track-key) with state seeded from the previous
+            # micro-batch's snapshot (idempotent batch-id partitions —
+            # a replayed batch N re-reads N-1's snapshot)
+            corr_specs_b = _corr_spec_map(cond_rules)
+            if corr_specs_b:
+                corr_sids_b = list(corr_specs_b)
+                # rows arrive with False placeholder flags (set before
+                # writeStream) — drop them so the replay's verdicts are
+                # the only columns with these names after the join
+                corr_rows = routed.filter(F.col("sid").isin(corr_sids_b)).drop(
+                    "suppressed_after", "suppressed_threshold"
+                )
+                plain_rows = routed.filter(~F.col("sid").isin(corr_sids_b))
+                state_path = f"{base_path}/corr_state_b"
+                narrow = corr_rows.select(
+                    F.lit("e").alias("kind"),
+                    F.col("sid"),
+                    corr_group_key(corr_specs_b).alias("corr_group"),
+                    "event_key",
+                    ts_seconds_l(F.col("ts")).alias("ts_epoch"),
+                    "track_after",
+                    "track_threshold",
+                    F.lit("").alias("machine"),
+                    F.lit("").alias("mkey"),
+                    F.lit(0).cast("long").alias("cnt"),
+                    F.lit(0).cast("long").alias("utime"),
+                )
+                prev = _read_prev_corr_state(spark, state_path, batch_id)
+                if prev is not None:
+                    narrow = narrow.unionByName(
+                        prev.select(
+                            F.lit("s").alias("kind"),
+                            "sid",
+                            "corr_group",
+                            F.lit("").alias("event_key"),
+                            F.lit(0).cast("long").alias("ts_epoch"),
+                            F.lit("").alias("track_after"),
+                            F.lit("").alias("track_threshold"),
+                            "machine",
+                            "mkey",
+                            "cnt",
+                            "utime",
+                        )
+                    )
+                max_secs_b = max(
+                    max(
+                        v["after"][1] if v["after"] else 0,
+                        v["threshold"][2] if v["threshold"] else 0,
+                    )
+                    for v in corr_specs_b.values()
+                )
+                replayed = (
+                    narrow.groupBy("sid", "corr_group")
+                    .applyInPandas(
+                        _make_seeded_replay(corr_specs_b, max_secs_b),
+                        schema=_CORR_B_OUT_SCHEMA,
+                    )
+                    .persist()
+                )
+                _idempotent_write(
+                    replayed.filter(F.col("kind") == "s").select(
+                        "sid", "corr_group", "machine", "mkey", "cnt", "utime"
+                    ),
+                    state_path,
+                    batch_id,
+                    writer_id="s",
+                )
+                flags = replayed.filter(F.col("kind") == "e").select(
+                    "sid",
+                    "event_key",
+                    "suppressed_after",
+                    "suppressed_threshold",
+                )
+                survivors = (
+                    corr_rows.join(flags, ["sid", "event_key"])
+                    .filter(
+                        ~F.col("suppressed_after") & ~F.col("suppressed_threshold")
+                    )
+                    .select(*plain_rows.columns)
+                )
+                routed = plain_rows.unionByName(survivors)
+
             meta = rule_metadata_df(spark, rules)
             assembled = assemble_alerts(
                 routed, meta, xbit_condition_sids=self.cond_sids
@@ -699,6 +894,8 @@ class StreamingSaganEngine:
             finally:
                 assembled.unpersist()
                 batch_df.unpersist()
+                if corr_specs_b:
+                    replayed.unpersist()
             if min_chk is not None and max_expire > 0:
                 _sweep_dead_buckets(sets_path, bucket_secs, max_expire, min_chk)
 

@@ -299,3 +299,80 @@ def test_streaming_flexbit_unset_funnel_equals_batch(spark, tmp_path):
     assert got == want
     assert ("u://fu/3", 9450003) not in got  # cleared before this check
     assert ("u://fu/5", 9450003) in got  # re-set before this check
+
+
+# ---------------------------------------------------------------------------
+# after/threshold ON xbit-condition rules (stage B seeded replay) — the
+# last streaming-parity gate from VERDICT r1 #7: counters advance only on
+# condition-PASSING rows (engine.c:999-1024 vs 1373-1389), with state
+# carried across micro-batches via the snapshotted corr_state_b store
+# ---------------------------------------------------------------------------
+
+COND_CORR_RULES = """\
+alert any any any -> any any (msg:"set"; content:"setme"; parse_src_ip: 1; xbits: set, name b1, track ip_src, expire 1h; sid:9400001;)
+alert any any any -> any any (msg:"chk thr"; content:"checkme"; parse_src_ip: 1; xbits: isset, name b1, track ip_src; threshold: type limit, track by_src, count 2, seconds 3600; sid:9400002;)
+alert any any any -> any any (msg:"chk after"; content:"checkme"; parse_src_ip: 1; xbits: isset, name b1, track ip_src; after: track by_src, count 2, seconds 3600; sid:9400003;)
+"""
+
+COND_CORR_EVENTS = [
+    ("u://cc/0", "2026-01-01 00:00:01", "setme from 10.0.0.1 ok"),
+    ("u://cc/1", "2026-01-01 00:00:10", "checkme from 10.0.0.1 a"),
+    ("u://cc/2", "2026-01-01 00:00:20", "checkme from 10.0.0.1 b"),
+    # 10.0.0.2 never set: condition fails, counters must NOT advance
+    ("u://cc/3", "2026-01-01 00:00:25", "checkme from 10.0.0.2 x"),
+    # --- chunk boundary in the streaming run ---
+    ("u://cc/4", "2026-01-01 00:01:00", "checkme from 10.0.0.1 c"),
+    ("u://cc/5", "2026-01-01 00:01:30", "checkme from 10.0.0.1 d"),
+]
+
+
+def test_streaming_cond_rule_threshold_after_equals_batch(spark, tmp_path):
+    """Two-chunk drain with a restart BETWEEN the chunks: the threshold
+    (limit 2/h) must keep counting across the chunk boundary (alerts on
+    checks 1-2 only) and the after (count 2) must flip across it
+    (alerts on checks 3-4 only) — both require the seeded state store."""
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(COND_CORR_RULES)
+    table = _mini_pages(COND_CORR_EVENTS)
+    input_dir = tmp_path / "cc_in"
+    input_dir.mkdir()
+    out = str(tmp_path / "cc_sinks")
+    ckpt = str(tmp_path / "cc_ckpt")
+
+    full_path = str(tmp_path / "cc_full.parquet")
+    pq.write_table(table, full_path)
+    pages = spark.read.parquet(full_path)
+    batch_engine = SaganSparkEngine(rules)
+    batch_alerts = batch_engine.run(batch_engine.frame_from_pages(pages)).alerts()
+    want = {
+        (r.event_key, r.sid) for r in batch_alerts.select("event_key", "sid").collect()
+    }
+    # pin the oracle itself so both engines can't be wrong together
+    assert want == {
+        ("u://cc/0", 9400001),
+        ("u://cc/1", 9400002),
+        ("u://cc/2", 9400002),
+        ("u://cc/4", 9400003),
+        ("u://cc/5", 9400003),
+    }
+
+    seng = StreamingSaganEngine(rules, watermark="0 seconds", enable_xbits=True)
+
+    def frame_factory():
+        return SaganSparkEngine.frame_from_pages(
+            pages_stream_frame(spark, str(input_dir))
+        )
+
+    pq.write_table(table.slice(0, 4), str(input_dir / "c1.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+    pq.write_table(table.slice(4), str(input_dir / "c2.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+
+    got_df = (
+        spark.read.parquet(f"{out}/alerts_eve")
+        .select("url", "alert_signature_id")
+        .toPandas()
+    )
+    got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
+    assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
