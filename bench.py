@@ -88,9 +88,12 @@ def run_engine_bench(spark) -> dict:
     # cold = first execution in this JVM: includes the one-time janino
     # compile + JIT warmup of the fused 23-rule stage code (plan-size-,
     # not data-size-, proportional — same protocol as BENCH_r01).
-    # steady = an identical second execution: the per-process fixed cost
-    # is gone, which is the regime a 100 TB / long-running job sits in.
+    # steady = an identical second execution with the cache CLEARED (the
+    # engine's internal hits persist must not carry over): all data is
+    # recomputed, only the per-process fixed cost is gone — the regime a
+    # 100 TB / long-running job sits in.
     cold_dt, n_routed = one_run()
+    spark.catalog.clearCache()
     steady_dt, n_routed2 = one_run()
     assert n_routed == n_routed2
     return {
