@@ -953,6 +953,42 @@ def q_k2_fast_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fast_view(assembled).select("url", "sid", "rev", "line")
 
 
+def q_k1_alert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: the multi-line 'alert.log' sink's core columns
+    (reference src/output-plugins/alert.c:70-101)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.pipeline.route import alert_view, assemble_alerts, rule_metadata_df
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"alert line"; program: error; '
+        'content:"{"; classtype: misc-attack; sid:7500071; rev:2;)'
+    )
+    frame = _events_frame(spark, sf_dir)
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    assembled = assemble_alerts(alerts, rule_metadata_df(spark, rules), events=frame)
+    return alert_view(assembled)
+
+
+def q_k4_syslog_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: the snort-compatible one-line syslog sink format
+    (reference src/output-plugins/syslog-handler.c:50-90)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.pipeline.route import assemble_alerts, rule_metadata_df, syslog_view
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"syslog line"; program: error; '
+        'content:"{"; classtype: misc-attack; sid:7500072; rev:1;)'
+    )
+    frame = _events_frame(spark, sf_dir)
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    assembled = assemble_alerts(alerts, rule_metadata_df(spark, rules), events=frame)
+    return syslog_view(assembled)
+
+
 def q_streaming_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3 streaming form: applyInPandasWithState counters with
     checkpointed availableNow drain (rows-only gate — Structured
@@ -1215,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_base64_json": q_p10_base64_json,
         "a12_dynamic_rules": q_a12_dynamic_rules,
         "k2_fast_format": q_k2_fast_format,
+        "k1_alert_view": q_k1_alert_view,
+        "k4_syslog_format": q_k4_syslog_format,
         "streaming_threshold": q_streaming_threshold,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1543,6 +1581,31 @@ def oracle_sql() -> dict[str, str]:
             " [Classification: Misc Attack] [Priority: 2] [Program: error]"
             " {UNKNOWN} user-' || CAST(user_id AS VARCHAR) || ':514 -> user-'"
             " || CAST(user_id AS VARCHAR) || ':514' AS line"
+            " FROM events WHERE event_type = 'error'"
+            " AND position('{' IN props) > 0"
+        ),
+        "k1_alert_view": (
+            "SELECT CAST(event_id AS VARCHAR) AS url,"
+            " CAST(7500071 AS BIGINT) AS sid, 2 AS rev,"
+            " 'alert line' AS signature, 'misc-attack' AS classtype,"
+            " 'Misc Attack' AS category, 2 AS severity,"
+            " 'user-' || CAST(user_id AS VARCHAR) AS host,"
+            " strftime(ts, '%Y-%m-%d') AS \"date\","
+            " strftime(ts, '%H:%M:%S') AS \"time\","
+            " 'user-' || CAST(user_id AS VARCHAR) AS src_ip,"
+            " 514 AS src_port,"
+            " 'user-' || CAST(user_id AS VARCHAR) AS dst_ip,"
+            " 514 AS dst_port, '' AS facility, event_type AS program,"
+            " props AS message, '' AS rule_reference"
+            " FROM events WHERE event_type = 'error'"
+            " AND position('{' IN props) > 0"
+        ),
+        "k4_syslog_format": (
+            "SELECT CAST(event_id AS VARCHAR) AS url,"
+            " CAST(7500072 AS BIGINT) AS sid,"
+            " '[1:7500072:1] syslog line [Classification: Misc Attack]"
+            " [Priority: 2] {UNKNOWN} user-' || CAST(user_id AS VARCHAR)"
+            " || ':514 -> user-' || CAST(user_id AS VARCHAR) || ':514' AS line"
             " FROM events WHERE event_type = 'error'"
             " AND position('{' IN props) > 0"
         ),

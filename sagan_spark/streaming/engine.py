@@ -130,6 +130,22 @@ _CORR_B_OUT_SCHEMA = (
 )
 
 
+def _prune_old_corr_snapshots(path: str, batch_id: int) -> None:
+    """Keep only the current and previous batch's state snapshots: a
+    replayed batch N re-reads N-1, nothing ever reads older — without
+    this the store grows one partition per micro-batch forever."""
+    import glob
+    import shutil
+
+    for d in glob.glob(f"{path}/_batch_id=*"):
+        try:
+            b = int(d.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if b < batch_id - 1:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _read_prev_corr_state(spark: SparkSession, path: str, batch_id: int):
     """Latest stage-B correlation state snapshot written BEFORE this
     batch (retry-safe: a replayed batch N reads N-1's snapshot even if a
@@ -864,6 +880,7 @@ class StreamingSaganEngine:
                     batch_id,
                     writer_id="s",
                 )
+                _prune_old_corr_snapshots(state_path, batch_id)
                 flags = replayed.filter(F.col("kind") == "e").select(
                     "sid",
                     "event_key",

@@ -376,3 +376,10 @@ def test_streaming_cond_rule_threshold_after_equals_batch(spark, tmp_path):
     )
     got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
     assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
+
+    # the state store keeps only the current+previous snapshot (older
+    # partitions are physically pruned — bounded in continuous mode)
+    import glob
+
+    snaps = glob.glob(f"{out}/corr_state_b/_batch_id=*")
+    assert 1 <= len(snaps) <= 2, snaps
