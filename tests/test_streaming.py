@@ -383,3 +383,74 @@ def test_streaming_cond_rule_threshold_after_equals_batch(spark, tmp_path):
 
     snaps = glob.glob(f"{out}/corr_state_b/_batch_id=*")
     assert 1 <= len(snaps) <= 2, snaps
+
+
+# ---------------------------------------------------------------------------
+# randomized parity: batch == chained streaming over the full stateful
+# surface (set/unset staging, isset/isnotset gates, threshold/after ON
+# condition rules, expiring bits), random event orderings + chunk splits
+# ---------------------------------------------------------------------------
+
+RANDOM_PARITY_RULES = """\
+alert any any any -> any any (msg:"set"; content:"setme"; parse_src_ip: 1; xbits: set, name rb, track ip_src, expire 40; sid:9500001;)
+alert any any any -> any any (msg:"clear"; content:"clearme"; parse_src_ip: 1; xbits: unset, name rb, track ip_src; sid:9500002;)
+alert any any any -> any any (msg:"chk thr"; content:"checkme"; parse_src_ip: 1; xbits: isset, name rb, track ip_src; threshold: type limit, track by_src, count 2, seconds 60; sid:9500003;)
+alert any any any -> any any (msg:"chk not"; content:"checkme"; parse_src_ip: 1; xbits: isnotset, name rb, track ip_src; after: track by_src, count 2, seconds 60; sid:9500004;)
+"""
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_streaming_random_parity_with_cond_correlation(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    t = 0
+    rows = []
+    for i in range(40):
+        t += rng.randint(1, 12)
+        ip = rng.choice(["10.0.0.1", "10.0.0.2"])
+        verb = rng.choice(["setme", "clearme", "checkme", "checkme"])
+        ts = pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=t)
+        rows.append((f"u://rp{seed}/{i}", str(ts), f"{verb} from {ip} x"))
+    table = _mini_pages(rows)
+
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(RANDOM_PARITY_RULES)
+    input_dir = tmp_path / "rp_in"
+    input_dir.mkdir()
+    out = str(tmp_path / "rp_sinks")
+    ckpt = str(tmp_path / "rp_ckpt")
+
+    full_path = str(tmp_path / "rp_full.parquet")
+    pq.write_table(table, full_path)
+    pages = spark.read.parquet(full_path)
+    batch_engine = SaganSparkEngine(rules)
+    batch_alerts = batch_engine.run(batch_engine.frame_from_pages(pages)).alerts()
+    want = {
+        (r.event_key, r.sid) for r in batch_alerts.select("event_key", "sid").collect()
+    }
+
+    seng = StreamingSaganEngine(rules, watermark="0 seconds", enable_xbits=True)
+
+    def frame_factory():
+        return SaganSparkEngine.frame_from_pages(
+            pages_stream_frame(spark, str(input_dir))
+        )
+
+    split = rng.randint(10, 30)
+    pq.write_table(table.slice(0, split), str(input_dir / "c1.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+    pq.write_table(table.slice(split), str(input_dir / "c2.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+
+    got_df = (
+        spark.read.parquet(f"{out}/alerts_eve")
+        .select("url", "alert_signature_id")
+        .toPandas()
+    )
+    got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
+    assert got == want, (
+        f"seed={seed} split={split} "
+        f"missing={sorted(want-got)} extra={sorted(got-want)}"
+    )
