@@ -389,6 +389,46 @@ def apply_xbits(
 
     set_rules = [r for r in rules if any(x.action in ("set", "unset") for x in r.xbits)]
 
+    # CHAIN rules: check one bit AND set/unset another (stage-2
+    # escalation; reference evaluates the condition at engine.c:999-1024
+    # and applies the set at :1415-1427 only for fully-matched rules).
+    # Their set events are GATED on their own check verdict, so every
+    # bit a chain rule touches — and transitively every bit sharing a
+    # chain rule with those — funnels into ONE walk partition per
+    # connected component (the reference serializes the whole store;
+    # one component per task is still strictly more parallel).
+    chain_rules = [
+        r for r in cond_rules if any(x.action in ("set", "unset") for x in r.xbits)
+    ]
+    for r in chain_rules:
+        if r.after or r.threshold:
+            raise NotImplementedError(
+                f"sid {r.sid}: set/unset gated on BOTH a condition and "
+                "after/threshold would need the counters inside the walk"
+            )
+        for x in r.xbits:
+            if x.track == "flex_auto" or flex_shape(x.track) is not None:
+                raise NotImplementedError(
+                    f"sid {r.sid}: flexbit chains (condition + set on one "
+                    "rule) are not supported — plain xbits only"
+                )
+    # union-find over bit names: one component per transitive chain
+    _parent: dict[str, str] = {}
+
+    def _find(b: str) -> str:
+        _parent.setdefault(b, b)
+        while _parent[b] != b:
+            _parent[b] = _parent[_parent[b]]
+            b = _parent[b]
+        return b
+
+    for r in chain_rules:
+        names = [x.name for x in r.xbits]
+        for n in names[1:]:
+            _parent[_find(names[0])] = _find(n)
+    chain_members: dict[str, str] = {b: _find(b) for b in _parent}
+    chain_sids = {r.sid for r in chain_rules}
+
     # flexbit SETs record (src, dst, username); which key shapes the
     # store needs is decided by the CONDITIONS that probe the bit — one
     # keyed copy per (bit, shape), namespaced "name#shape"
@@ -427,7 +467,37 @@ def apply_xbits(
     # build set/unset event stream from surviving setter alerts
     spark_events = []
     src = survived if survived is not None else hits
+
+    # chain rules: set/unset events come from their CANDIDATE hits (the
+    # walk gates them on the rule's own check verdict, recorded earlier
+    # in the same ordered pass — seq 2p checks before 2p+1 sets)
+    for r in chain_rules:
+        for x in r.xbits:
+            if x.action not in ("set", "unset"):
+                continue
+            ev = (
+                hits.filter(F.col("sid") == r.sid)
+                .select(
+                    F.lit(x.name).alias("bit_name"),
+                    xbit_key_expr(x.track).alias("bit_key"),
+                    ts_seconds_d(F.col("ts")).alias("ts_d"),
+                    F.col("event_key"),
+                    F.lit(r.position * 2 + 1).alias("seq"),
+                    F.lit("c" + x.action).alias("kind"),
+                    F.lit(x.expire).alias("expire"),
+                    F.concat_ws(
+                        "#", F.col("event_key"), F.col("sid").cast("string")
+                    ).alias("hit_id"),
+                    F.lit(False).alias("want_set"),
+                    F.lit("").alias("shape"),
+                    *_no_tuple_cols(),
+                )
+            )
+            spark_events.append(ev)
+
     for r in set_rules:
+        if r.sid in chain_sids:
+            continue  # staged above, gated on the rule's own condition
         for x in r.xbits:
             if x.action not in ("set", "unset"):
                 continue
@@ -548,6 +618,9 @@ def apply_xbits(
         # funnel bits: bit_name -> {(src, dst, user): (set_ts, expire)} —
         # the reference's flat tuple store (src/flexbit-mmap.c)
         fstate: dict = {}
+        # chain gating: hit_id -> AND of that rule's check verdicts so
+        # far (its cset/cunset events sort after all its checks)
+        ver: dict = {}
         for pdf in batches:
             out_ids: list[str] = []
             out_ok: list[bool] = []
@@ -569,13 +642,21 @@ def apply_xbits(
                     state[(name, key)] = (ts_d, expire)
                 elif kind == "unset":
                     state.pop((name, key), None)
+                elif kind == "cset":
+                    if ver.get(hit_id, False):
+                        state[(name, key)] = (ts_d, expire)
+                elif kind == "cunset":
+                    if ver.get(hit_id, False):
+                        state.pop((name, key), None)
                 elif kind == "check":
                     st = state.get((name, key))
                     active = st is not None and (
                         st[1] == 0 or (ts_d - st[0]) < st[1]
                     )
+                    ok = bool(active) == bool(want_set)
+                    ver[hit_id] = ver.get(hit_id, True) and ok
                     out_ids.append(hit_id)
-                    out_ok.append(bool(active) == bool(want_set))
+                    out_ok.append(ok)
                 elif kind == "fset":
                     fstate.setdefault(name, {})[(esrc, edst, euser)] = (ts_d, expire)
                 elif kind == "funset":
@@ -599,9 +680,26 @@ def apply_xbits(
                     out_ok.append(bool(active) == bool(want_set))
             yield pd.DataFrame({"hit_id": out_ids, "ok": pd.array(out_ok, dtype="boolean")})
 
+    if chain_members:
+        # all events of a chain component colocate (the gated set and
+        # the checks that observe it live in one ordered pass); other
+        # bits keep the per-(bit, key) spread
+        comp_expr = F.lit(None).cast("string")
+        for bit, comp in chain_members.items():
+            comp_expr = F.when(F.col("bit_name") == bit, F.lit(f"\x00{comp}")).otherwise(
+                comp_expr
+            )
+        part_key = F.coalesce(
+            comp_expr, F.concat_ws("\x01", F.col("bit_name"), F.col("bit_key"))
+        )
+        events = events.withColumn("part_key", part_key)
+        shuffled = events.repartition(_shuffle_partitions(events), "part_key")
+    else:
+        shuffled = events.repartition(
+            _shuffle_partitions(events), "bit_name", "bit_key"
+        )
     verdicts = (
-        events.repartition(_shuffle_partitions(events), "bit_name", "bit_key")
-        .sortWithinPartitions("ts_d", "event_key", "seq")
+        shuffled.sortWithinPartitions("ts_d", "event_key", "seq")
         .mapInPandas(walk, schema=out_struct)
     )
     # all condition entries of a hit must hold (xbit-mmap.c:181-264);

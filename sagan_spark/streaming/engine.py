@@ -274,6 +274,16 @@ class StreamingSaganEngine:
         # across micro-batches from a snapshotted state store (the
         # reference order: condition gate first, then the counters —
         # engine.c:999-1024 vs 1373-1389)
+        if enable_xbits:
+            for r in rules:
+                if r.sid in self.cond_sids and any(
+                    x.action in ("set", "unset") for x in r.xbits
+                ):
+                    raise NotImplementedError(
+                        f"sid {r.sid}: chained xbits (condition + set on one "
+                        "rule) run in the batch engine's component funnel — "
+                        "not yet in the two-query streaming pipeline"
+                    )
         self.engine = SaganSparkEngine(rules, config)
         self.rules = rules
         self.watermark = watermark

@@ -1,0 +1,107 @@
+"""Chained xbits: a rule that CHECKS one bit and SETS another
+(stage-2 escalation, reference engine.c:999-1024 condition gate then
+:1415-1427 sets for fully-matched rules).  The set must fire only when
+the rule's own condition passed, in strict event-time order."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sagan_spark.pipeline.engine import SaganSparkEngine
+from sagan_spark.rules.parser import parse_rules
+
+CHAIN_RULES = """\
+alert any any any -> any any (msg:"s1"; content:"stage1"; parse_src_ip: 1; xbits: set, name bitA, track ip_src, expire 1h; sid:9600001;)
+alert any any any -> any any (msg:"s2"; content:"stage2"; parse_src_ip: 1; xbits: isset, name bitA, track ip_src; xbits: set, name bitB, track ip_src, expire 1h; sid:9600002;)
+alert any any any -> any any (msg:"s3"; content:"stage3"; parse_src_ip: 1; xbits: isset, name bitB, track ip_src; sid:9600003;)
+"""
+
+
+def _frame(spark, rows):
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array(
+                [pd.Timestamp(r[1]) for r in rows], type=pa.timestamp("us")
+            ),
+            "html": [b"" for _ in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en" for _ in rows],
+        }
+    )
+    return SaganSparkEngine.frame_from_pages(
+        spark.createDataFrame(tbl.to_pandas())
+    )
+
+
+def _alerts(spark, rules_text, rows):
+    rules = parse_rules(rules_text)
+    res = SaganSparkEngine(rules).run(_frame(spark, rows))
+    return {
+        (r.event_key, r.sid)
+        for r in res.alerts().select("event_key", "sid").collect()
+    }
+
+
+def test_chain_set_fires_only_after_condition_passes(spark):
+    rows = [
+        # 10.0.0.9: stage3 then stage2 BEFORE any stage1 -> nothing routes,
+        # and crucially stage2's set of bitB must NOT happen
+        ("u://c/0", "2026-01-01 00:00:01", "stage3 from 10.0.0.9 x"),
+        ("u://c/1", "2026-01-01 00:00:02", "stage2 from 10.0.0.9 x"),
+        ("u://c/2", "2026-01-01 00:00:03", "stage3 from 10.0.0.9 x"),
+        # 10.0.0.1: full chain in order
+        ("u://c/3", "2026-01-01 00:01:00", "stage1 from 10.0.0.1 a"),
+        ("u://c/4", "2026-01-01 00:01:10", "stage2 from 10.0.0.1 b"),
+        ("u://c/5", "2026-01-01 00:01:20", "stage3 from 10.0.0.1 c"),
+        # 10.0.0.1: stage3 arriving before stage2 (but after stage1) must
+        # not alert — bitB is set only at 00:01:10
+        ("u://c/6", "2026-01-01 00:01:05", "stage3 from 10.0.0.1 early"),
+    ]
+    got = _alerts(spark, CHAIN_RULES, rows)
+    assert got == {
+        ("u://c/3", 9600001),  # setter alerts
+        ("u://c/4", 9600002),  # condition bitA passed -> alert + set bitB
+        ("u://c/5", 9600003),  # bitB visible at 00:01:20
+    }
+
+
+def test_chain_unset_gated_on_condition(spark):
+    rules = """\
+alert any any any -> any any (msg:"s1"; content:"stage1"; parse_src_ip: 1; xbits: set, name bitA, track ip_src, expire 1h; sid:9610001;)
+alert any any any -> any any (msg:"arm"; content:"armbit"; parse_src_ip: 1; xbits: set, name bitB, track ip_src, expire 1h; sid:9610002;)
+alert any any any -> any any (msg:"dis"; content:"disarm"; parse_src_ip: 1; xbits: isset, name bitA, track ip_src; xbits: unset, name bitB, track ip_src; sid:9610003;)
+alert any any any -> any any (msg:"chk"; content:"checkme"; parse_src_ip: 1; xbits: isset, name bitB, track ip_src; sid:9610004;)
+"""
+    rows = [
+        ("u://d/0", "2026-01-01 00:00:01", "armbit from 10.0.0.1 x"),
+        # disarm BEFORE bitA set: condition fails, bitB must survive
+        ("u://d/1", "2026-01-01 00:00:05", "disarm from 10.0.0.1 x"),
+        ("u://d/2", "2026-01-01 00:00:10", "checkme from 10.0.0.1 x"),
+        ("u://d/3", "2026-01-01 00:00:20", "stage1 from 10.0.0.1 x"),
+        # disarm with bitA set: bitB cleared now
+        ("u://d/4", "2026-01-01 00:00:30", "disarm from 10.0.0.1 x"),
+        ("u://d/5", "2026-01-01 00:00:40", "checkme from 10.0.0.1 x"),
+    ]
+    got = _alerts(spark, rules, rows)
+    assert got == {
+        ("u://d/0", 9610002),
+        ("u://d/2", 9610004),  # bitB still set (disarm was not armed)
+        ("u://d/3", 9610001),
+        ("u://d/4", 9610003),  # disarm passes once bitA set
+        # u://d/5 absent: bitB cleared
+    }
+
+
+def test_chain_rule_with_after_threshold_rejected(spark):
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"bad"; content:"x"; parse_src_ip: 1; '
+        "xbits: isset, name a, track ip_src; xbits: set, name b, track ip_src; "
+        "after: track by_src, count 2, seconds 60; sid:9620001;)"
+    )
+    with pytest.raises(NotImplementedError):
+        SaganSparkEngine(rules).run(
+            _frame(spark, [("u://e/0", "2026-01-01 00:00:01", "x from 10.0.0.1")])
+        )
