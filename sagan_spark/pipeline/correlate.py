@@ -356,6 +356,46 @@ def _flex_tuple_match(shape: str, stored: tuple, esrc, edst, euser) -> bool:
     return False
 
 
+def chain_components(rules: list[RuleIR]) -> tuple[list[RuleIR], dict[str, str]]:
+    """Chain rules (a condition AND a set/unset on one rule) and the
+    union-find components of every bit they touch (bit name -> component
+    id).  Validates the supported surface: plain xbits only, no
+    after/threshold on a chain rule (its counters would have to run
+    inside the walk)."""
+    cond_rules = [
+        r for r in rules if any(x.action in ("isset", "isnotset") for x in r.xbits)
+    ]
+    chain_rules = [
+        r for r in cond_rules if any(x.action in ("set", "unset") for x in r.xbits)
+    ]
+    for r in chain_rules:
+        if r.after or r.threshold:
+            raise NotImplementedError(
+                f"sid {r.sid}: set/unset gated on BOTH a condition and "
+                "after/threshold would need the counters inside the walk"
+            )
+        for x in r.xbits:
+            if x.track == "flex_auto" or flex_shape(x.track) is not None:
+                raise NotImplementedError(
+                    f"sid {r.sid}: flexbit chains (condition + set on one "
+                    "rule) are not supported — plain xbits only"
+                )
+    parent: dict[str, str] = {}
+
+    def find(b: str) -> str:
+        parent.setdefault(b, b)
+        while parent[b] != b:
+            parent[b] = parent[parent[b]]
+            b = parent[b]
+        return b
+
+    for r in chain_rules:
+        names = [x.name for x in r.xbits]
+        for n in names[1:]:
+            parent[find(names[0])] = find(n)
+    return chain_rules, {b: find(b) for b in parent}
+
+
 def apply_xbits(
     hits: DataFrame,
     rules: list[RuleIR],
@@ -397,36 +437,7 @@ def apply_xbits(
     # chain rule with those — funnels into ONE walk partition per
     # connected component (the reference serializes the whole store;
     # one component per task is still strictly more parallel).
-    chain_rules = [
-        r for r in cond_rules if any(x.action in ("set", "unset") for x in r.xbits)
-    ]
-    for r in chain_rules:
-        if r.after or r.threshold:
-            raise NotImplementedError(
-                f"sid {r.sid}: set/unset gated on BOTH a condition and "
-                "after/threshold would need the counters inside the walk"
-            )
-        for x in r.xbits:
-            if x.track == "flex_auto" or flex_shape(x.track) is not None:
-                raise NotImplementedError(
-                    f"sid {r.sid}: flexbit chains (condition + set on one "
-                    "rule) are not supported — plain xbits only"
-                )
-    # union-find over bit names: one component per transitive chain
-    _parent: dict[str, str] = {}
-
-    def _find(b: str) -> str:
-        _parent.setdefault(b, b)
-        while _parent[b] != b:
-            _parent[b] = _parent[_parent[b]]
-            b = _parent[b]
-        return b
-
-    for r in chain_rules:
-        names = [x.name for x in r.xbits]
-        for n in names[1:]:
-            _parent[_find(names[0])] = _find(n)
-    chain_members: dict[str, str] = {b: _find(b) for b in _parent}
+    chain_rules, chain_members = chain_components(rules)
     chain_sids = {r.sid for r in chain_rules}
 
     # flexbit SETs record (src, dst, username); which key shapes the

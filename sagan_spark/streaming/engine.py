@@ -32,7 +32,10 @@ runs in stage B: the counters advance only on condition-PASSING rows
 (reference order engine.c:999-1024 vs 1373-1389) via a per-(sid,
 track-key) replay whose state is seeded from the previous micro-batch's
 snapshot (``corr_state_b``, idempotent batch-id partitions, retry reads
-the prior batch's snapshot).  No batch-only rule combinations remain.
+the prior batch's snapshot).  Chained xbits (one rule checks bit A and
+sets bit B) run per component inside each micro-batch via the same
+verdict-gated walk as batch, with fired sets persisted to the staged
+store for later batches.  No batch-only rule combinations remain.
 """
 
 from __future__ import annotations
@@ -121,6 +124,57 @@ def _sweep_dead_buckets(
             shutil.rmtree(d, ignore_errors=True)
             removed.append(d)
     return removed
+
+
+def _chain_walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage-B component walk for chained xbits: ordered replay of
+    staged sets + this batch's checks and verdict-gated chain
+    set/unsets (mirror of the batch apply_xbits walk, plain xbits
+    only).  'v' rows carry the raw bit-state for the flag columns
+    (`ok` = bit active, the isnotset negation happens in the verdict
+    expression); gated sets that actually fired come back as
+    'fired_set'/'fired_unset' rows for the staged store."""
+    state: dict = {}
+    ver: dict = {}
+    for pdf in batches:
+        out: list[tuple] = []
+        it = zip(
+            pdf["kind"], pdf["bit_name"], pdf["bit_key"], pdf["ts_d"],
+            pdf["event_key"], pdf["seq"], pdf["expire"], pdf["sid"],
+            pdf["entry"], pdf["want_set"], pdf["ver_id"],
+        )
+        for kind, name, key, ts_d, ek, seq, expire, sid, entry, want_set, ver_id in it:
+            if kind == "set":
+                state[(name, key)] = (ts_d, expire)
+            elif kind == "unset":
+                state.pop((name, key), None)
+            elif kind == "cset":
+                if ver.get(ver_id, False):
+                    state[(name, key)] = (ts_d, expire)
+                    out.append(
+                        ("fired_set", ek, None, -1, False, name, key, ts_d, seq, expire)
+                    )
+            elif kind == "cunset":
+                if ver.get(ver_id, False):
+                    state.pop((name, key), None)
+                    out.append(
+                        ("fired_unset", ek, None, -1, False, name, key, ts_d, seq, expire)
+                    )
+            else:  # check
+                st = state.get((name, key))
+                active = st is not None and (st[1] == 0 or (ts_d - st[0]) < st[1])
+                cond_ok = bool(active) == bool(want_set)
+                ver[ver_id] = ver.get(ver_id, True) and cond_ok
+                out.append(
+                    ("v", ek, int(sid), int(entry), bool(active), name, key, ts_d, seq, expire)
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "kind", "event_key", "sid", "entry", "ok",
+                "bit_name", "bit_key", "ts_d", "seq", "expire",
+            ],
+        )
 
 
 _CORR_B_OUT_SCHEMA = (
@@ -274,16 +328,13 @@ class StreamingSaganEngine:
         # across micro-batches from a snapshotted state store (the
         # reference order: condition gate first, then the counters —
         # engine.c:999-1024 vs 1373-1389)
+        # chained xbits (condition + set on one rule) run in stage B's
+        # component walk, gated sets persisting to the staged store —
+        # chain_components() validates the supported surface
         if enable_xbits:
-            for r in rules:
-                if r.sid in self.cond_sids and any(
-                    x.action in ("set", "unset") for x in r.xbits
-                ):
-                    raise NotImplementedError(
-                        f"sid {r.sid}: chained xbits (condition + set on one "
-                        "rule) run in the batch engine's component funnel — "
-                        "not yet in the two-query streaming pipeline"
-                    )
+            from sagan_spark.pipeline.correlate import chain_components
+
+            chain_components(rules)
         self.engine = SaganSparkEngine(rules, config)
         self.rules = rules
         self.watermark = watermark
@@ -628,6 +679,7 @@ class StreamingSaganEngine:
         from sagan_spark.pipeline.correlate import (
             _corr_spec_map,
             _flex_tuple_match,
+            chain_components,
             corr_group_key,
             flex_check_key,
             flex_shape,
@@ -647,6 +699,17 @@ class StreamingSaganEngine:
         bucket_secs = self._bucket_secs()
         max_expire = self._max_expire()
         funnel_bits = self._funnel_bits()
+        # chained xbits (a condition AND a set/unset on one rule): their
+        # member bits walk per component inside the micro-batch, gated
+        # sets that fired persist to the staged store for later batches
+        chain_rules_b, chain_bit_comp = chain_components(rules)
+        chain_set_specs = [
+            (r.sid, x, r.position)
+            for r in chain_rules_b
+            for x in r.xbits
+            if x.action in ("set", "unset")
+        ]
+        member_bits = set(chain_bit_comp)
 
         hits = self.engine.match_hits(frame, passthrough=EVENT_COLS).filter(
             F.col("sid").isin(self.cond_sids)
@@ -675,8 +738,16 @@ class StreamingSaganEngine:
             except Exception:  # no setter fired yet
                 sets = None
             flag_cols = []
+            member_entries = []
             for i, (sid, x, pos) in enumerate(cond_specs):
                 col_name = f"_set{i}"
+                if flex_shape(x.track) is None and x.name in member_bits:
+                    # chain-component bit: the per-condition join cannot
+                    # see same-batch verdict-gated sets — walk instead
+                    # (even with an empty store: an isnotset-gated chain
+                    # can fire with no prior sets at all)
+                    member_entries.append((i, sid, x, pos, col_name))
+                    continue
                 if sets is None:
                     batch_df = batch_df.withColumn(col_name, F.lit(False))
                     flag_cols.append((sid, x.action, col_name))
@@ -814,6 +885,129 @@ class StreamingSaganEngine:
                 )
                 flag_cols.append((sid, x.action, col_name))
 
+            walk_out = None
+            if member_entries:
+                _null_l = F.lit(None).cast("long")
+                parts = []
+                for i, sid, x, pos, col_name in member_entries:
+                    parts.append(
+                        batch_df.filter(F.col("sid") == sid).select(
+                            F.lit("check").alias("kind"),
+                            F.lit(x.name).alias("bit_name"),
+                            xbit_key_expr(x.track).alias("bit_key"),
+                            ts_seconds_d(F.col("ts")).alias("ts_d"),
+                            F.col("event_key"),
+                            F.lit(pos * 2).cast("long").alias("seq"),
+                            F.lit(0).cast("long").alias("expire"),
+                            F.col("sid"),
+                            F.lit(i).cast("int").alias("entry"),
+                            F.lit(x.action == "isset").alias("want_set"),
+                            F.concat_ws(
+                                "#", F.col("event_key"), F.col("sid").cast("string")
+                            ).alias("ver_id"),
+                        )
+                    )
+                for sid, x, pos in chain_set_specs:
+                    parts.append(
+                        batch_df.filter(F.col("sid") == sid).select(
+                            F.lit("c" + x.action).alias("kind"),
+                            F.lit(x.name).alias("bit_name"),
+                            xbit_key_expr(x.track).alias("bit_key"),
+                            ts_seconds_d(F.col("ts")).alias("ts_d"),
+                            F.col("event_key"),
+                            F.lit(pos * 2 + 1).cast("long").alias("seq"),
+                            F.lit(x.expire).cast("long").alias("expire"),
+                            F.col("sid"),
+                            F.lit(-1).cast("int").alias("entry"),
+                            F.lit(False).alias("want_set"),
+                            F.concat_ws(
+                                "#", F.col("event_key"), F.col("sid").cast("string")
+                            ).alias("ver_id"),
+                        )
+                    )
+                ev = parts[0]
+                for p in parts[1:]:
+                    ev = ev.unionByName(p)
+                if sets is not None:
+                    # staged member-bit sets: stage A's + PRIOR batches'
+                    # fired chain sets (this batch's own stale c_ retry
+                    # partition excluded — the walk re-derives them)
+                    staged = (
+                        sets.filter(
+                            F.col("bit_name").isin(list(member_bits))
+                            & F.col("kind").isin("set", "unset")
+                            & (F.col("_batch_id") != f"c_{batch_id}")
+                        ).select(
+                            F.col("kind"),
+                            F.col("bit_name"),
+                            F.col("bit_key"),
+                            F.col("set_ts").alias("ts_d"),
+                            F.col("set_event_key").alias("event_key"),
+                            F.col("set_seq").cast("long").alias("seq"),
+                            F.col("expire").cast("long").alias("expire"),
+                            _null_l.alias("sid"),
+                            F.lit(-1).cast("int").alias("entry"),
+                            F.lit(False).alias("want_set"),
+                            F.lit("").alias("ver_id"),
+                        )
+                    )
+                    ev = ev.unionByName(staged)
+                comp_expr = F.lit("")
+                for bit, comp in chain_bit_comp.items():
+                    comp_expr = F.when(
+                        F.col("bit_name") == bit, F.lit(comp)
+                    ).otherwise(comp_expr)
+                n_comps = max(1, len(set(chain_bit_comp.values())))
+                walk_out = (
+                    ev.withColumn("comp", comp_expr)
+                    .repartition(n_comps, "comp")
+                    .sortWithinPartitions("ts_d", "event_key", "seq")
+                    .mapInPandas(
+                        _chain_walk,
+                        schema=(
+                            "kind string, event_key string, sid long, entry int,"
+                            " ok boolean, bit_name string, bit_key string,"
+                            " ts_d double, seq long, expire long"
+                        ),
+                    )
+                    .persist()
+                )
+                for i, sid, x, pos, col_name in member_entries:
+                    flags = walk_out.filter(
+                        (F.col("kind") == "v") & (F.col("entry") == i)
+                    ).select("event_key", F.col("ok").alias(col_name))
+                    batch_df = batch_df.join(flags, "event_key", "left").withColumn(
+                        col_name, F.coalesce(F.col(col_name), F.lit(False))
+                    )
+                    flag_cols.append((sid, x.action, col_name))
+                fired = walk_out.filter(F.col("kind").isin("fired_set", "fired_unset"))
+                fired_rows = fired.select(
+                    "bit_name",
+                    "bit_key",
+                    F.col("ts_d").alias("set_ts"),
+                    F.col("event_key").alias("set_event_key"),
+                    F.col("seq").cast("int").alias("set_seq"),
+                    F.col("expire").cast("int").alias("expire"),
+                    F.when(F.col("kind") == "fired_set", "set")
+                    .otherwise("unset")
+                    .alias("kind"),
+                    F.lit("").alias("shape"),
+                    F.lit("").alias("e_src"),
+                    F.lit("").alias("e_dst"),
+                    F.lit("").alias("e_user"),
+                    F.when(F.col("expire") == 0, F.lit(-1))
+                    .otherwise(F.floor(F.col("ts_d") / F.lit(bucket_secs)))
+                    .cast("long")
+                    .alias("set_bucket"),
+                )
+                _idempotent_write(
+                    fired_rows,
+                    sets_path,
+                    batch_id,
+                    extra_partition="set_bucket",
+                    writer_id="c",
+                )
+
             verdict = F.lit(True)
             for sid, action, col_name in flag_cols:
                 ok = F.col(col_name) if action == "isset" else ~F.col(col_name)
@@ -923,6 +1117,8 @@ class StreamingSaganEngine:
                 batch_df.unpersist()
                 if corr_specs_b:
                     replayed.unpersist()
+                if walk_out is not None:
+                    walk_out.unpersist()
             if min_chk is not None and max_expire > 0:
                 _sweep_dead_buckets(sets_path, bucket_secs, max_expire, min_chk)
 

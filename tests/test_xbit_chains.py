@@ -105,3 +105,61 @@ def test_chain_rule_with_after_threshold_rejected(spark):
         SaganSparkEngine(rules).run(
             _frame(spark, [("u://e/0", "2026-01-01 00:00:01", "x from 10.0.0.1")])
         )
+
+
+def test_chain_streaming_equals_batch_across_chunks(spark, tmp_path):
+    """Chained xbits through the two-query streaming pipeline: the
+    verdict-gated set fired in chunk 1 must persist in the staged store
+    and satisfy a chunk-2 check after a restart."""
+    import pyarrow.parquet as pq
+
+    from sagan_spark.streaming import StreamingSaganEngine, pages_stream_frame
+
+    rows = [
+        ("u://sc/0", "2026-01-01 00:00:01", "stage3 from 10.0.0.9 x"),
+        ("u://sc/1", "2026-01-01 00:00:02", "stage2 from 10.0.0.9 x"),
+        ("u://sc/3", "2026-01-01 00:01:00", "stage1 from 10.0.0.1 a"),
+        ("u://sc/4", "2026-01-01 00:01:10", "stage2 from 10.0.0.1 b"),
+        # --- chunk boundary ---
+        ("u://sc/5", "2026-01-01 00:01:20", "stage3 from 10.0.0.1 c"),
+        ("u://sc/6", "2026-01-01 00:01:30", "stage3 from 10.0.0.9 late"),
+    ]
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array(
+                [pd.Timestamp(r[1]) for r in rows], type=pa.timestamp("us")
+            ),
+            "html": [b"" for _ in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en" for _ in rows],
+        }
+    )
+    rules = parse_rules(CHAIN_RULES)
+
+    want = _alerts(spark, CHAIN_RULES, rows)
+    assert ("u://sc/5", 9600003) in want  # sanity: chain completes
+
+    input_dir = tmp_path / "sc_in"
+    input_dir.mkdir()
+    out = str(tmp_path / "sc_sinks")
+    ckpt = str(tmp_path / "sc_ckpt")
+    seng = StreamingSaganEngine(rules, watermark="0 seconds", enable_xbits=True)
+
+    def frame_factory():
+        return SaganSparkEngine.frame_from_pages(
+            pages_stream_frame(spark, str(input_dir))
+        )
+
+    pq.write_table(tbl.slice(0, 4), str(input_dir / "c1.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+    pq.write_table(tbl.slice(4), str(input_dir / "c2.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+
+    got_df = (
+        spark.read.parquet(f"{out}/alerts_eve")
+        .select("url", "alert_signature_id")
+        .toPandas()
+    )
+    got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
+    assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
