@@ -396,6 +396,8 @@ alert any any any -> any any (msg:"set"; content:"setme"; parse_src_ip: 1; xbits
 alert any any any -> any any (msg:"clear"; content:"clearme"; parse_src_ip: 1; xbits: unset, name rb, track ip_src; sid:9500002;)
 alert any any any -> any any (msg:"chk thr"; content:"checkme"; parse_src_ip: 1; xbits: isset, name rb, track ip_src; threshold: type limit, track by_src, count 2, seconds 60; sid:9500003;)
 alert any any any -> any any (msg:"chk not"; content:"checkme"; parse_src_ip: 1; xbits: isnotset, name rb, track ip_src; after: track by_src, count 2, seconds 60; sid:9500004;)
+alert any any any -> any any (msg:"chain"; content:"checkme"; parse_src_ip: 1; xbits: isset, name rb, track ip_src; xbits: set, name rb2, track ip_src, expire 90; sid:9500005;)
+alert any any any -> any any (msg:"chk chain"; content:"probe"; parse_src_ip: 1; xbits: isset, name rb2, track ip_src; sid:9500006;)
 """
 
 
@@ -409,7 +411,7 @@ def test_streaming_random_parity_with_cond_correlation(spark, tmp_path, seed):
     for i in range(40):
         t += rng.randint(1, 12)
         ip = rng.choice(["10.0.0.1", "10.0.0.2"])
-        verb = rng.choice(["setme", "clearme", "checkme", "checkme"])
+        verb = rng.choice(["setme", "clearme", "checkme", "checkme", "probe"])
         ts = pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=t)
         rows.append((f"u://rp{seed}/{i}", str(ts), f"{verb} from {ip} x"))
     table = _mini_pages(rows)

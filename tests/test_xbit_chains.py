@@ -163,3 +163,35 @@ def test_chain_streaming_equals_batch_across_chunks(spark, tmp_path):
     )
     got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
     assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
+
+
+def test_chain_coexists_with_flexbit_funnel(spark):
+    """Chain rules (plain xbits, component walk) and flexbit-unset
+    funnel bits in ONE ruleset share the walk without cross-talk."""
+    rules = """\
+alert any any any -> any any (msg:"s1"; content:"stage1"; parse_src_ip: 1; xbits: set, name bitA, track ip_src, expire 1h; sid:9630001;)
+alert any any any -> any any (msg:"s2"; content:"stage2"; parse_src_ip: 1; xbits: isset, name bitA, track ip_src; xbits: set, name bitB, track ip_src, expire 1h; sid:9630002;)
+alert any any any -> any any (msg:"s3"; content:"stage3"; parse_src_ip: 1; xbits: isset, name bitB, track ip_src; sid:9630003;)
+alert any any any -> any any (msg:"fs"; content:"reboot"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: set, fbit, 1h; sid:9630004;)
+alert any any any -> any any (msg:"fu"; content:"allclear"; parse_src_ip: 1; parse_dst_ip: 2; flexbits: unset, reverse, fbit; sid:9630005;)
+alert any any any -> any any (msg:"fc"; content:"avcheck"; parse_src_ip: 1; flexbits: isset, by_src, fbit; sid:9630006;)
+"""
+    rows = [
+        ("u://m/0", "2026-01-01 00:00:01", "stage1 from 10.0.0.1 a"),
+        ("u://m/1", "2026-01-01 00:00:05", "reboot started from 10.0.0.1 to 10.0.0.9"),
+        ("u://m/2", "2026-01-01 00:00:10", "stage2 from 10.0.0.1 b"),
+        ("u://m/3", "2026-01-01 00:00:15", "avcheck from 10.0.0.1 now"),
+        ("u://m/4", "2026-01-01 00:00:20", "allclear from 10.0.0.9 to 10.0.0.1 done"),
+        ("u://m/5", "2026-01-01 00:00:25", "avcheck from 10.0.0.1 again"),
+        ("u://m/6", "2026-01-01 00:00:30", "stage3 from 10.0.0.1 c"),
+    ]
+    got = _alerts(spark, rules, rows)
+    assert got == {
+        ("u://m/0", 9630001),
+        ("u://m/1", 9630004),
+        ("u://m/2", 9630002),  # chain condition + set
+        ("u://m/3", 9630006),  # flexbit set at :05 still live
+        ("u://m/4", 9630005),
+        ("u://m/6", 9630003),  # chain bitB from u://m/2
+        # u://m/5 absent: reverse-direction unset cleared the tuple
+    }
