@@ -989,6 +989,16 @@ def q_k4_syslog_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return syslog_view(assembled)
 
 
+def q_k3_eve_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 all-logs variant: every event as an EVE 'log' record
+    (reference Format_JSON_Log_EVE src/json-handler.c:292-361)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.route import eve_log_view
+
+    frame = _events_frame(spark, sf_dir)
+    return eve_log_view(frame)
+
+
 def q_streaming_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3 streaming form: applyInPandasWithState counters with
     checkpointed availableNow drain (rows-only gate — Structured
@@ -1253,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k2_fast_format": q_k2_fast_format,
         "k1_alert_view": q_k1_alert_view,
         "k4_syslog_format": q_k4_syslog_format,
+        "k3_eve_log": q_k3_eve_log,
         "streaming_threshold": q_streaming_threshold,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1583,6 +1594,18 @@ def oracle_sql() -> dict[str, str]:
             " || CAST(user_id AS VARCHAR) || ':514' AS line"
             " FROM events WHERE event_type = 'error'"
             " AND position('{' IN props) > 0"
+        ),
+        "k3_eve_log": (
+            "SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS \"timestamp\","
+            " 'log' AS event_type,"
+            " CAST((CAST(epoch_us(ts) // 1000000 AS BIGINT) % 65536) * 65536"
+            " + (epoch_us(ts) % 1000000) % 65536 AS BIGINT) AS flow_id,"
+            " 'user-' || CAST(user_id AS VARCHAR) AS syslog_source,"
+            " 'udp' AS syslog_proto,"
+            " '' AS facility, '' AS priority, '' AS level, '' AS tag,"
+            " strftime(ts, '%Y-%m-%d %H:%M:%S') AS source_timestamp,"
+            " events.event_type AS program, props AS message,"
+            " CAST(event_id AS VARCHAR) AS url FROM events"
         ),
         "k1_alert_view": (
             "SELECT CAST(event_id AS VARCHAR) AS url,"

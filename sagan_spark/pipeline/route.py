@@ -273,6 +273,42 @@ def syslog_view(assembled: DataFrame) -> DataFrame:
     )
 
 
+def eve_log_view(frame: DataFrame, proto_string: str = "udp") -> DataFrame:
+    """K3 all-logs variant: every EVENT (not just alerts) as an EVE
+    'log' record, field-for-field (reference Format_JSON_Log_EVE
+    src/json-handler.c:292-361; eve-type 'log' config
+    src/config-yaml.c:2110-2140).  ``proto_string`` mirrors
+    config->sagan_proto_string (the listener protocol)."""
+    if "priority" not in frame.columns:
+        frame = frame.withColumn("priority", F.lit(""))
+    ts = F.col("ts").cast("timestamp")
+    sec = ts.cast("long")
+    usec = F.unix_micros(ts) % 1_000_000
+    flow_id = (
+        sec.bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16)
+    ) + usec.bitwiseAND(F.lit(0xFFFF))
+    return frame.select(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").alias("timestamp"),
+        F.lit("log").alias("event_type"),
+        flow_id.alias("flow_id"),
+        F.col("host").alias("syslog_source"),
+        F.lit(proto_string).alias("syslog_proto"),
+        F.col("facility"),
+        F.col("priority"),
+        F.col("level"),
+        F.col("tag"),
+        # the reference carries date/time as STRINGS and rejoins them
+        F.concat_ws(
+            " ",
+            F.date_format("ts", "yyyy-MM-dd"),
+            F.date_format("ts", "HH:mm:ss"),
+        ).alias("source_timestamp"),
+        F.col("program"),
+        F.col("message"),
+        F.col("event_key").alias("url"),
+    )
+
+
 def external_sink(assembled: DataFrame, command: list[str]) -> None:
     """K6: feed alerts as JSON lines to an external program's stdin
     (reference src/output-plugins/external.c:58-110).
