@@ -999,6 +999,24 @@ def q_k3_eve_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eve_log_view(frame)
 
 
+def q_a11_stats_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 stats-json: the periodic EVE 'stats' record assembled from
+    the real engine's hit flags (reference
+    src/processors/stats-json.c:140-300)."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.pipeline.metrics import stats_json_view
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"errs"; program: error; '
+        'content:"{"; classtype: misc-attack; sid:7500081; rev:1;)'
+    )
+    frame = _events_frame(spark, sf_dir)
+    hits = SaganSparkEngine(rules).run(frame).hits
+    return stats_json_view(frame, hits, uptime_secs=100)
+
+
 def q_streaming_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3 streaming form: applyInPandasWithState counters with
     checkpointed availableNow drain (rows-only gate — Structured
@@ -1264,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_alert_view": q_k1_alert_view,
         "k4_syslog_format": q_k4_syslog_format,
         "k3_eve_log": q_k3_eve_log,
+        "a11_stats_json": q_a11_stats_json,
         "streaming_threshold": q_streaming_threshold,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1594,6 +1613,26 @@ def oracle_sql() -> dict[str, str]:
             " || CAST(user_id AS VARCHAR) || ':514' AS line"
             " FROM events WHERE event_type = 'error'"
             " AND position('{' IN props) > 0"
+        ),
+        "a11_stats_json": (
+            "SELECT strftime((SELECT max(ts) FROM events),"
+            " '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS \"timestamp\","
+            " 'stats' AS event_type, 'spark' AS event_source,"
+            " 'sagan_spark' AS host, CAST(100 AS BIGINT) AS uptime,"
+            " CAST(count(*) AS BIGINT) AS captured_total,"
+            " CAST(0 AS BIGINT) AS captured_drop,"
+            " CAST(0 AS BIGINT) AS captured_ignore,"
+            " CAST(0 AS BIGINT) AS captured_threshold,"
+            " CAST(0 AS BIGINT) AS captured_after,"
+            " CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS captured_alert,"
+            " CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS captured_match,"
+            " CAST(sum(length(props)) AS BIGINT) AS captured_bytes_total,"
+            " CAST(0 AS BIGINT) AS captured_bytes_ignored,"
+            " CAST(max(length(props)) AS BIGINT) AS captured_max_bytes_log_line,"
+            " CAST(count(*) // 100 AS BIGINT) AS captured_eps"
+            " FROM events"
         ),
         "k3_eve_log": (
             "SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS \"timestamp\","

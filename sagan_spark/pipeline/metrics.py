@@ -91,6 +91,62 @@ def run_counters(hits: DataFrame) -> DataFrame:
     )
 
 
+def stats_json_view(
+    frame: DataFrame,
+    hits: DataFrame,
+    uptime_secs: int,
+    sensor_name: str = "sagan_spark",
+    event_source: str = "spark",
+    ignored_total: int = 0,
+) -> DataFrame:
+    """The reference's periodic EVE 'stats' record
+    (src/processors/stats-json.c:140-300: timestamp/event_type='stats'/
+    event_source/host + stats.captured{total,drop,ignore,threshold,
+    after,alert,match,bytes_total,bytes_ignored,max_bytes_log_line,
+    eps}), flattened with a ``captured_`` prefix (parquet-friendly,
+    same convention as the EVE alert view).
+
+    Deviations, both deliberate: the record's timestamp is the corpus'
+    max event time (deterministic — the reference stamps wall clock),
+    and ``uptime_secs`` is caller-provided (the reference reads its
+    process clock); eps = total // uptime as in the reference's integer
+    division.  ``drop`` maps to null/empty-message rows (the
+    reference's worker-overflow drops cannot happen in Spark);
+    ``ignore`` is the ignore-list drop count the caller measured."""
+    cap = frame.agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.coalesce(F.sum(F.length("message")), F.lit(0)).alias("_bytes"),
+        F.coalesce(F.max(F.length("message")), F.lit(0)).alias("_maxlen"),
+        F.coalesce(
+            F.sum(
+                (F.col("message").isNull() | (F.length("message") == 0)).cast("long")
+            ),
+            F.lit(0),
+        ).alias("_drop"),
+        F.max(F.col("ts").cast("timestamp")).alias("_ts"),
+    )
+    h = run_counters(hits)
+    up = max(int(uptime_secs), 1)
+    return cap.crossJoin(h).select(
+        F.date_format("_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").alias("timestamp"),
+        F.lit("stats").alias("event_type"),
+        F.lit(event_source).alias("event_source"),
+        F.lit(sensor_name).alias("host"),
+        F.lit(up).cast("long").alias("uptime"),
+        F.col("_total").cast("long").alias("captured_total"),
+        F.col("_drop").cast("long").alias("captured_drop"),
+        F.lit(int(ignored_total)).cast("long").alias("captured_ignore"),
+        F.col("threshold_total").cast("long").alias("captured_threshold"),
+        F.col("after_total").cast("long").alias("captured_after"),
+        F.col("alert_total").cast("long").alias("captured_alert"),
+        F.col("saganfound").cast("long").alias("captured_match"),
+        F.col("_bytes").cast("long").alias("captured_bytes_total"),
+        F.lit(0).cast("long").alias("captured_bytes_ignored"),
+        F.col("_maxlen").cast("long").alias("captured_max_bytes_log_line"),
+        (F.col("_total").cast("long") / F.lit(up)).cast("long").alias("captured_eps"),
+    )
+
+
 def per_sid_counts(hits: DataFrame) -> DataFrame:
     return (
         hits.filter(
