@@ -17,7 +17,9 @@ gaps.  Resume: sink writes are overwrite-mode (re-runs replace, never
 duplicate); with --metrics set, a completion marker row lands in
 ``<metrics>/runs`` after the sinks commit, and a re-run with the same
 --run-id that finds its marker exits without rewriting anything —
-lineage/counters rows are therefore appended at most once per run-id.
+lineage/counters land in run_id partitions written with dynamic
+partition OVERWRITE, so even a crash-retry of an unfinished run-id
+rewrites its own partition instead of appending a duplicate.
 """
 
 from __future__ import annotations
@@ -106,8 +108,18 @@ def main() -> None:
         frame = engine.frame_from_pages(pages)
 
     if args.metrics:
+        # dynamic-partition OVERWRITE keyed by run_id: a crash-retry of
+        # the same run-id rewrites its own partition instead of
+        # appending a second copy (the completion marker alone cannot
+        # make appends idempotent — lineage lands before the marker)
         lineage = partition_lineage(frame, run_id=args.run_id)
-        lineage.write.mode("append").format(args.format).save(f"{args.metrics}/lineage")
+        (
+            lineage.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id")
+            .format(args.format)
+            .save(f"{args.metrics}/lineage")
+        )
 
     result = engine.run(frame)
     alerts = result.alerts()
@@ -121,8 +133,16 @@ def main() -> None:
     paths = write_sinks(assembled, args.output, fmt=args.format)
 
     if args.metrics:
-        counters = run_counters(result.hits)
-        counters.write.mode("append").format(args.format).save(f"{args.metrics}/counters")
+        from pyspark.sql import functions as F
+
+        counters = run_counters(result.hits).withColumn("run_id", F.lit(args.run_id))
+        (
+            counters.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id")
+            .format(args.format)
+            .save(f"{args.metrics}/counters")
+        )
         # completion marker LAST: its presence certifies the sinks above
         # committed, making a same-run-id retry a no-op
         marker = spark.createDataFrame([(args.run_id,)], "run_id string")

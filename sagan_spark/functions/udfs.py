@@ -71,28 +71,38 @@ def make_parse_ip_udf(sagan_port: int = DEFAULT_SAGAN_PORT, barrier: bool = True
     return parse_ip_udf.asNondeterministic() if barrier else parse_ip_udf
 
 
-@F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
-def _json_flatten_udf(texts: pd.Series) -> pd.Series:
-    """pandas UDF: text -> map<string,string> of dotted keys
+def make_json_flatten_udf(barrier: bool = True):
+    """pandas UDF factory: text -> map<string,string> of dotted keys
     (reference src/parsers/json.c:40-134).
 
     The '{ in first 3 chars' detection gate
     (reference src/processors/engine.c:250-263) runs vectorized so
     non-JSON rows (the vast majority of any log corpus) never enter
-    per-row Python."""
-    out = pd.Series([{}] * len(texts), index=texts.index, dtype=object)
-    mask = texts.str.slice(0, 3).str.contains("{", regex=False).fillna(False)
-    if mask.any():
-        out[mask] = texts[mask].map(json_flatten)
-    return out
+    per-row Python.
+
+    A FACTORY, not two module aliases: ``asNondeterministic()`` mutates
+    the underlying UserDefinedFunction in place, so flagging a shared
+    object would silently make the 'deterministic streaming variant'
+    nondeterministic too.  Each call builds a fresh UDF."""
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def flatten_udf(texts: pd.Series) -> pd.Series:
+        out = pd.Series([{}] * len(texts), index=texts.index, dtype=object)
+        mask = texts.str.slice(0, 3).str.contains("{", regex=False).fillna(False)
+        if mask.any():
+            out[mask] = texts[mask].map(json_flatten)
+        return out
+
+    # deterministic in fact; the flag is an optimizer barrier so the
+    # flatten column is computed once and carried, not inlined and
+    # re-evaluated above the candidate filter (see make_parse_ip_udf).
+    # Streaming plans take barrier=False (stateful ops reject
+    # nondeterminism).
+    return flatten_udf.asNondeterministic() if barrier else flatten_udf
 
 
-# deterministic in fact; flagged as an optimizer barrier so the flatten
-# column is computed once and carried, not inlined and re-evaluated
-# above the candidate filter (see make_parse_ip_udf).  Streaming plans
-# must use the unflagged variant (stateful ops reject nondeterminism).
-json_flatten_udf = _json_flatten_udf.asNondeterministic()
-json_flatten_udf_stream = _json_flatten_udf
+json_flatten_udf = make_json_flatten_udf(barrier=True)
+json_flatten_udf_stream = make_json_flatten_udf(barrier=False)
 
 
 def make_python_regex_udf(pattern: str, flags_str: str):

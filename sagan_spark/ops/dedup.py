@@ -145,7 +145,7 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
     )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
-    return (
+    out = (
         inter_counts.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn(
@@ -155,6 +155,14 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # materialize (and cut lineage) so the corpus-sized shingle cache
+    # can be RELEASED before returning — without this every call leaked
+    # the explode-of-all-k-grams frame into the block manager for the
+    # session lifetime.  localCheckpoint blocks are context-cleaned when
+    # the result is garbage-collected, unlike persist()'s registry pin.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 SIMHASH_TYPE = T.LongType()

@@ -112,7 +112,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scale path beside hyperplane LSH.
 
     Spherical k-means centroids train driver-side on the deterministic
-    sample ``vec_id < sample_n``; every corpus vector lands in its
+    sample (TakeOrdered first ``sample_n`` by id); every corpus vector lands in its
     nearest centroid's list (argmax of n_centroids JVM dot products —
     one narrow projection, no shuffle); each query probes its n_probe
     nearest lists and reranks exactly.  At 100 TB the bucket join reads
@@ -120,11 +120,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     it; recall is tunable via n_probe.  Deterministic given the corpus
     (fixed sample, fixed seed) — pinned against a pure-Python twin in
     tests."""
+    # TakeOrdered head of the corpus: deterministic for any id domain
+    # (an id-value threshold like `vec_id < sample_n` breaks on corpora
+    # whose ids don't start near 0)
     sample = [
         row[0]
-        for row in corpus.filter(F.col(id_col) < sample_n)
-        .select(vec_col)
-        .collect()
+        for row in corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
     ]
     cent = _train_centroids(sample, n_centroids, iters)
 
@@ -156,7 +157,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         n_probe,
     )
     q = (
-        queries.withColumn("_dots", dots)
+        queries
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("v_q"),

@@ -60,8 +60,11 @@ def decode_pipe_frame(
     """'|'-framed lines -> canonical event frame.
 
     ``key_col``: column to use as the unique event_key (a file offset or
-    ingest id); defaults to md5 of the raw line (identical duplicate
-    lines then collapse to one key — pass a real offset at scale).
+    ingest id); defaults to md5(line) + a per-row monotonic id so
+    byte-identical duplicate lines (routine in syslog feeds) stay
+    DISTINCT events — two lines collapsing to one key would fan out the
+    alert-assembly join and conflate correlation state.  Pass a real
+    stable offset when retries must reproduce identical keys.
     ``ts_format``: how to read the date+time fields into the event-time
     ``ts`` (the reference keeps them as strings; the canonical frame
     carries real event time per SURVEY §1.1) — unparseable date/time
@@ -96,7 +99,11 @@ def decode_pipe_frame(
     ts = F.try_to_timestamp(
         F.concat_ws(" ", cols["date"], cols["time"]), F.lit(ts_format)
     )
-    event_key = F.col(key_col) if key_col else F.md5(line)
+    event_key = (
+        F.col(key_col)
+        if key_col
+        else F.concat_ws("#", F.md5(line), F.monotonically_increasing_id())
+    )
 
     out = lines.select(
         event_key.cast("string").alias("event_key"),
@@ -162,7 +169,11 @@ def decode_json_frame(
     date = mapped("date", F.lit(""))
     time = mapped("time", F.lit(""))
     ts = F.try_to_timestamp(F.concat_ws(" ", date, time), F.lit(ts_format))
-    event_key = F.col(key_col) if key_col else F.md5(line)
+    event_key = (
+        F.col(key_col)
+        if key_col
+        else F.concat_ws("#", F.md5(line), F.monotonically_increasing_id())
+    )
 
     return lines.select(
         event_key.cast("string").alias("event_key"),

@@ -77,16 +77,25 @@ def run_counters(hits: DataFrame) -> DataFrame:
     """Run-level rollup mirroring Statistics() fields: saganfound,
     after/threshold suppression totals, alert totals, per-sid counts
     (reference src/stats.c:112-218)."""
+    # coalesce: F.sum over ZERO rows is NULL — the reference's counters
+    # print integer 0 on a quiet interval (src/stats.c:112-218)
     return hits.agg(
         F.count(F.lit(1)).alias("saganfound"),
-        F.sum(F.col("suppressed_after").cast("long")).alias("after_total"),
-        F.sum(F.col("suppressed_threshold").cast("long")).alias("threshold_total"),
-        F.sum(
-            (
-                ~F.col("suppressed_after")
-                & ~F.col("suppressed_threshold")
-                & F.col("xbit_ok")
-            ).cast("long")
+        F.coalesce(
+            F.sum(F.col("suppressed_after").cast("long")), F.lit(0)
+        ).alias("after_total"),
+        F.coalesce(
+            F.sum(F.col("suppressed_threshold").cast("long")), F.lit(0)
+        ).alias("threshold_total"),
+        F.coalesce(
+            F.sum(
+                (
+                    ~F.col("suppressed_after")
+                    & ~F.col("suppressed_threshold")
+                    & F.col("xbit_ok")
+                ).cast("long")
+            ),
+            F.lit(0),
         ).alias("alert_total"),
     )
 

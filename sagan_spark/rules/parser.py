@@ -196,10 +196,11 @@ def _value_to_seconds(v: str) -> int:
 
 
 # options with no match semantics we deliberately accept and ignore
-# (metadata/normalize are routing/liblognorm hints; flowbits is the
-# Snort spelling Sagan itself tolerates; offload needs a remote HTTP
-# evaluator — out of scope per SURVEY §2.8)
-_IGNORABLE_OPTIONS = {"metadata", "normalize", "flowbits", "offload"}
+# (normalize is a liblognorm hint; flowbits is the Snort spelling Sagan
+# itself tolerates; offload needs a remote HTTP evaluator — out of
+# scope per SURVEY §2.8).  NOTE: `metadata` is NOT here — it has a
+# dedicated branch that captures it for the EVE alert record.
+_IGNORABLE_OPTIONS = {"normalize", "flowbits", "offload"}
 
 
 def parse_rule(

@@ -103,26 +103,48 @@ def _idempotent_write(
     )
 
 
+def _fs_for(spark: SparkSession, path_str: str):
+    """Hadoop FileSystem for a path — works for file://, hdfs://, s3a://
+    alike (os-level glob/rmtree would silently no-op on cluster storage,
+    letting the 'physically bounded' stores grow forever)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
 def _sweep_dead_buckets(
-    path: str, bucket_secs: int, max_expire: int, min_live_ts: float
+    spark: SparkSession,
+    path: str,
+    bucket_secs: int,
+    max_expire: int,
+    min_live_ts: float,
 ) -> list[str]:
     """Physically delete staged-set bucket dirs that no live check can
     see: every set in bucket b has set_ts < (b+1)*bucket_secs, so the
     bucket is dead once (b+1)*bucket_secs + max_expire <= min_live_ts.
     Permanent sets (bucket -1) are never swept — the reference keeps
     them until the IPC store wraps too (src/ipc.c:78-200)."""
-    import glob
-    import shutil
-
-    removed = []
-    for d in glob.glob(f"{path}/_batch_id=*/set_bucket=*"):
-        try:
-            b = int(d.rsplit("=", 1)[1])
-        except ValueError:
+    fs, base = _fs_for(spark, path)
+    removed: list[str] = []
+    if not fs.exists(base):
+        return removed
+    for batch_dir in fs.listStatus(base):
+        if not batch_dir.isDirectory():
             continue
-        if b >= 0 and (b + 1) * bucket_secs + max_expire <= min_live_ts:
-            shutil.rmtree(d, ignore_errors=True)
-            removed.append(d)
+        if not batch_dir.getPath().getName().startswith("_batch_id="):
+            continue
+        for bdir in fs.listStatus(batch_dir.getPath()):
+            name = bdir.getPath().getName()
+            if "=" not in name:
+                continue
+            try:
+                b = int(name.rsplit("=", 1)[1])
+            except ValueError:
+                continue
+            if b >= 0 and (b + 1) * bucket_secs + max_expire <= min_live_ts:
+                fs.delete(bdir.getPath(), True)
+                removed.append(str(bdir.getPath()))
     return removed
 
 
@@ -184,20 +206,24 @@ _CORR_B_OUT_SCHEMA = (
 )
 
 
-def _prune_old_corr_snapshots(path: str, batch_id: int) -> None:
+def _prune_old_corr_snapshots(spark: SparkSession, path: str, batch_id: int) -> None:
     """Keep only the current and previous batch's state snapshots: a
     replayed batch N re-reads N-1, nothing ever reads older — without
-    this the store grows one partition per micro-batch forever."""
-    import glob
-    import shutil
-
-    for d in glob.glob(f"{path}/_batch_id=*"):
+    this the store grows one partition per micro-batch forever.
+    Hadoop-FS-based so it also prunes on hdfs://, s3a://, etc."""
+    fs, base = _fs_for(spark, path)
+    if not fs.exists(base):
+        return
+    for d in fs.listStatus(base):
+        name = d.getPath().getName()
+        if not name.startswith("_batch_id="):
+            continue
         try:
-            b = int(d.rsplit("_", 1)[1])
+            b = int(name.rsplit("_", 1)[1])
         except ValueError:
             continue
         if b < batch_id - 1:
-            shutil.rmtree(d, ignore_errors=True)
+            fs.delete(d.getPath(), True)
 
 
 def _read_prev_corr_state(spark: SparkSession, path: str, batch_id: int):
@@ -242,7 +268,7 @@ def _make_seeded_replay(specs: dict[int, dict], max_secs: int):
             for r in st[st["machine"] == "t"].itertuples()
         }
         ev = pdf[pdf["kind"] == "e"].sort_values(
-            ["ts_epoch", "event_key"], kind="mergesort"
+            ["ts_us", "event_key"], kind="mergesort"
         )
         out_ek, out_a, out_t = [], [], []
         max_t = 0
@@ -1037,6 +1063,7 @@ class StreamingSaganEngine:
                     corr_group_key(corr_specs_b).alias("corr_group"),
                     "event_key",
                     ts_seconds_l(F.col("ts")).alias("ts_epoch"),
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
                     "track_after",
                     "track_threshold",
                     F.lit("").alias("machine"),
@@ -1053,6 +1080,7 @@ class StreamingSaganEngine:
                             "corr_group",
                             F.lit("").alias("event_key"),
                             F.lit(0).cast("long").alias("ts_epoch"),
+                            F.lit(0).cast("long").alias("ts_us"),
                             F.lit("").alias("track_after"),
                             F.lit("").alias("track_threshold"),
                             "machine",
@@ -1084,7 +1112,7 @@ class StreamingSaganEngine:
                     batch_id,
                     writer_id="s",
                 )
-                _prune_old_corr_snapshots(state_path, batch_id)
+                _prune_old_corr_snapshots(spark, state_path, batch_id)
                 flags = replayed.filter(F.col("kind") == "e").select(
                     "sid",
                     "event_key",
@@ -1120,7 +1148,7 @@ class StreamingSaganEngine:
                 if walk_out is not None:
                     walk_out.unpersist()
             if min_chk is not None and max_expire > 0:
-                _sweep_dead_buckets(sets_path, bucket_secs, max_expire, min_chk)
+                _sweep_dead_buckets(spark, sets_path, bucket_secs, max_expire, min_chk)
 
         writer = (
             hits.withColumn("suppressed_after", F.lit(False))

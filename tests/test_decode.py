@@ -137,3 +137,16 @@ def test_gzip_input_transparent(spark, tmp_path):
     out = decode_pipe_frame(df, line_col="value").collect()
     assert {r.program for r in out} == {"sshd", "cron"}
     assert all(r.host.startswith("10.0.0.") for r in out)
+
+
+def test_duplicate_raw_lines_get_distinct_event_keys(spark):
+    """Byte-identical lines are distinct EVENTS (the reference counts
+    each arriving line); a shared event_key would fan out the
+    alert-assembly join and conflate correlation state."""
+    from sagan_spark.pipeline.decode import decode_pipe_frame
+
+    raw = "h1|auth|daemon|5|info|t|2026-01-01|00:00:01|same message"
+    lines = spark.createDataFrame([(raw,), (raw,), (raw,)], "line string")
+    out = decode_pipe_frame(lines).select("event_key").collect()
+    keys = {r.event_key for r in out}
+    assert len(keys) == 3

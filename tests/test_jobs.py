@@ -46,8 +46,17 @@ def test_run_batch_resume_guard(spark, pages_path, tmp_path, monkeypatch, capsys
     assert spark.read.parquet(f"{metrics}/lineage").count() == lineage1
     assert spark.read.parquet(f"{metrics}/counters").count() == counters1
 
+    # crash-retry simulation: marker gone but lineage already written —
+    # the run_id-partitioned dynamic OVERWRITE must not duplicate it
+    import shutil
+
+    shutil.rmtree(f"{metrics}/runs")
+    _run(argv, monkeypatch)
+    assert spark.read.parquet(f"{metrics}/lineage").count() == lineage1
+    assert spark.read.parquet(f"{metrics}/counters").count() == counters1
+
     # a NEW run-id over the same output overwrites sinks (no duplication)
-    # and appends its own lineage exactly once
+    # and adds its own lineage partition exactly once
     _run([a if a != "fixed01" else "fixed02" for a in argv], monkeypatch)
     assert spark.read.parquet(f"{out}/alerts_eve").count() == eve1
     assert spark.read.parquet(f"{metrics}/lineage").count() == 2 * lineage1

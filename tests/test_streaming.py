@@ -456,3 +456,55 @@ def test_streaming_random_parity_with_cond_correlation(spark, tmp_path, seed):
         f"seed={seed} split={split} "
         f"missing={sorted(want-got)} extra={sorted(got-want)}"
     )
+
+
+def test_stage_b_seeded_replay_subsecond_order(spark, tmp_path):
+    """Regression: the stage-B seeded replay must order same-second
+    events by full-precision time (batch sorts the raw ts column) —
+    a floored-seconds sort key replays 'z@10.1s, a@10.9s' as a,z and
+    suppresses the wrong event."""
+    rules_text = """\
+alert any any any -> any any (msg:"set"; content:"setme"; parse_src_ip: 1; xbits: set, name sb, track ip_src, expire 1h; sid:9650001;)
+alert any any any -> any any (msg:"chk"; content:"checkme"; parse_src_ip: 1; xbits: isset, name sb, track ip_src; threshold: type limit, track by_src, count 1, seconds 3600; sid:9650002;)
+"""
+    rows = [
+        ("u://ss/0", "2026-01-01 00:00:01.000000", "setme from 10.0.0.1 x"),
+        # z-key earlier in time, a-key later — both inside second 10
+        ("u://ss/z", "2026-01-01 00:00:10.100000", "checkme from 10.0.0.1 first"),
+        ("u://ss/a", "2026-01-01 00:00:10.900000", "checkme from 10.0.0.1 second"),
+    ]
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(rules_text)
+    table = _mini_pages(rows)
+
+    full_path = str(tmp_path / "ss_full.parquet")
+    pq.write_table(table, full_path)
+    pages = spark.read.parquet(full_path)
+    batch_engine = SaganSparkEngine(rules)
+    batch_alerts = batch_engine.run(batch_engine.frame_from_pages(pages)).alerts()
+    want = {
+        (r.event_key, r.sid) for r in batch_alerts.select("event_key", "sid").collect()
+    }
+    assert want == {("u://ss/0", 9650001), ("u://ss/z", 9650002)}
+
+    input_dir = tmp_path / "ss_in"
+    input_dir.mkdir()
+    out = str(tmp_path / "ss_sinks")
+    ckpt = str(tmp_path / "ss_ckpt")
+    pq.write_table(table, str(input_dir / "c1.parquet"))
+    seng = StreamingSaganEngine(rules, watermark="0 seconds", enable_xbits=True)
+
+    def frame_factory():
+        return SaganSparkEngine.frame_from_pages(
+            pages_stream_frame(spark, str(input_dir))
+        )
+
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+    got_df = (
+        spark.read.parquet(f"{out}/alerts_eve")
+        .select("url", "alert_signature_id")
+        .toPandas()
+    )
+    got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
+    assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
