@@ -85,8 +85,10 @@ def make_json_flatten_udf(barrier: bool = True):
     object would silently make the 'deterministic streaming variant'
     nondeterministic too.  Each call builds a fresh UDF."""
 
+    # the def name surfaces in the ArrowEvalPython plan node — keep the
+    # json_flatten prefix the plan-shape regression tests key on
     @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
-    def flatten_udf(texts: pd.Series) -> pd.Series:
+    def json_flatten_map(texts: pd.Series) -> pd.Series:
         out = pd.Series([{}] * len(texts), index=texts.index, dtype=object)
         mask = texts.str.slice(0, 3).str.contains("{", regex=False).fillna(False)
         if mask.any():
@@ -98,7 +100,7 @@ def make_json_flatten_udf(barrier: bool = True):
     # re-evaluated above the candidate filter (see make_parse_ip_udf).
     # Streaming plans take barrier=False (stateful ops reject
     # nondeterminism).
-    return flatten_udf.asNondeterministic() if barrier else flatten_udf
+    return json_flatten_map.asNondeterministic() if barrier else json_flatten_map
 
 
 json_flatten_udf = make_json_flatten_udf(barrier=True)
