@@ -92,6 +92,31 @@ def _range_struct_array(ranges: list[IpRange]) -> Column:
     )
 
 
+def v4_hilo_cols(ip: Column) -> tuple[Column, Column]:
+    """JVM-side biased (hi, lo) of a dotted-quad IPv4 STRING column —
+    null/null when the string is not a valid IPv4 (hostname, IPv6,
+    empty).  Mirrors extract.ip_to_int + int_to_biased_hilo for the v4
+    case (v4-mapped base 0xFFFF00000000, bias 2^63): lets flow /
+    blacklist / geoip gates see real bits for IPs that arrived via
+    json_map or the syslog-host fallback, where no Parse_IP positional
+    hit exists (reference computes ip bits from the FINAL ip string,
+    engine.c:852 IP2Bit).  Accept set matches extract._v4_int: exactly
+    four parts, 0-255, no leading-zero octets."""
+    pat = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+    octs = [F.regexp_extract(ip, pat, i) for i in (1, 2, 3, 4)]
+    nums = [o.try_cast("long") for o in octs]
+    valid = F.lit(True)
+    for o, n in zip(octs, nums):
+        valid = valid & (o != "") & ~o.rlike("^0.") & n.isNotNull() & (n <= 255)
+    v4 = nums[0] * F.lit(16777216) + nums[1] * F.lit(65536) + nums[2] * F.lit(256) + nums[3]
+    v = F.lit(0xFFFF00000000) + v4
+    null_l = F.lit(None).cast("long")
+    # 2^63 itself overflows a Java long literal — add the (valid) MIN
+    hi = F.when(valid, F.lit(-(1 << 63))).otherwise(null_l)
+    lo = F.when(valid, v + F.lit(-(1 << 63))).otherwise(null_l)
+    return hi, lo
+
+
 def in_ranges(hi: Column, lo: Column, ranges: list[IpRange]) -> Column:
     """J1/J4 probe: biased-128-bit ip within ANY range — pure codegen
     (reference probe Sagan_Blacklist_IPADDR, engine.c:1147-1174)."""
@@ -134,18 +159,28 @@ def substring_set_hit(message: Column, entries: list[str]) -> Column:
     return hit
 
 
+def proto_probe_col(col: Column, keyword_to_proto: dict[str, int]) -> Column:
+    """First protocol-map keyword found in `col` wins, 0 on miss —
+    case-insensitive like the reference's strcasestr scan
+    (reference Parse_Proto src/parsers/proto.c:51-107).  The single
+    shared implementation behind J5/P5 and the compiler's
+    parse_proto/parse_proto_program options."""
+    low = F.lower(col)
+    expr = F.lit(0)
+    # later entries must not override earlier hits: build reversed
+    for kw, proto in reversed(list(keyword_to_proto.items())):
+        expr = F.when(low.contains(F.lit(kw.lower())), F.lit(proto)).otherwise(expr)
+    return expr
+
+
 def proto_map_col(message: Column, program: Column,
                   keyword_to_proto: dict[str, int]) -> Column:
     """J5: first protocol-map keyword found in message else program
     (reference src/parsers/proto.c:51-107); F.when chain — codegen'd."""
-    expr = F.lit(0)
-    # later entries must not override earlier hits: build reversed
-    for kw, proto in reversed(list(keyword_to_proto.items())):
-        expr = F.when(message.contains(F.lit(kw)), F.lit(proto)).otherwise(expr)
-    prog_expr = F.lit(0)
-    for kw, proto in reversed(list(keyword_to_proto.items())):
-        prog_expr = F.when(program.contains(F.lit(kw)), F.lit(proto)).otherwise(prog_expr)
-    return F.when(expr != 0, expr).otherwise(prog_expr)
+    expr = proto_probe_col(message, keyword_to_proto)
+    return F.when(expr != 0, expr).otherwise(
+        proto_probe_col(program, keyword_to_proto)
+    )
 
 
 # ---------------------------------------------------------------------------

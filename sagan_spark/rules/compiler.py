@@ -91,18 +91,30 @@ class EventCols:
 # ---------------------------------------------------------------------------
 
 
+def _rule_program(r: RuleIR, cols: EventCols) -> Column:
+    """Per-rule view of the program: json_map 'program' override
+    (reference overrides syslog_program from the decoded JSON before
+    the program check, src/processors/engine.c:323-488)."""
+    prog = cols.program
+    jm = _json_map_value(r, cols, "program")
+    if jm is not None:
+        prog = F.coalesce(jm, prog)
+    return prog
+
+
 def _rule_message(r: RuleIR, cols: EventCols) -> Column:
     """Per-rule view of the message: json_map 'message' override
     (reference src/processors/engine.c:323-488) then append_program
     (reference src/processors/engine.c:593-627, 'msg | program')."""
     msg = cols.message
+    prog = _rule_program(r, cols)
     for jm in r.json_maps:
         if jm.field == "message" and cols.json is not None:
             msg = F.coalesce(F.try_element_at(cols.json, F.lit(jm.key)), msg)
     if r.append_program:
         msg = F.when(
-            cols.program.isNotNull() & (cols.program != ""),
-            F.concat(msg, F.lit(" | "), cols.program),
+            prog.isNotNull() & (prog != ""),
+            F.concat(msg, F.lit(" | "), prog),
         ).otherwise(msg)
     return msg
 
@@ -236,7 +248,7 @@ class RuleCompiler:
         (reference src/processors/engine.c:492-787)."""
         msg = _rule_message(r, cols)
         pred = cols.message.isNotNull() & (F.length(cols.message) > 0)  # F13
-        pred = pred & tm.program_predicate(cols.program, r.programs)  # F1
+        pred = pred & tm.program_predicate(_rule_program(r, cols), r.programs)  # F1
         pred = pred & tm.isin_predicate(cols.facility, r.facilities)  # F2
         pred = pred & tm.isin_predicate(cols.level, r.levels)
         pred = pred & tm.isin_predicate(cols.tag, r.tags)
@@ -294,11 +306,28 @@ class RuleCompiler:
         out["src_ip"] = self._localhost_fix(src_ip, cols)
         out["dst_ip"] = self._localhost_fix(dst_ip, cols)
 
-        # hi/lo for flow checks: only meaningful for parsed hits
-        out["src_hi"] = src_hit.getField("hi") if src_hit is not None else F.lit(None).cast("long")
-        out["src_lo"] = src_hit.getField("lo") if src_hit is not None else F.lit(None).cast("long")
-        out["dst_hi"] = dst_hit.getField("hi") if dst_hit is not None else F.lit(None).cast("long")
-        out["dst_lo"] = dst_hit.getField("lo") if dst_hit is not None else F.lit(None).cast("long")
+        # hi/lo for flow/blacklist/geoip checks: derived from the FINAL
+        # ip string (reference IP2Bit on the resolved value,
+        # engine.c:852) — a JVM v4 parse covers json_map values and
+        # dotted-quad host fallbacks that have no Parse_IP hit; the
+        # positional hit's precomputed halves cover v6.  A non-IP final
+        # string (hostname) leaves NULL halves: positive CIDR groups
+        # fail, negated ones pass — the same outcomes as the
+        # reference's zeroed-bits fallback for unparseable hosts.
+        from sagan_spark.pipeline.enrich import v4_hilo_cols
+
+        src_v4_hi, src_v4_lo = v4_hilo_cols(out["src_ip"])
+        dst_v4_hi, dst_v4_lo = v4_hilo_cols(out["dst_ip"])
+        if src_hit is not None:
+            out["src_hi"] = F.coalesce(src_v4_hi, src_hit.getField("hi"))
+            out["src_lo"] = F.coalesce(src_v4_lo, src_hit.getField("lo"))
+        else:
+            out["src_hi"], out["src_lo"] = src_v4_hi, src_v4_lo
+        if dst_hit is not None:
+            out["dst_hi"] = F.coalesce(dst_v4_hi, dst_hit.getField("hi"))
+            out["dst_lo"] = F.coalesce(dst_v4_lo, dst_hit.getField("lo"))
+        else:
+            out["dst_hi"], out["dst_lo"] = dst_v4_hi, dst_v4_lo
 
         jm_sport = _json_map_value(r, cols, "src_port")
         jm_dport = _json_map_value(r, cols, "dst_port")
@@ -322,18 +351,22 @@ class RuleCompiler:
         # Parse_IP literal token -> parse_proto(message) overwrites (0 on
         # miss, proto.c:51-107) -> parse_proto_program(program) overwrites
         # -> default_proto overwrites unconditionally when set
+        # json_map proto wins over the Parse_IP literal token when both
+        # exist (reference: normalization always overrides parse_*
+        # unless the decode failed, engine.c:794-806)
+        jm_proto = _json_map_value(r, cols, "proto")
         if cols.ip_proto is not None and r.needs_parse_ip:
-            proto = F.coalesce(cols.ip_proto, F.lit(0))
+            base = F.coalesce(cols.ip_proto, F.lit(0))
         else:
-            jm_proto = _json_map_value(r, cols, "proto")
-            proto = F.coalesce(jm_proto.try_cast("int"), F.lit(0)) if jm_proto is not None else F.lit(0)
+            base = F.lit(0)
+        proto = F.coalesce(jm_proto.try_cast("int"), base) if jm_proto is not None else base
         if r.parse_proto and self.config.protocol_map_message:
             proto = self._proto_probe(cols.message, self.config.protocol_map_message)
         if r.parse_proto_program and (
             self.config.protocol_map_program or self.config.protocol_map_message
         ):
             pm = self.config.protocol_map_program or self.config.protocol_map_message
-            proto = self._proto_probe(cols.program, pm)
+            proto = self._proto_probe(_rule_program(r, cols), pm)
         if r.default_proto:
             proto = F.lit(r.default_proto)
         out["proto"] = proto
@@ -357,13 +390,11 @@ class RuleCompiler:
 
     @staticmethod
     def _proto_probe(col: Column, keyword_map: dict[str, int]) -> Column:
-        """First map keyword found in `col` wins, 0 on miss
-        (reference Parse_Proto src/parsers/proto.c:51-107)."""
-        low = F.lower(col)
-        expr = F.lit(0)
-        for kw, proto in reversed(list(keyword_map.items())):
-            expr = F.when(low.contains(F.lit(kw.lower())), F.lit(proto)).otherwise(expr)
-        return expr
+        """Delegates to the single shared probe (enrich.proto_probe_col)
+        so the two call sites citing proto.c:51-107 cannot diverge."""
+        from sagan_spark.pipeline.enrich import proto_probe_col
+
+        return proto_probe_col(col, keyword_map)
 
     def flow_predicate(self, r: RuleIR, ext: dict[str, Column]) -> Column:
         """Rule header nets/ports/proto gate (reference src/flow.c:48-504).
@@ -403,8 +434,16 @@ class RuleCompiler:
     def _compiled_geoip(self, codes: list[str]):
         from sagan_spark.pipeline.enrich import compile_cidrs
 
-        sel = [(c, cc) for c, cc in self.config.geoip_ranges if cc.upper() in codes]
-        return compile_cidrs([c for c, _ in sel], [cc for _, cc in sel])
+        # memoized per code tuple like _compiled_blacklist — a 100k-range
+        # feed would otherwise re-parse per country_code rule per compile
+        key = tuple(codes)
+        cache = getattr(self, "_geoip_cache", None)
+        if cache is None:
+            cache = self._geoip_cache = {}
+        if key not in cache:
+            sel = [(c, cc) for c, cc in self.config.geoip_ranges if cc.upper() in codes]
+            cache[key] = compile_cidrs([c for c, _ in sel], [cc for _, cc in sel])
+        return cache[key]
 
     def enrichment_predicate(self, r: RuleIR, ext: dict[str, Column],
                              cols: EventCols) -> Column:
@@ -553,9 +592,17 @@ class RuleCompiler:
         """'src|sport|dst|dport|user' with untracked fields empty/0 —
         byte-identical to the reference's hash_string
         (reference src/threshold.c:111, src/after.c:108)."""
+        # coalesce: format_string renders a NULL username as the literal
+        # text 'null' — the reference hashes the empty string
+        # (threshold.c:111), and 'null' would collide with a real user
+        # named "null"
         src = ext["src_ip"] if "by_src" in track else F.lit("")
         dst = ext["dst_ip"] if "by_dst" in track else F.lit("")
-        user = ext["username"] if "by_username" in track else F.lit("")
+        user = (
+            F.coalesce(ext["username"], F.lit(""))
+            if "by_username" in track
+            else F.lit("")
+        )
         sport = ext["src_port"].cast("long") if "by_srcport" in track else F.lit(0)
         dport = ext["dst_port"].cast("long") if "by_dstport" in track else F.lit(0)
         return F.format_string("%s|%d|%s|%d|%s", src, sport, dst, dport, user)
