@@ -130,7 +130,7 @@ def main() -> None:
         alerts, rule_metadata_df(spark, rules), events=frame,
         xbit_condition_sids=cond_sids,
     )
-    paths = write_sinks(assembled, args.output, fmt=args.format)
+    paths = write_sinks(assembled, args.output, fmt=args.format, rules=rules)
 
     if args.metrics:
         from pyspark.sql import functions as F

@@ -97,14 +97,18 @@ def _valid_v6(tok: str) -> bool:
 
 
 def _atoi(s: str) -> int:
-    """C atoi: leading int prefix, 0 on garbage."""
+    """C atoi for PORT tokens: leading int prefix, 0 on garbage,
+    truncated mod 2^16 like the reference's assignment into the uint16
+    port fields (src/sagan.h:411-412) — Python's unbounded int would
+    otherwise overflow the UDF's Arrow int32 port column and abort the
+    whole task on one malformed token like ':4294967296'."""
     # [0-9] not \d: Python \d matches Unicode decimal digits, C atoi is
     # ASCII-only.
     m = re.match(r"\s*[+-]?[0-9]+", s)
     if not m:
         return 0
     try:
-        return int(m.group(0))
+        return int(m.group(0)) & 0xFFFF
     except ValueError:
         return 0
 

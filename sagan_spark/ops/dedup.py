@@ -249,19 +249,44 @@ def simhash_udf(k: int = 4):
 
 def simhash_near_dups(docs: DataFrame, k: int = 4, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded on the top
-    16 bits to avoid the n^2 join (standard simhash block trick)."""
-    sh = docs.select(F.col(id_col), simhash_udf(k)(F.col(text_col)).alias("simhash"))
-    banded = sh.withColumn("block", F.shiftrightunsigned("simhash", 48))
-    a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"), "block")
-    b = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"), "block")
-    pairs = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    """Near-dup pairs by SimHash hamming distance via the block trick:
+    the 64-bit hash splits into ``max_hamming + 1`` equal-width blocks
+    — any pair within ``max_hamming`` agrees on at least ONE block
+    (pigeonhole), so the n² join becomes one equi-join per block with
+    exact-hamming rerank.  A single-block variant silently missed every
+    pair whose differing bits fell in the banded block."""
+    sh = docs.select(
+        F.col(id_col), simhash_udf(k)(F.col(text_col)).alias("simhash")
+    ).persist()
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    out = None
+    for blk in range(n_blocks):
+        block_val = F.shiftrightunsigned("simhash", blk * width).bitwiseAND(
+            F.lit(mask)
+        )
+        banded = sh.withColumn("block", block_val)
+        a = banded.select(
+            F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"), "block"
+        )
+        b = banded.select(
+            F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"), "block"
+        )
+        p = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", "h_a", "h_b"
+        )
+        out = p if out is None else out.unionByName(p)
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
+    result = (
+        out.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a pair can collide in several blocks
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return result
 
 
 def embedding_lsh_dups(emb: DataFrame, threshold: float = 0.95,

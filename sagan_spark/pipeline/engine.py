@@ -389,11 +389,16 @@ class SaganSparkEngine:
         return second.run(frame), combined
 
     def _with_noalert(self, all_hits: DataFrame) -> DataFrame:
-        """flexbit/xbit noalert suppression flags (reference src/output.c:88-99)."""
+        """``flexbits: noalert`` suppresses the WHOLE alert for rules
+        carrying any flexbit op (reference engine.c:1436: Send_Alert
+        only when flexbit_flag==false || flexbit_noalert==0).  The
+        xbit variants (``xbits: noalert|noeve``) are PER-SINK flags —
+        they route in ``route.sink_suppressions``, not here."""
         noalert_sids = [
             r.sid
             for r in self.rules
-            if any(x.action == "set" for x in r.xbits) and "noalert" in getattr(r, "flags", [])
+            if "noalert" in getattr(r, "flags", [])
+            and any(x.track.startswith("flex") for x in r.xbits)
         ]
         return all_hits.withColumn(
             "noalert",

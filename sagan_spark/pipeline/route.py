@@ -361,24 +361,61 @@ SINK_BUILDERS = {
 }
 
 
+def sink_suppressions(rules: list[RuleIR]) -> dict[str, list[int]]:
+    """Per-SINK suppressed sid lists (reference src/output.c:88-99):
+    ``xbits: noalert`` drops the rule's alerts from the alert-file sink
+    only; ``noeve`` (xbit or flexbit spelling) drops them from EVE
+    only; fast and syslog always write.  (``flexbits: noalert``
+    suppresses the whole alert and is handled in the engine —
+    engine.c:1436.)"""
+    no_alert = [r.sid for r in rules if "xbit_noalert" in r.flags]
+    no_eve = [
+        r.sid for r in rules if "xbit_noeve" in r.flags or "noeve" in r.flags
+    ]
+    out: dict[str, list[int]] = {}
+    if no_alert:
+        out["alerts_alert"] = no_alert
+    if no_eve:
+        out["alerts_eve"] = no_eve
+    return out
+
+
+def apply_sink_suppression(view: DataFrame, sink: str,
+                           suppress: dict[str, list[int]] | None) -> DataFrame:
+    sids = (suppress or {}).get(sink)
+    return view.filter(~F.col("sid").isin(sids)) if sids else view
+
+
 def write_sinks(assembled: DataFrame, base_path: str,
-                sinks: list[str] | None = None, fmt: str = "parquet") -> dict[str, str]:
+                sinks: list[str] | None = None, fmt: str = "parquet",
+                rules: list[RuleIR] | None = None) -> dict[str, str]:
     """K7: fan one assembled alert set out to all enabled sink tables.
 
     Each sink is an independent parallel write (vs the reference's
-    single-writer mutex, src/output.c:83-108).  With an Iceberg catalog
-    configured, ``fmt='iceberg'`` appends via writeTo(); the default
-    parquet path keeps the same layout for the sandbox.
+    single-writer mutex, src/output.c:83-108) in OVERWRITE mode — a
+    re-run of the same output path replaces, never duplicates (the
+    resume model jobs/run_batch.py documents).  ``fmt='iceberg'``
+    passes the format through to a configured Iceberg catalog's
+    path-based writer; this sandbox carries no Iceberg jars, so only
+    the parquet path is exercised here.
+
+    ``rules``: when given, per-sink noalert/noeve suppression applies
+    (reference output.c:88-99 via :func:`sink_suppressions`).  The
+    sink VIEW projects after the suppression filter so the dropped
+    sids never serialize.
 
     The assembled alert set is materialized once (persist) so the
     parse -> match -> correlate DAG runs a single time regardless of
     sink count — the fan-out itself is cheap projections.
     """
+    suppress = sink_suppressions(rules) if rules else {}
     assembled = assembled.persist()
     try:
         paths = {}
         for sink in sinks or list(SINK_BUILDERS):
-            view = SINK_BUILDERS[sink](assembled)
+            view = SINK_BUILDERS[sink](
+                apply_sink_suppression(assembled, sink, suppress)
+            )
             path = f"{base_path}/{sink}"
             view.write.mode("overwrite").format(fmt).save(path)
             paths[sink] = path

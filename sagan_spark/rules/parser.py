@@ -423,6 +423,13 @@ def parse_rule(
             )
         elif key in ("xbits", "xbit"):
             parts = [p.strip() for p in val.split(",")]
+            if parts[0].lower() in ("noalert", "noeve"):
+                # per-sink suppression flags, not bit ops (reference
+                # src/rules.c:1180-1192: xbit_noalert suppresses only
+                # the alert-file sink, xbit_noeve only EVE —
+                # output.c:88-99)
+                ir.flags.append(f"xbit_{parts[0].lower()}")
+                continue
             spec = {"action": parts[0].lower()}
             for p in parts[1:]:
                 kk, _, vv = p.partition(" ")

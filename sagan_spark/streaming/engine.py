@@ -573,12 +573,15 @@ class StreamingSaganEngine:
         )
         from sagan_spark.pipeline.route import (
             SINK_BUILDERS,
+            apply_sink_suppression,
             assemble_alerts,
             rule_metadata_df,
+            sink_suppressions,
         )
 
         rules = self.rules
         sink_names = sinks or list(SINK_BUILDERS)
+        suppress = sink_suppressions(rules)
         shapes_by_bit = self._cond_shapes_by_bit()
         bucket_secs = self._bucket_secs()
         # setter rules' surviving alerts also stage their set/unset events
@@ -615,7 +618,9 @@ class StreamingSaganEngine:
             try:
                 for sink in sink_names:
                     _idempotent_write(
-                        SINK_BUILDERS[sink](assembled),
+                        SINK_BUILDERS[sink](
+                            apply_sink_suppression(assembled, sink, suppress)
+                        ),
                         f"{base_path}/{sink}",
                         batch_id,
                         writer_id="a",
@@ -715,13 +720,16 @@ class StreamingSaganEngine:
         )
         from sagan_spark.pipeline.route import (
             SINK_BUILDERS,
+            apply_sink_suppression,
             assemble_alerts,
             rule_metadata_df,
+            sink_suppressions,
         )
 
         rules = self.rules
         cond_rules = [r for r in rules if r.sid in self.cond_sids]
         sink_names = sinks or list(SINK_BUILDERS)
+        suppress = sink_suppressions(rules)
         bucket_secs = self._bucket_secs()
         max_expire = self._max_expire()
         funnel_bits = self._funnel_bits()
@@ -1135,7 +1143,9 @@ class StreamingSaganEngine:
             try:
                 for sink in sink_names:
                     _idempotent_write(
-                        SINK_BUILDERS[sink](assembled),
+                        SINK_BUILDERS[sink](
+                            apply_sink_suppression(assembled, sink, suppress)
+                        ),
                         f"{base_path}/{sink}",
                         batch_id,
                         writer_id="b",

@@ -54,17 +54,43 @@ def test_simhash_near_dup_semantics(spark):
 
 
 def test_simhash_hamming_matches_python(spark):
-    """The banded join may MISS pairs whose top-16 bits differ (that is
-    the documented LSH trade-off), but every pair it returns must carry
-    the exact hamming distance of the two scalar hashes."""
+    """Every returned pair carries the exact hamming distance of the
+    two scalar hashes."""
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS) if t], "doc_id int, text string"
     )
-    rows = simhash_near_dups(df, k=4, max_hamming=64).collect()
+    rows = simhash_near_dups(df, k=4, max_hamming=63).collect()
     hs = {i: simhash_scalar(t, 4) for i, t in enumerate(TEXTS) if t}
     for r in rows:
         want = bin((hs[r.doc_a] ^ hs[r.doc_b]) & ((1 << 64) - 1)).count("1")
         assert r.hamming == want
+
+
+def test_simhash_block_trick_is_recall_complete(spark):
+    """Pigeonhole guarantee: with max_hamming+1 blocks, EVERY pair
+    within max_hamming is found — including pairs whose differing bits
+    all sit in one particular block (the single-block variant missed
+    those).  Oracle: brute-force all-pairs hamming in Python."""
+    texts = [t for t in TEXTS if t] + [
+        "the quick brown fox jumps over a lazy dog today",
+        "sphinx of black quartz judge my vow now",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    hs = {i: simhash_scalar(t, 4) & ((1 << 64) - 1) for i, t in enumerate(texts)}
+    for mh in (1, 3, 7):
+        want = {
+            (a, b)
+            for a in hs
+            for b in hs
+            if a < b and bin(hs[a] ^ hs[b]).count("1") <= mh
+        }
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_near_dups(df, k=4, max_hamming=mh).collect()
+        }
+        assert got == want, f"max_hamming={mh}: missing={want-got} extra={got-want}"
 
 
 # ---------------------------------------------------------------------------

@@ -114,3 +114,43 @@ def test_eve_correlation_json_for_xbit_condition_alerts(spark, tmp_path):
     assert corr["signature"] == "avoff after rb"
     assert corr["priority"] == "warn"
     assert corr["rule"].startswith("alert any any any")
+
+
+def test_xbit_noalert_suppresses_only_alert_sink(spark, tmp_path):
+    """`xbits: noalert` drops the rule from the alert-file sink ONLY;
+    EVE/fast/syslog still carry it (reference output.c:88-99).  `noeve`
+    drops it from EVE only."""
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.pipeline.route import assemble_alerts, rule_metadata_df, write_sinks
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"qa"; program: error; content:"{"; '
+        "xbits: noalert; sid:9900001;)\n"
+        'alert any any any -> any any (msg:"qe"; program: purchase; content:"{"; '
+        "xbits: noeve; sid:9900002;)\n"
+        'alert any any any -> any any (msg:"qn"; program: signup; content:"{"; '
+        "sid:9900003;)"
+    )
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import functions as F
+
+    frame = ev.select(
+        F.col("event_id").cast("string").alias("event_key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("u-"), F.col("user_id")).alias("host"),
+        F.col("event_type").alias("program"),
+        F.lit("").alias("facility"), F.lit("").alias("level"),
+        F.lit("").alias("tag"), F.col("props").alias("message"),
+    )
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    assembled = assemble_alerts(alerts, rule_metadata_df(spark, rules), events=frame)
+    out = str(tmp_path / "sup_sinks")
+    write_sinks(assembled, out, rules=rules)
+
+    alert_sids = {r.sid for r in spark.read.parquet(f"{out}/alerts_alert").select("sid").distinct().collect()}
+    eve_sids = {r.alert_signature_id for r in spark.read.parquet(f"{out}/alerts_eve").select("alert_signature_id").distinct().collect()}
+    fast_sids = {r.sid for r in spark.read.parquet(f"{out}/alerts_fast").select("sid").distinct().collect()}
+    assert alert_sids == {9900002, 9900003}   # noalert dropped from alert file
+    assert eve_sids == {9900001, 9900003}     # noeve dropped from EVE
+    assert fast_sids == {9900001, 9900002, 9900003}  # fast always writes
