@@ -1234,6 +1234,52 @@ def q_multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization: Jaccard-verified pairs -> connected
+    components -> (canonical_id, cluster_size) per cluster."""
+    from sagan_spark.ops.dedup import near_dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    return near_dup_clusters(docs, k=8, n_bands=4, threshold=0.3)
+
+
+def q_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup drop list: every clustered doc except its cluster's
+    min-id canonical."""
+    from sagan_spark.ops.dedup import near_dup_drop_list
+
+    docs = _docs(spark, sf_dir)
+    return near_dup_drop_list(docs, k=8, n_bands=4, threshold=0.3)
+
+
+def q_webclean_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.webclean import repetition_metrics
+
+    docs = _docs(spark, sf_dir)
+    return repetition_metrics(docs)
+
+
+def q_webclean_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.webclean import top_ngram_char_frac
+
+    docs = _docs(spark, sf_dir)
+    return top_ngram_char_frac(docs, n=2)
+
+
+def q_webclean_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.webclean import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    return pii_scrub(docs).select("doc_id", "n_emails", "n_ips", "clean_len")
+
+
+def q_webclean_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.webclean import filter_verdict
+
+    docs = _docs(spark, sf_dir)
+    return filter_verdict(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_pipe_decode": q_s5_pipe_decode,
@@ -1287,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_cluster_canonical": q_dedup_cluster_canonical,
+        "dedup_drop_list": q_dedup_drop_list,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1301,10 +1349,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features_ann": q_multimodal_features_ann,
+        "webclean_repetition": q_webclean_repetition,
+        "webclean_top_ngram": q_webclean_top_ngram,
+        "webclean_pii": q_webclean_pii,
+        "webclean_verdict": q_webclean_verdict,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # same pattern strings on both contract sides (RE2-compatible)
+    from sagan_spark.ops.webclean import EMAIL_RE, IPV4_RE
+
     shingles = (
         "SELECT DISTINCT doc_id, shingle FROM ("
         "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-7,1)+1),"
@@ -1328,6 +1383,36 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS n_shared_bands "
         "FROM stacked a JOIN stacked b ON a.band = b.band AND a.sig = b.sig"
         " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    )
+    # Jaccard-verified pairs -> symmetric edges -> transitive closure
+    # (recursive CTE; UNION dedups so the fixpoint terminates) ->
+    # per-node component = min reachable node.  Mirrors
+    # ops/dedup.py connected_components over ngram_jaccard_pairs(0.3).
+    components = (
+        f"WITH RECURSIVE sh AS ({shingles}), "
+        "sig AS (SELECT doc_id, "
+        " min(md5('b0|' || shingle)) AS sig0, min(md5('b1|' || shingle)) AS sig1,"
+        " min(md5('b2|' || shingle)) AS sig2, min(md5('b3|' || shingle)) AS sig3 "
+        "FROM sh GROUP BY doc_id), "
+        "stacked AS ("
+        " SELECT doc_id, 0 AS band, sig0 AS sig FROM sig UNION ALL"
+        " SELECT doc_id, 1, sig1 FROM sig UNION ALL"
+        " SELECT doc_id, 2, sig2 FROM sig UNION ALL"
+        " SELECT doc_id, 3, sig3 FROM sig), "
+        f"{pairs}, "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p"
+        " JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b"
+        " AND b.shingle = a.shingle GROUP BY 1, 2), "
+        "jp AS (SELECT i.doc_a, i.doc_b FROM inter i"
+        " JOIN sizes na ON na.doc_id = i.doc_a"
+        " JOIN sizes nb ON nb.doc_id = i.doc_b"
+        " WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM jp"
+        " UNION SELECT doc_b, doc_a FROM jp), "
+        "reach AS (SELECT u AS node, u AS r FROM edges"
+        " UNION SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v), "
+        "comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY 1)"
     )
     session_cte = (
         "WITH o AS (SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL"
@@ -1702,6 +1787,14 @@ def oracle_sql() -> dict[str, str]:
             " JOIN sizes nb ON nb.doc_id = i.doc_b "
             "WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3"
         ),
+        "dedup_cluster_canonical": (
+            f"{components} SELECT CAST(comp AS BIGINT) AS canonical_id,"
+            " CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1"
+        ),
+        "dedup_drop_list": (
+            f"{components} SELECT CAST(node AS BIGINT) AS doc_id"
+            " FROM comp WHERE node <> comp"
+        ),
         "dedup_embedding_cosine": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
             " round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine"
@@ -1800,4 +1893,55 @@ def oracle_sql() -> dict[str, str]:
         ),
         # multimodal_features_ann: PRNG stub kernel — rows-only
         # dedup_simhash, ann_lsh_topk: pandas-UDF / hyperplane ops — rows-only
+        "webclean_repetition": (
+            "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,"
+            " round((len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE), 6)"
+            "  AS dup_line_frac,"
+            " round((tc - dc) / CAST(greatest(tc, 1) AS DOUBLE), 6)"
+            "  AS dup_line_char_frac"
+            " FROM (SELECT doc_id, l,"
+            " coalesce(CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT), 0) AS tc,"
+            " coalesce(CAST(list_sum(list_transform(list_distinct(l), x -> length(x))) AS BIGINT), 0) AS dc"
+            " FROM (SELECT doc_id, str_split(text, chr(10)) AS l FROM documents))"
+        ),
+        "webclean_top_ngram": (
+            "WITH w AS (SELECT doc_id,"
+            " list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws"
+            " FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            " range(1, greatest(len(ws) - 1, 0) + 1),"
+            " i -> ws[i] || ' ' || ws[i + 1])) AS gram FROM w), "
+            "c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, gram, cnt FROM ("
+            " SELECT doc_id, gram, cnt, row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn FROM c)"
+            " WHERE rn = 1), "
+            "wc AS (SELECT doc_id,"
+            " coalesce(CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT), 0)"
+            "  AS wchars FROM w) "
+            "SELECT w.doc_id, top.gram AS top_gram,"
+            " CAST(coalesce(top.cnt, 0) AS BIGINT) AS top_gram_count,"
+            " round(top.cnt * (length(top.gram) - 1)"
+            "  / CAST(greatest(wc.wchars, 1) AS DOUBLE), 6) AS top_gram_char_frac"
+            " FROM w LEFT JOIN top ON top.doc_id = w.doc_id"
+            " JOIN wc ON wc.doc_id = w.doc_id"
+        ),
+        "webclean_pii": (
+            f"SELECT doc_id,"
+            f" CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,"
+            f" CAST(len(regexp_extract_all(regexp_replace(text, '{EMAIL_RE}',"
+            f" '<EMAIL>', 'g'), '{IPV4_RE}')) AS BIGINT) AS n_ips,"
+            f" CAST(length(regexp_replace(regexp_replace(text, '{EMAIL_RE}',"
+            f" '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g')) AS BIGINT) AS clean_len"
+            f" FROM documents"
+        ),
+        "webclean_verdict": (
+            "SELECT doc_id, reason, reason = 'ok' AS keep FROM ("
+            "SELECT doc_id, CASE WHEN length(text) < 20 THEN 'too_short'"
+            " WHEN lang NOT IN ('en') THEN 'lang'"
+            " WHEN (len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE) > 0.30"
+            "  THEN 'repetition' ELSE 'ok' END AS reason"
+            " FROM (SELECT doc_id, lang, text, str_split(text, chr(10)) AS l"
+            " FROM documents))"
+        ),
     }

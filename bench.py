@@ -49,6 +49,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "text_fingerprint",
+    "webclean_repetition",
+    "webclean_pii",
 ]
 
 

@@ -360,3 +360,112 @@ def embedding_cosine_dups(emb: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster canonicalization: pairs -> connected components ->
+# one canonical doc per cluster (the step that turns pair detection
+# into an actual corpus dedup)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """(node, component) for every node in the pair set; component =
+    min node id reachable.  Iterative min-label propagation: each round
+    joins current labels across the (symmetrized) edge set and keeps
+    the per-node min — one shuffle per round, converging in
+    O(graph diameter) rounds.  Near-dup graphs are unions of LSH-bucket
+    cliques, so the diameter is small (pairs within a bucket are 1 hop
+    apart; chains only form across buckets); the loop checks actual
+    convergence (no label changed) instead of trusting that, and
+    raises if ``max_iter`` rounds don't settle.  Each round
+    localCheckpoints the label frame: the plan would otherwise double
+    per iteration and overwhelm the optimizer at 10+ rounds.
+
+    For adversarially deep graphs (long chains at 100TB) swap the
+    propagation body for the large-star/small-star rounds of Kiveris et
+    al., "Connected Components in MapReduce and Beyond" (SOCC'14) —
+    same (node, component) contract, O(log n) rounds.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+        .select(F.col("u").alias("node"), F.least("comp", "node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor's current label, pulled across each edge
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def near_dup_clusters(docs: DataFrame, k: int = 8, n_bands: int = 4,
+                      threshold: float = 0.5, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate clusters from *verified* pairs: one row per
+    cluster, ``(canonical_id, cluster_size)`` — canonical = min doc_id
+    (deterministic, join-free tie-break).
+
+    Clustering runs on exact-Jaccard-verified pairs
+    (:func:`ngram_jaccard_pairs`), NOT raw LSH candidates: with few
+    bands a single shared band is a weak signal, and transitively
+    closing unverified candidates welds the corpus into one giant
+    cluster.  Verification first keeps components honest; only docs in
+    at least one verified pair ever shuffle — singletons are implicitly
+    their own cluster and never leave the scan.
+    """
+    pairs = ngram_jaccard_pairs(docs, k, n_bands, threshold, text_col, id_col)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comps.groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .select(F.col("comp").cast("long").alias("canonical_id"), "cluster_size")
+    )
+
+
+def near_dup_drop_list(docs: DataFrame, k: int = 8, n_bands: int = 4,
+                       threshold: float = 0.5, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """doc_ids to DROP to deduplicate the corpus: every clustered doc
+    except its cluster's canonical (min id), clusters built on
+    Jaccard-verified pairs (see :func:`near_dup_clusters`).  anti-join
+    this against the corpus to materialize the deduplicated table."""
+    pairs = ngram_jaccard_pairs(docs, k, n_bands, threshold, text_col, id_col)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comps.filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").cast("long").alias(id_col))
+    )

@@ -1,0 +1,174 @@
+"""Web-text cleaning operators for training-data pipelines over the
+`documents` table: Gopher-style repetition metrics, PII scrubbing, and
+a composite keep/drop routing verdict.
+
+All metrics are pure `pyspark.sql.functions` expressions (JVM-side,
+whole-stage codegen, no shuffle — every metric is per-row array math),
+so the operators scan-and-project at parquet speed; the only Python is
+the top-n-gram mode computation, which Spark lacks a builtin for and
+runs as one Arrow-batched pandas UDF.
+
+Metric definitions follow the published Gopher data-quality filters
+(Rae et al., "Scaling Language Models: Methods, Analysis & Insights
+from Training Gopher", arXiv:2112.11446, Appendix A):
+duplicate-line fraction, duplicate-line character fraction, and the
+fraction of characters inside the most frequent word 2-gram.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lines(text_col):
+    return F.split(text_col, "\n")
+
+
+def _words(text_col):
+    # whitespace tokenization; filter() drops the empty leading token a
+    # leading separator produces (DuckDB's regexp_split_to_array does
+    # the same after list_filter — the oracle mirrors this exactly)
+    return F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition metrics (Gopher App. A repetition filters):
+
+    - ``n_lines``, ``dup_line_frac``: 1 - distinct/total lines
+    - ``dup_line_char_frac``: chars in repeat occurrences of a line /
+      total line chars (first occurrence doesn't count as duplicate)
+
+    Everything is per-row array arithmetic — array_distinct and
+    aggregate() run inside codegen; the operator adds no shuffle to the
+    scan."""
+    lines = _lines(F.col(text_col))
+    dlines = F.array_distinct(lines)
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    distinct_chars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_lines = F.size(lines)
+    return docs.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            (n_lines - F.size(dlines)) / n_lines.cast("double"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            (total_chars - distinct_chars)
+            / F.greatest(total_chars, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def top_ngram_char_frac(docs: DataFrame, n: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Fraction of characters covered by occurrences of the most
+    frequent word n-gram (Gopher's top-n-gram filter).  Tie-break: the
+    lexicographically smallest n-gram among the most frequent (so the
+    result is deterministic and SQL-mirrorable).
+
+    Spark has no builtin array-mode, so the mode runs in one
+    Arrow-batched pandas UDF over the word array; the tokenization and
+    char accounting stay JVM-side."""
+    words = _words(F.col(text_col))
+
+    from collections import Counter
+
+    @F.pandas_udf("struct<gram string, cnt long>")
+    def _top(ws: pd.Series) -> pd.DataFrame:
+        grams, cnts = [], []
+        for w in ws:
+            toks = list(w) if w is not None else []
+            if len(toks) < n:
+                grams.append(None)
+                cnts.append(0)
+                continue
+            c = Counter(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            grams.append(top[0])
+            cnts.append(top[1])
+        return pd.DataFrame({"gram": grams, "cnt": pd.array(cnts, dtype="int64")})
+
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    t = docs.select(
+        F.col(id_col),
+        total_chars.alias("wchars"),
+        _top(words).alias("t"),
+    )
+    return t.select(
+        F.col(id_col),
+        F.col("t.gram").alias("top_gram"),
+        F.col("t.cnt").cast("long").alias("top_gram_count"),
+        F.round(
+            # chars covered = count * chars-in-gram-words (separators
+            # excluded on both sides of the contract)
+            (F.col("t.cnt") * (F.length("t.gram") - (n - 1)))
+            / F.greatest(F.col("wchars"), F.lit(1)).cast("double"),
+            6,
+        ).alias("top_gram_char_frac"),
+    )
+
+
+# PII patterns: RE2-compatible (no lookaround/backrefs) so the SAME
+# pattern string runs in Spark's Java regex and DuckDB's RE2 oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails and IPv4 literals; per-doc counts + clean text.
+
+    Pure regexp_count/regexp_replace — codegen, no shuffle, no Python.
+    Order matters: emails first (an email's host part can contain a
+    dotted quad; the IP pass must not see it)."""
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"), F.lit(IPV4_RE)
+        ).cast("long").alias("n_ips"),
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
+def filter_verdict(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_chars: int = 20,
+                   max_dup_line_frac: float = 0.30,
+                   langs: tuple = ("en",)) -> DataFrame:
+    """Composite keep/drop routing verdict per doc — the `route` stage
+    of a training-data pipeline: every doc gets a verdict and the FIRST
+    failing reason (evaluation order: length, language, repetition),
+    mirroring how the reference routes events to sinks by first
+    matching rule.  Returns (doc_id, keep, reason)."""
+    lines = _lines(F.col(text_col))
+    dup_frac = (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(
+        lines
+    ).cast("double")
+    reason = (
+        F.when(F.length(text_col) < min_chars, F.lit("too_short"))
+        .when(~F.col("lang").isin(*langs), F.lit("lang"))
+        .when(dup_frac > max_dup_line_frac, F.lit("repetition"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        F.col(id_col),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

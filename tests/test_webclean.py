@@ -1,0 +1,212 @@
+"""Oracles for the web-text cleaning ops and near-dup cluster
+canonicalization: each Spark operator is compared against a small
+pure-Python twin computed row-by-row (webclean metrics) or against a
+hand-built union-find (connected components)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from sagan_spark.ops.dedup import (
+    connected_components,
+    near_dup_clusters,
+    near_dup_drop_list,
+    ngram_jaccard_pairs,
+)
+from sagan_spark.ops.webclean import (
+    EMAIL_RE,
+    IPV4_RE,
+    filter_verdict,
+    pii_scrub,
+    repetition_metrics,
+    top_ngram_char_frac,
+)
+
+DOCS = [
+    (0, "one single line of perfectly ordinary text", "en"),
+    (1, "duplicate line x\nduplicate line x\nduplicate line x\nother", "en"),
+    (2, "a b\nc d\na b", "en"),
+    (3, "", "en"),
+    (4, "contact me at bob@example.com or 10.1.2.3 ok", "en"),
+    (5, "spam spam spam spam spam spam", "en"),
+    (6, "short", "de"),
+    (7, "a@b.co c@d.io 1.2.3.4 255.255.255.255 999.1.1.1", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t, l) for i, t, l in DOCS], "doc_id long, text string, lang string"
+    )
+
+
+def _py_repetition(text):
+    lines = text.split("\n")
+    n = len(lines)
+    dlines = list(dict.fromkeys(lines))
+    tc = sum(len(x) for x in lines)
+    dc = sum(len(x) for x in dlines)
+    return (
+        n,
+        round((n - len(dlines)) / n, 6),
+        round((tc - dc) / max(tc, 1), 6),
+    )
+
+
+def test_repetition_metrics_vs_python(docs_df):
+    got = {r.doc_id: r for r in repetition_metrics(docs_df).collect()}
+    for i, t, _ in DOCS:
+        n, dlf, dlcf = _py_repetition(t)
+        r = got[i]
+        assert r.n_lines == n, (i, t)
+        assert r.dup_line_frac == pytest.approx(dlf, abs=1e-9)
+        assert r.dup_line_char_frac == pytest.approx(dlcf, abs=1e-9)
+
+
+def _py_top_ngram(text, n=2):
+    toks = [w for w in re.split(r"\s+", text) if w != ""]
+    if len(toks) < n:
+        return None, 0, None
+    c = Counter(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    gram, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    wchars = sum(len(w) for w in toks)
+    frac = round(cnt * (len(gram) - (n - 1)) / max(wchars, 1), 6)
+    return gram, cnt, frac
+
+
+def test_top_ngram_vs_python(docs_df):
+    got = {r.doc_id: r for r in top_ngram_char_frac(docs_df, n=2).collect()}
+    for i, t, _ in DOCS:
+        gram, cnt, frac = _py_top_ngram(t)
+        r = got[i]
+        assert r.top_gram == gram, (i, t)
+        assert r.top_gram_count == cnt
+        if frac is None:
+            assert r.top_gram_char_frac is None
+        else:
+            assert r.top_gram_char_frac == pytest.approx(frac, abs=1e-9)
+
+
+def test_pii_scrub_vs_python(docs_df):
+    got = {r.doc_id: r for r in pii_scrub(docs_df).collect()}
+    for i, t, _ in DOCS:
+        clean = re.sub(EMAIL_RE, "<EMAIL>", t)
+        n_ips = len(re.findall(IPV4_RE, clean))
+        clean = re.sub(IPV4_RE, "<IP>", clean)
+        r = got[i]
+        assert r.n_emails == len(re.findall(EMAIL_RE, t)), (i, t)
+        assert r.n_ips == n_ips
+        assert r.clean_text == clean
+        assert r.clean_len == len(clean)
+
+
+def test_pii_email_host_not_double_counted(spark):
+    # the email's dotted-quad host must be swallowed by the email pass,
+    # not re-counted as an IP
+    df = spark.createDataFrame(
+        [(0, "x admin@10.1.2.3.example.com y", "en")],
+        "doc_id long, text string, lang string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r.n_emails == 1 and r.n_ips == 0
+
+
+def test_filter_verdict_order_and_reasons(docs_df):
+    got = {r.doc_id: (r.reason, r.keep) for r in filter_verdict(docs_df).collect()}
+    assert got[3] == ("too_short", False)      # empty -> length first
+    assert got[6] == ("too_short", False)      # short AND de: length wins
+    assert got[1][0] in ("repetition",)        # 2/4 lines dup > 0.30
+    assert got[0] == ("ok", True)
+
+
+# ---------------------------------------------------------------------------
+# connected components / canonicalization
+# ---------------------------------------------------------------------------
+
+
+def _py_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node in component
+    comp = {}
+    for n in parent:
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (10, 11)],                    # chain + pair
+        [(5, 6), (6, 7), (7, 5), (1, 9), (2, 9)],      # cycle + star
+        [(1, 2), (3, 4), (5, 6), (2, 3), (4, 5)],      # long chain via joins
+    ],
+)
+def test_connected_components_vs_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.comp for r in connected_components(pairs, "doc_a", "doc_b").collect()}
+    assert got == _py_components(edges)
+
+
+def test_near_dup_cluster_contract(spark):
+    # three exact-duplicate families + singletons; Jaccard(identical)=1
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog " * 3,
+        1: "the quick brown fox jumps over the lazy dog " * 3,
+        2: "the quick brown fox jumps over the lazy dog " * 3,
+        3: "completely different content about database systems " * 3,
+        4: "completely different content about database systems " * 3,
+        5: "a lone unique document with its own words here " * 3,
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    clusters = {
+        r.canonical_id: r.cluster_size
+        for r in near_dup_clusters(docs, threshold=0.9).collect()
+    }
+    assert clusters == {0: 3, 3: 2}
+    drop = {r.doc_id for r in near_dup_drop_list(docs, threshold=0.9).collect()}
+    assert drop == {1, 2, 4}
+    # pair/cluster consistency: drops = sum(cluster_size - 1)
+    assert len(drop) == sum(s - 1 for s in clusters.values())
+
+
+def test_cluster_pairs_are_verified_not_raw_lsh(spark):
+    # two docs sharing a band but with low true Jaccard must NOT cluster
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta " * 2,
+        1: "alpha beta gamma delta epsilon zeta eta theta " * 2,
+        2: "unrelated words entirely distinct vocabulary tokens " * 2,
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    verified = ngram_jaccard_pairs(docs, threshold=0.9)
+    got = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    assert got == {(0, 1)}
+    clusters = {
+        r.canonical_id for r in near_dup_clusters(docs, threshold=0.9).collect()
+    }
+    assert clusters == {0}
