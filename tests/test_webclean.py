@@ -193,6 +193,19 @@ def test_near_dup_cluster_contract(spark):
     assert len(drop) == sum(s - 1 for s in clusters.values())
 
 
+def test_cluster_ops_on_pairless_corpus(spark):
+    # no near-dups at all: empty clusters / empty drop list, no crash
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    assert near_dup_clusters(docs, threshold=0.9).count() == 0
+    assert near_dup_drop_list(docs, threshold=0.9).count() == 0
+
+
 def test_cluster_pairs_are_verified_not_raw_lsh(spark):
     # two docs sharing a band but with low true Jaccard must NOT cluster
     texts = {
