@@ -129,6 +129,13 @@ class SaganSparkEngine:
                 cols.ips = F.col("_ips")
                 cols.ip_proto = F.col("_ip_proto")
             cols.hash_cols = {h: F.col(f"_hash_{h}") for h in self.compiler.needed_hashes}
+            if "_hostv4" in df.columns:
+                cols.host_v4 = (F.col("_hostv4.hi"), F.col("_hostv4.lo"))
+            cols.jm_v4 = {
+                k: (F.col(f"_jmv4_{i}.hi"), F.col(f"_jmv4_{i}.lo"))
+                for i, k in enumerate(self.compiler.ip_json_map_keys)
+                if f"_jmv4_{i}" in df.columns
+            }
         return cols
 
     # -- pipeline --------------------------------------------------------------
@@ -242,6 +249,23 @@ class SaganSparkEngine:
                 f"_hash_{h}",
                 comp.hash_extraction_cols(F.col("message"))[h],
             )
+
+        # shared v4 (hi, lo) halves, ONE string parse per row per
+        # distinct ip source (host fallback + each json_map ip key);
+        # every rule's flow/blacklist/geoip bits branch over these plain
+        # column refs (compiler._ip_bits) instead of re-parsing inline
+        from sagan_spark.pipeline.enrich import v4_hilo_cols
+
+        hv_hi, hv_lo = v4_hilo_cols(F.col("host"))
+        cand = cand.withColumn(
+            "_hostv4", F.struct(hv_hi.alias("hi"), hv_lo.alias("lo"))
+        )
+        if comp.needs_json:
+            for i, k in enumerate(comp.ip_json_map_keys):
+                jh, jl = v4_hilo_cols(F.try_element_at(F.col("_json"), F.lit(k)))
+                cand = cand.withColumn(
+                    f"_jmv4_{i}", F.struct(jh.alias("hi"), jl.alias("lo"))
+                )
 
         full_ctx = self._event_cols(cand, with_extraction=True)
 

@@ -101,14 +101,20 @@ def v4_hilo_cols(ip: Column) -> tuple[Column, Column]:
     json_map or the syslog-host fallback, where no Parse_IP positional
     hit exists (reference computes ip bits from the FINAL ip string,
     engine.c:852 IP2Bit).  Accept set matches extract._v4_int: exactly
-    four parts, 0-255, no leading-zero octets."""
-    pat = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
-    octs = [F.regexp_extract(ip, pat, i) for i in (1, 2, 3, 4)]
-    nums = [o.try_cast("long") for o in octs]
-    valid = F.lit(True)
-    for o, n in zip(octs, nums):
-        valid = valid & (o != "") & ~o.rlike("^0.") & n.isNotNull() & (n <= 255)
-    v4 = nums[0] * F.lit(16777216) + nums[1] * F.lit(65536) + nums[2] * F.lit(256) + nums[3]
+    four parts, 0-255, no leading-zero octets.
+
+    ONE anchored regex + ONE split/aggregate per input — this runs once
+    per row per DISTINCT ip source (host fallback, each json_map key),
+    materialized as shared columns by the engine; it must NOT appear in
+    per-rule expression trees (23 rules x 8 regexp_extract blew the
+    whole-stage-codegen budget and cost 4x end-to-end)."""
+    oct_pat = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+    valid = ip.rlike(f"^{oct_pat}(\\.{oct_pat}){{3}}$")
+    v4 = F.aggregate(
+        F.split(ip, r"\."),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(256) + x.cast("long"),
+    )
     v = F.lit(0xFFFF00000000) + v4
     null_l = F.lit(None).cast("long")
     # 2^63 itself overflows a Java long literal — add the (valid) MIN

@@ -84,6 +84,11 @@ class EventCols:
     ips: Column | None = None  # array<struct<ip,port,hi,lo>>
     ip_proto: Column | None = None  # proto token from Parse_IP
     hash_cols: dict[str, Column] = field(default_factory=dict)  # md5/sha1/sha256
+    # SHARED precomputed v4 (hi, lo) halves — evaluated once per row by
+    # the engine, referenced by every rule's ip-bits branches so the
+    # per-rule trees stay regex-free (see RuleCompiler._ip_bits)
+    host_v4: tuple[Column, Column] | None = None
+    jm_v4: dict[str, tuple[Column, Column]] = field(default_factory=dict)
 
 
 # ---------------------------------------------------------------------------
@@ -126,6 +131,20 @@ def _json_map_value(r: RuleIR, cols: EventCols, fld: str) -> Column | None:
         if jm.field == fld:
             return F.try_element_at(cols.json, F.lit(jm.key))
     return None
+
+
+def _json_map_key(r: RuleIR, fld: str) -> str | None:
+    for jm in r.json_maps:
+        if jm.field == fld:
+            return jm.key
+    return None
+
+
+def _active_ip(c: Column) -> Column:
+    """The complement of _localhost_fix's replace condition: a string
+    that survives as the final ip (non-null, non-empty, not localhost —
+    reference is_notlocalhost src/util.c:1398-1460)."""
+    return c.isNotNull() & (c != "") & ~(c.startswith("127.") | (c == "::1"))
 
 
 def _b64_decode(v: Column) -> Column:
@@ -279,6 +298,67 @@ class RuleCompiler:
             return None
         return F.try_element_at(cols.ips, F.lit(pos))  # null when out of range
 
+    @property
+    def ip_json_map_keys(self) -> list[str]:
+        """Distinct json_map keys feeding src_ip/dst_ip across the
+        ruleset — the engine precomputes one shared v4 (hi, lo) column
+        pair per key (plus one for the host fallback)."""
+        return sorted(
+            {
+                jm.key
+                for r in self.rules
+                for jm in r.json_maps
+                if jm.field in ("src_ip", "dst_ip")
+            }
+        )
+
+    def _ip_bits(
+        self, jm: Column | None, jm_key: str | None, hit, cols: EventCols
+    ) -> tuple[Column, Column]:
+        """(hi, lo) of the FINAL resolved ip string with the positional
+        hit's halves as the non-v4 fallback — semantically
+        coalesce(v4_hilo(localhost_fix(coalesce(jm, hit.ip, host))),
+        hit.hi/lo), but built as branches over SHARED precomputed
+        columns (cols.host_v4 / cols.jm_v4) so no string parse appears
+        in any per-rule tree.  Key identity: for an active hit,
+        v4_hilo(hit.ip) IS (hit.hi, hit.lo) when hit.ip is v4 (same
+        mapped-base+bias formula, extract.ip_to_int), and NULL when v6 —
+        either way the coalesce resolves to the hit's own halves.
+        Inlining 8 regexp_extract per rule side here instead blew the
+        whole-stage-codegen budget and cost 4x end-to-end (round 2)."""
+        from sagan_spark.pipeline.enrich import v4_hilo_cols
+
+        host_v4 = cols.host_v4 if cols.host_v4 is not None else v4_hilo_cols(cols.host)
+        jm_v4: tuple[Column, Column] | None = None
+        if jm is not None:
+            jm_v4 = cols.jm_v4.get(jm_key) if jm_key is not None else None
+            if jm_v4 is None:  # unmaterialized path (direct compiler use)
+                jm_v4 = v4_hilo_cols(jm)
+        hit_ip = hit.getField("ip") if hit is not None else None
+
+        def side(part: int) -> Column:
+            hit_half = (
+                hit.getField("hi" if part == 0 else "lo") if hit is not None else None
+            )
+            host_half = host_v4[part]
+            # final-string-is-host branch: host's v4 bits, else the hit
+            # fallback (bug-compatible with the coalesce form: a
+            # localhost hit's halves leak through when host is not v4)
+            fb = F.coalesce(host_half, hit_half) if hit is not None else host_half
+            if jm is not None and hit is not None:
+                return (
+                    F.when(_active_ip(jm), F.coalesce(jm_v4[part], hit_half))
+                    .when(jm.isNull() & _active_ip(hit_ip), hit_half)
+                    .otherwise(fb)
+                )
+            if jm is not None:
+                return F.when(_active_ip(jm), jm_v4[part]).otherwise(host_half)
+            if hit is not None:
+                return F.when(_active_ip(hit_ip), hit_half).otherwise(fb)
+            return host_half
+
+        return side(0), side(1)
+
     def _localhost_fix(self, ip: Column, cols: EventCols) -> Column:
         """Never emit localhost as src/dst — replace with syslog_host
         (reference src/processors/engine.c:856-877, is_notlocalhost
@@ -308,26 +388,17 @@ class RuleCompiler:
 
         # hi/lo for flow/blacklist/geoip checks: derived from the FINAL
         # ip string (reference IP2Bit on the resolved value,
-        # engine.c:852) — a JVM v4 parse covers json_map values and
-        # dotted-quad host fallbacks that have no Parse_IP hit; the
-        # positional hit's precomputed halves cover v6.  A non-IP final
-        # string (hostname) leaves NULL halves: positive CIDR groups
-        # fail, negated ones pass — the same outcomes as the
-        # reference's zeroed-bits fallback for unparseable hosts.
-        from sagan_spark.pipeline.enrich import v4_hilo_cols
-
-        src_v4_hi, src_v4_lo = v4_hilo_cols(out["src_ip"])
-        dst_v4_hi, dst_v4_lo = v4_hilo_cols(out["dst_ip"])
-        if src_hit is not None:
-            out["src_hi"] = F.coalesce(src_v4_hi, src_hit.getField("hi"))
-            out["src_lo"] = F.coalesce(src_v4_lo, src_hit.getField("lo"))
-        else:
-            out["src_hi"], out["src_lo"] = src_v4_hi, src_v4_lo
-        if dst_hit is not None:
-            out["dst_hi"] = F.coalesce(dst_v4_hi, dst_hit.getField("hi"))
-            out["dst_lo"] = F.coalesce(dst_v4_lo, dst_hit.getField("lo"))
-        else:
-            out["dst_hi"], out["dst_lo"] = dst_v4_hi, dst_v4_lo
+        # engine.c:852) — json_map values and dotted-quad host fallbacks
+        # get real bits; the positional hit's precomputed halves cover
+        # v6.  A non-IP final string (hostname) leaves NULL halves:
+        # positive CIDR groups fail, negated ones pass — the same
+        # outcomes as the reference's zeroed-bits fallback.
+        out["src_hi"], out["src_lo"] = self._ip_bits(
+            jm_src, _json_map_key(r, "src_ip"), src_hit, cols
+        )
+        out["dst_hi"], out["dst_lo"] = self._ip_bits(
+            jm_dst, _json_map_key(r, "dst_ip"), dst_hit, cols
+        )
 
         jm_sport = _json_map_value(r, cols, "src_port")
         jm_dport = _json_map_value(r, cols, "dst_port")
