@@ -60,6 +60,35 @@ def test_parse_ip_sits_above_cheap_filter(spark):
     assert 0 <= ip_pos < filt_pos, "parse_ip runs below the cheap prefilter"
 
 
+def test_ip_bits_share_one_parse_no_per_octet_regex(spark):
+    """The v4 ip-bits derivation must stay the shared single-regex form
+    (enrich.v4_hilo_cols materialized once per ip source by the engine,
+    compiler._ip_bits branching over the shared columns).  The round-2
+    regression inlined a 4x regexp_extract('(\\d{1,3})...') + 4x rlike
+    octet parse into every rule side (8 regex nodes x 2 sides x N rules)
+    and cost 4x end-to-end — pin its signature out of the plan.  Host
+    must be a real column here: a literal host constant-folds the whole
+    parse away and the assertion would vacuously pass."""
+    flow_rules = RULES + (
+        'alert any [10.0.0.0/8] any -> any any (msg:"r4"; content:"delta"; '
+        "parse_src_ip: 1; sid:9600004;)\n"
+    )
+    df = spark.createDataFrame(
+        [("e1", "2026-01-01 00:00:01", "h.example", "alpha from 10.0.0.1")],
+        "event_key string, ts string, host string, message string",
+    ).select(
+        "event_key", F.col("ts").cast("timestamp").alias("ts"),
+        "host", F.lit("p").alias("program"),
+        F.lit("").alias("facility"), F.lit("").alias("level"),
+        F.lit("").alias("tag"), F.lit("").alias("priority"), "message",
+    )
+    hits = SaganSparkEngine(parse_rules(flow_rules)).match_hits(df)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert r"\d{1,3}" not in plan, "per-octet regexp_extract ip parse is back"
+    # the single-regex form must actually be present (host is non-constant)
+    assert "25[0-5]" in plan, "shared v4 parse missing from plan"
+
+
 def test_scan_prunes_and_pushes(spark, tmp_path):
     """Column pruning + null-guard pushdown must reach the parquet scan."""
     p = str(tmp_path / "pages.parquet")
