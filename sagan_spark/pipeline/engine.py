@@ -253,19 +253,26 @@ class SaganSparkEngine:
         # shared v4 (hi, lo) halves, ONE string parse per row per
         # distinct ip source (host fallback + each json_map ip key);
         # every rule's flow/blacklist/geoip bits branch over these plain
-        # column refs (compiler._ip_bits) instead of re-parsing inline
-        from sagan_spark.pipeline.enrich import v4_hilo_cols
+        # column refs (compiler._ip_bits) instead of re-parsing inline.
+        # BATCH ONLY: streaming plans have no inlining barrier, and the
+        # extra withColumn substitution LEVEL makes CollapseProject's
+        # per-consumer copies explode — the micro-batch planner burned
+        # minutes of CPU in transformDown and OOM'd.  Streaming falls
+        # back to _ip_bits' inline v4_hilo_cols (one regex + split per
+        # rule side — small, and micro-batches are small).
+        if not frame.isStreaming:
+            from sagan_spark.pipeline.enrich import v4_hilo_cols
 
-        hv_hi, hv_lo = v4_hilo_cols(F.col("host"))
-        cand = cand.withColumn(
-            "_hostv4", F.struct(hv_hi.alias("hi"), hv_lo.alias("lo"))
-        )
-        if comp.needs_json:
-            for i, k in enumerate(comp.ip_json_map_keys):
-                jh, jl = v4_hilo_cols(F.try_element_at(F.col("_json"), F.lit(k)))
-                cand = cand.withColumn(
-                    f"_jmv4_{i}", F.struct(jh.alias("hi"), jl.alias("lo"))
-                )
+            hv_hi, hv_lo = v4_hilo_cols(F.col("host"))
+            cand = cand.withColumn(
+                "_hostv4", F.struct(hv_hi.alias("hi"), hv_lo.alias("lo"))
+            )
+            if comp.needs_json:
+                for i, k in enumerate(comp.ip_json_map_keys):
+                    jh, jl = v4_hilo_cols(F.try_element_at(F.col("_json"), F.lit(k)))
+                    cand = cand.withColumn(
+                        f"_jmv4_{i}", F.struct(jh.alias("hi"), jl.alias("lo"))
+                    )
 
         full_ctx = self._event_cols(cand, with_extraction=True)
 

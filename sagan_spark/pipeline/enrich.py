@@ -110,10 +110,16 @@ def v4_hilo_cols(ip: Column) -> tuple[Column, Column]:
     whole-stage-codegen budget and cost 4x end-to-end)."""
     oct_pat = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
     valid = ip.rlike(f"^{oct_pat}(\\.{oct_pat}){{3}}$")
-    v4 = F.aggregate(
-        F.split(ip, r"\."),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc * F.lit(256) + x.cast("long"),
+    # flat GetArrayItem arithmetic, NOT F.aggregate: higher-order
+    # lambdas are codegen-fallback and the streaming planner inlines
+    # this expression into every consumer — an aggregate() here wedged
+    # the streaming restart test (interpreted eval per inlined copy)
+    parts = F.split(ip, r"\.")
+    v4 = (
+        parts[0].cast("long") * F.lit(16777216)
+        + parts[1].cast("long") * F.lit(65536)
+        + parts[2].cast("long") * F.lit(256)
+        + parts[3].cast("long")
     )
     v = F.lit(0xFFFF00000000) + v4
     null_l = F.lit(None).cast("long")
