@@ -1,10 +1,14 @@
 """Batch pipeline entry point for spark-submit.
 
-    spark-submit --py-files sagan_spark.zip,fixtures.zip jobs/run_batch.py \
+    spark-submit --py-files sagan_spark.zip jobs/run_batch.py \
         --input  <pages table: iceberg table name or parquet path> \
         --rules  fixtures/ruleset.rules \
+        --vars   fixtures/vars.conf \
         --output /warehouse/sagan_alerts \
         [--format iceberg|parquet] [--metrics /warehouse/sagan_metrics]
+
+(tests/test_spark_submit.py runs exactly this, from a directory where
+the repo is not importable — imports resolve from the shipped zip.)
 
 Reads the Common-Crawl-style pages table (url, warc_ts, html, text,
 lang), runs parse -> enrich -> route -> aggregate, fans out to the
@@ -69,7 +73,8 @@ def main() -> None:
     variables = {}
     if args.vars:
         for line in open(args.vars):
-            if "=" in line:
+            line = line.strip()
+            if line and not line.startswith("#") and "=" in line:
                 k, _, v = line.partition("=")
                 variables[k.strip()] = v.strip()
 

@@ -1,0 +1,85 @@
+"""The north-rule packaging claim, tested literally: zip the package,
+ship it with ``spark-submit --py-files``, and run the batch job from a
+directory where the repo is NOT importable — every import (driver and
+pandas-UDF workers) must come from the shipped zip.
+
+Reference analog: the C engine is one deployable binary
+(``sagan -f sagan.yaml``, src/sagan.c:176); here the deployable is
+jobs/run_batch.py + sagan_spark.zip."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import zipfile
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _zip_package(dest: Path) -> Path:
+    zpath = dest / "sagan_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted((REPO / "sagan_spark").rglob("*.py")):
+            z.write(p, p.relative_to(REPO))
+    return zpath
+
+
+def test_spark_submit_py_files_batch_job(tmp_path):
+    from sagan_spark.data.pages import generate_pages
+
+    pq.write_table(generate_pages(n_rows=400), str(tmp_path / "pages.parquet"))
+    zpath = _zip_package(tmp_path)
+    # run the entry point from OUTSIDE the repo: copy it next to the
+    # zip so its sys.path fallback (parent.parent) misses the repo
+    job = tmp_path / "run_batch.py"
+    shutil.copy(REPO / "jobs" / "run_batch.py", job)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath),
+            str(job),
+            "--input", str(tmp_path / "pages.parquet"),
+            "--rules", str(REPO / "fixtures" / "ruleset.rules"),
+            "--vars", str(REPO / "fixtures" / "vars.conf"),
+            "--output", str(tmp_path / "sinks"),
+            "--metrics", str(tmp_path / "metrics"),
+            "--run-id", "submitsmoke",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=tmp_path,
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+
+    eve = pq.read_table(str(tmp_path / "sinks" / "alerts_eve"))
+    assert eve.num_rows > 0
+    assert "alert_signature_id" in eve.column_names
+    lineage = pq.read_table(str(tmp_path / "metrics" / "lineage"))
+    assert lineage.num_rows > 0
+    runs = pq.read_table(str(tmp_path / "metrics" / "runs"))
+    assert "submitsmoke" in runs.column("run_id").to_pylist()
+
+
+def test_vars_conf_matches_vars_py():
+    """fixtures/vars.conf (the --vars file spark-submit ships) must
+    stay in sync with fixtures/vars.py (what tests/bench import)."""
+    from fixtures.vars import VARIABLES
+
+    parsed = {}
+    for line in (REPO / "fixtures" / "vars.conf").read_text().splitlines():
+        line = line.strip()
+        if line and not line.startswith("#") and "=" in line:
+            k, _, v = line.partition("=")
+            parsed[k.strip()] = v.strip()
+    assert parsed == VARIABLES
