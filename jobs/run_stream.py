@@ -1,11 +1,15 @@
 """Streaming pipeline entry point for spark-submit.
 
-    spark-submit --py-files sagan_spark.zip,fixtures.zip jobs/run_stream.py \
+    spark-submit --py-files sagan_spark.zip jobs/run_stream.py \
         --input  <pages table directory> \
         --rules  fixtures/ruleset.rules \
+        --vars   fixtures/vars.conf \
         --output /warehouse/sagan_alerts \
         --checkpoint /warehouse/sagan_ckpt \
         [--watermark "10 minutes"] [--continuous]
+
+(tests/test_spark_submit.py runs this, from a directory where the
+repo is not importable — imports resolve from the shipped zip.)
 
 readStream -> stateless match -> applyInPandasWithState correlation ->
 foreachBatch fan-out.  Restarting with the same --checkpoint resumes
@@ -52,7 +56,8 @@ def main() -> None:
     variables = {}
     if args.vars:
         for line in open(args.vars):
-            if "=" in line:
+            line = line.strip()
+            if line and not line.startswith("#") and "=" in line:
                 k, _, v = line.partition("=")
                 variables[k.strip()] = v.strip()
 

@@ -86,16 +86,16 @@ def _idempotent_write(
     writer_id: str = "a",
 ) -> None:
     """Idempotent foreachBatch write: the batch's rows land in a
-    ``_batch_id=<writer>_<N>`` partition via dynamic partition
+    ``batch_id=<writer>_<N>`` partition via dynamic partition
     overwrite, so a replayed micro-batch (restart after mid-write
     failure) rewrites its own partition instead of appending
     duplicates.  ``writer_id`` namespaces the partition when two
     queries (the chained pipeline's stage A and B) share one sink
     path — without it their equal batch numbers would clobber each
     other."""
-    parts = ["_batch_id"] + ([extra_partition] if extra_partition else [])
+    parts = ["batch_id"] + ([extra_partition] if extra_partition else [])
     (
-        df.withColumn("_batch_id", F.lit(f"{writer_id}_{batch_id}"))
+        df.withColumn("batch_id", F.lit(f"{writer_id}_{batch_id}"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*parts)
@@ -132,7 +132,7 @@ def _sweep_dead_buckets(
     for batch_dir in fs.listStatus(base):
         if not batch_dir.isDirectory():
             continue
-        if not batch_dir.getPath().getName().startswith("_batch_id="):
+        if not batch_dir.getPath().getName().startswith("batch_id="):
             continue
         for bdir in fs.listStatus(batch_dir.getPath()):
             name = bdir.getPath().getName()
@@ -216,7 +216,7 @@ def _prune_old_corr_snapshots(spark: SparkSession, path: str, batch_id: int) -> 
         return
     for d in fs.listStatus(base):
         name = d.getPath().getName()
-        if not name.startswith("_batch_id="):
+        if not name.startswith("batch_id="):
             continue
         try:
             b = int(name.rsplit("_", 1)[1])
@@ -235,7 +235,7 @@ def _read_prev_corr_state(spark: SparkSession, path: str, batch_id: int):
     except Exception:  # first batch: no state yet
         return None
     df = df.withColumn(
-        "_bnum", F.regexp_extract("_batch_id", r"_(\d+)$", 1).cast("long")
+        "_bnum", F.regexp_extract("batch_id", r"_(\d+)$", 1).cast("long")
     ).filter(F.col("_bnum") < batch_id)
     mx = df.agg(F.max("_bnum")).first()[0]
     if mx is None:
@@ -561,7 +561,7 @@ class StreamingSaganEngine:
         """foreachBatch fan-out to the per-sink tables (K7).
 
         Exactly-once on restart: each micro-batch's output lands in a
-        ``_batch_id=N`` partition written with dynamic partition
+        ``batch_id=N`` partition written with dynamic partition
         OVERWRITE, so a batch replayed after a mid-write failure
         rewrites its own partition instead of appending duplicates
         (foreachBatch alone is only at-least-once)."""
@@ -970,7 +970,7 @@ class StreamingSaganEngine:
                         sets.filter(
                             F.col("bit_name").isin(list(member_bits))
                             & F.col("kind").isin("set", "unset")
-                            & (F.col("_batch_id") != f"c_{batch_id}")
+                            & (F.col("batch_id") != f"c_{batch_id}")
                         ).select(
                             F.col("kind"),
                             F.col("bit_name"),

@@ -71,6 +71,52 @@ def test_spark_submit_py_files_batch_job(tmp_path):
     assert "submitsmoke" in runs.column("run_id").to_pylist()
 
 
+def test_spark_submit_py_files_stream_job(tmp_path):
+    """Same deployment contract for the streaming entry point:
+    availableNow drain over a file-source directory, imports from the
+    shipped zip, EVE sink rows out."""
+    from sagan_spark.data.pages import generate_pages
+
+    (tmp_path / "input").mkdir()
+    pq.write_table(
+        generate_pages(n_rows=400), str(tmp_path / "input" / "chunk1.parquet")
+    )
+    zpath = _zip_package(tmp_path)
+    job = tmp_path / "run_stream.py"
+    shutil.copy(REPO / "jobs" / "run_stream.py", job)
+    rules = tmp_path / "mini.rules"
+    rules.write_text(
+        'alert any any any -> any any (msg:"ssh fail"; content:"Failed password"; '
+        "parse_src_ip: 1; classtype: unsuccessful-user; sid:9800001; rev:1;)\n"
+    )
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath),
+            str(job),
+            "--input", str(tmp_path / "input"),
+            "--rules", str(rules),
+            "--output", str(tmp_path / "sinks"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--watermark", "0 seconds",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=tmp_path,
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    eve = pq.read_table(str(tmp_path / "sinks" / "alerts_eve"))
+    assert eve.num_rows > 0
+    assert "alert_signature_id" in eve.column_names
+
+
 def test_vars_conf_matches_vars_py():
     """fixtures/vars.conf (the --vars file spark-submit ships) must
     stay in sync with fixtures/vars.py (what tests/bench import)."""

@@ -269,7 +269,7 @@ alert any any any -> any any (msg:"check"; content:"checkme"; parse_src_ip: 1; x
     want, got, out = _run_chained(spark, rules, table, tmp_path, "prune")
     assert got == want  # expired set: late check must NOT route
     assert ("u://p/2", 9500002) not in got
-    buckets = glob.glob(f"{out}/xbit_sets/_batch_id=*/set_bucket=*")
+    buckets = glob.glob(f"{out}/xbit_sets/batch_id=*/set_bucket=*")
     live = [b for b in buckets if not b.endswith("=-1")]
     assert live == [], f"dead bucket dirs not swept: {live}"
 
@@ -381,7 +381,7 @@ def test_streaming_cond_rule_threshold_after_equals_batch(spark, tmp_path):
     # partitions are physically pruned — bounded in continuous mode)
     import glob
 
-    snaps = glob.glob(f"{out}/corr_state_b/_batch_id=*")
+    snaps = glob.glob(f"{out}/corr_state_b/batch_id=*")
     assert 1 <= len(snaps) <= 2, snaps
 
 
