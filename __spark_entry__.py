@@ -1280,6 +1280,18 @@ def q_webclean_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_verdict(docs)
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.webclean import corpus_prep
+
+    return corpus_prep(_docs(spark, sf_dir))
+
+
+def q_corpus_prep_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.webclean import corpus_prep_yield
+
+    return corpus_prep_yield(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_pipe_decode": q_s5_pipe_decode,
@@ -1353,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webclean_top_ngram": q_webclean_top_ngram,
         "webclean_pii": q_webclean_pii,
         "webclean_verdict": q_webclean_verdict,
+        "corpus_prep": q_corpus_prep,
+        "corpus_prep_yield": q_corpus_prep_yield,
     }
 
 
@@ -1388,31 +1402,59 @@ def oracle_sql() -> dict[str, str]:
     # (recursive CTE; UNION dedups so the fixpoint terminates) ->
     # per-node component = min reachable node.  Mirrors
     # ops/dedup.py connected_components over ngram_jaccard_pairs(0.3).
-    components = (
-        f"WITH RECURSIVE sh AS ({shingles}), "
-        "sig AS (SELECT doc_id, "
-        " min(md5('b0|' || shingle)) AS sig0, min(md5('b1|' || shingle)) AS sig1,"
-        " min(md5('b2|' || shingle)) AS sig2, min(md5('b3|' || shingle)) AS sig3 "
-        "FROM sh GROUP BY doc_id), "
-        "stacked AS ("
-        " SELECT doc_id, 0 AS band, sig0 AS sig FROM sig UNION ALL"
-        " SELECT doc_id, 1, sig1 FROM sig UNION ALL"
-        " SELECT doc_id, 2, sig2 FROM sig UNION ALL"
-        " SELECT doc_id, 3, sig3 FROM sig), "
-        f"{pairs}, "
-        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
-        "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p"
-        " JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b"
-        " AND b.shingle = a.shingle GROUP BY 1, 2), "
-        "jp AS (SELECT i.doc_a, i.doc_b FROM inter i"
-        " JOIN sizes na ON na.doc_id = i.doc_a"
-        " JOIN sizes nb ON nb.doc_id = i.doc_b"
-        " WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3), "
-        "edges AS (SELECT doc_a AS u, doc_b AS v FROM jp"
-        " UNION SELECT doc_b, doc_a FROM jp), "
-        "reach AS (SELECT u AS node, u AS r FROM edges"
-        " UNION SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v), "
-        "comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY 1)"
+    # Parametrized by doc source so the corpus-prep composition can run
+    # the same clustering over only quality-kept docs.
+    def _components_cte(doc_src: str, extra_ctes: str = "") -> str:
+        sh = shingles.replace("FROM documents)", f"FROM {doc_src})")
+        return (
+            f"WITH RECURSIVE {extra_ctes}sh AS ({sh}), "
+            "sig AS (SELECT doc_id, "
+            " min(md5('b0|' || shingle)) AS sig0, min(md5('b1|' || shingle)) AS sig1,"
+            " min(md5('b2|' || shingle)) AS sig2, min(md5('b3|' || shingle)) AS sig3 "
+            "FROM sh GROUP BY doc_id), "
+            "stacked AS ("
+            " SELECT doc_id, 0 AS band, sig0 AS sig FROM sig UNION ALL"
+            " SELECT doc_id, 1, sig1 FROM sig UNION ALL"
+            " SELECT doc_id, 2, sig2 FROM sig UNION ALL"
+            " SELECT doc_id, 3, sig3 FROM sig), "
+            f"{pairs}, "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p"
+            " JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b"
+            " AND b.shingle = a.shingle GROUP BY 1, 2), "
+            "jp AS (SELECT i.doc_a, i.doc_b FROM inter i"
+            " JOIN sizes na ON na.doc_id = i.doc_a"
+            " JOIN sizes nb ON nb.doc_id = i.doc_b"
+            " WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3), "
+            "edges AS (SELECT doc_a AS u, doc_b AS v FROM jp"
+            " UNION SELECT doc_b, doc_a FROM jp), "
+            "reach AS (SELECT u AS node, u AS r FROM edges"
+            " UNION SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v), "
+            "comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY 1)"
+        )
+
+    components = _components_cte("documents")
+    # quality verdict (webclean_verdict's CASE) and the kept-docs
+    # variant of the clustering for the corpus-prep composition
+    verdict_inner = (
+        "SELECT doc_id, CASE WHEN length(text) < 20 THEN 'too_short'"
+        " WHEN lang NOT IN ('en') THEN 'lang'"
+        " WHEN (len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE) > 0.30"
+        "  THEN 'repetition' ELSE 'ok' END AS reason"
+        " FROM (SELECT doc_id, lang, text, str_split(text, chr(10)) AS l"
+        " FROM documents)"
+    )
+    kept_cte = (
+        f"kept AS (SELECT d.* FROM documents d JOIN ({verdict_inner}) v"
+        " ON v.doc_id = d.doc_id AND v.reason = 'ok'), "
+    )
+    components_kept = _components_cte("kept", kept_cte)
+    prep_cte = (
+        f"{components_kept}, "
+        f"prep AS (SELECT v.doc_id, CASE WHEN v.reason <> 'ok' THEN v.reason"
+        " WHEN c.node IS NOT NULL AND c.node <> c.comp THEN 'near_dup'"
+        " ELSE 'ok' END AS reason"
+        f" FROM ({verdict_inner}) v LEFT JOIN comp c ON c.node = v.doc_id)"
     )
     session_cte = (
         "WITH o AS (SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL"
@@ -1943,5 +1985,20 @@ def oracle_sql() -> dict[str, str]:
             "  THEN 'repetition' ELSE 'ok' END AS reason"
             " FROM (SELECT doc_id, lang, text, str_split(text, chr(10)) AS l"
             " FROM documents))"
+        ),
+        # training-data prep composition: quality verdict -> near-dup
+        # clustering over kept docs -> per-doc routing reason
+        "corpus_prep": (
+            f"{prep_cte} "
+            "SELECT doc_id, reason, reason = 'ok' AS keep FROM prep"
+        ),
+        "corpus_prep_yield": (
+            f"{prep_cte}, "
+            "toks AS (SELECT doc_id, CAST(len(list_filter("
+            "regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS t"
+            " FROM documents) "
+            "SELECT p.reason, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(t.t) AS BIGINT) AS n_tokens"
+            " FROM prep p JOIN toks t ON t.doc_id = p.doc_id GROUP BY 1"
         ),
     }

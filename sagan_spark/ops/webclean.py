@@ -172,3 +172,62 @@ def filter_verdict(docs: DataFrame, text_col: str = "text",
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+def corpus_prep(docs: DataFrame, k: int = 8, n_bands: int = 4,
+                jaccard_threshold: float = 0.3, text_col: str = "text",
+                id_col: str = "doc_id", **verdict_kw) -> DataFrame:
+    """End-to-end training-data prep verdict: quality gates, then
+    near-dup canonicalization, one (doc_id, reason, keep) row per doc.
+
+    Staging mirrors the engine's cheap-gate-then-extract ordering
+    (SURVEY §4): the scan-level quality verdict (:func:`filter_verdict`
+    — pure codegen, no shuffle) runs first, and the expensive LSH /
+    Jaccard-verify / connected-components path
+    (:func:`sagan_spark.ops.dedup.near_dup_drop_list`) sees ONLY
+    quality-kept docs — at 100 TB the shingle explode never touches the
+    rows the cheap gates already dropped.  Reason precedence: the first
+    failing quality reason, else ``near_dup`` for non-canonical cluster
+    members, else ``ok``.  Canonical cluster members keep their docs
+    (min doc_id per component — deterministic)."""
+    from sagan_spark.ops.dedup import near_dup_drop_list
+
+    v = filter_verdict(docs, text_col=text_col, id_col=id_col, **verdict_kw)
+    kept_docs = docs.join(
+        v.filter(F.col("keep")).select(id_col), id_col
+    )
+    drops = near_dup_drop_list(
+        kept_docs, k=k, n_bands=n_bands, threshold=jaccard_threshold,
+        text_col=text_col, id_col=id_col,
+    ).withColumn("_dup", F.lit(True))
+    reason = (
+        F.when(F.col("reason") != "ok", F.col("reason"))
+        .when(F.col("_dup").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        v.join(drops, id_col, "left")
+        .select(F.col(id_col), reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "ok")
+    )
+
+
+def corpus_prep_yield(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", **prep_kw) -> DataFrame:
+    """Corpus yield accounting: (reason, n_docs, n_tokens) — how many
+    documents and whitespace tokens each prep stage keeps or drops
+    (the A11-counters analog for the training-data pipeline: the same
+    per-reason rollup the engine's run_counters gives per rule)."""
+    prep = corpus_prep(docs, text_col=text_col, id_col=id_col, **prep_kw)
+    toks = docs.select(
+        F.col(id_col),
+        F.size(_words(F.col(text_col))).cast("long").alias("_toks"),
+    )
+    return (
+        prep.join(toks, id_col)
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_toks").cast("long").alias("n_tokens"),
+        )
+    )

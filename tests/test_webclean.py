@@ -20,6 +20,8 @@ from sagan_spark.ops.dedup import (
 from sagan_spark.ops.webclean import (
     EMAIL_RE,
     IPV4_RE,
+    corpus_prep,
+    corpus_prep_yield,
     filter_verdict,
     pii_scrub,
     repetition_metrics,
@@ -223,3 +225,52 @@ def test_cluster_pairs_are_verified_not_raw_lsh(spark):
         r.canonical_id for r in near_dup_clusters(docs, threshold=0.9).collect()
     }
     assert clusters == {0}
+
+
+def test_corpus_prep_composition(spark):
+    """Quality reasons take precedence; near-dup clustering runs only
+    over quality-kept docs; the canonical (min-id) dup survives."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from every hunter there"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "tiny", "en"),  # too_short
+            (1, base + " unique tail one", "de"),  # lang
+            (2, base + " alpha", "en"),  # near-dup pair canonical
+            (3, base + " alphb", "en"),  # near-dup pair member -> drop
+            (4, "completely different words entirely unrelated to anything else written here today", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: (r.reason, r.keep) for r in corpus_prep(docs, jaccard_threshold=0.5).collect()}
+    assert got[0] == ("too_short", False)
+    assert got[1] == ("lang", False)
+    assert got[2] == ("ok", True)  # canonical member keeps
+    assert got[3] == ("near_dup", False)
+    assert got[4] == ("ok", True)
+
+    y = {r.reason: (r.n_docs, r.n_tokens) for r in corpus_prep_yield(docs, jaccard_threshold=0.5).collect()}
+    assert y["too_short"][0] == 1 and y["lang"][0] == 1
+    assert y["near_dup"][0] == 1 and y["ok"][0] == 2
+    assert y["ok"][1] > y["near_dup"][1] > 0
+
+
+def test_corpus_prep_dup_pair_hidden_by_quality_gate(spark):
+    """A near-dup whose twin fails a quality gate must NOT be dropped
+    as a dup — clustering only sees quality-kept docs."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from every hunter there"
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, base + " ending", "de"),  # lang-dropped twin
+            (11, base + " endinh", "en"),  # its near-dup: must stay ok
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r.reason for r in corpus_prep(docs, jaccard_threshold=0.5).collect()}
+    assert got[10] == "lang"
+    assert got[11] == "ok"
