@@ -1280,6 +1280,28 @@ def q_webclean_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_verdict(docs)
 
 
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.sampling import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.25, salt="s1").select(
+        "doc_id", "lang"
+    )
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.sampling import train_holdout_split
+
+    return train_holdout_split(_docs(spark, sf_dir), 0.2).select("doc_id", "split")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), {"en": 50, "de": 10}).select(
+        "doc_id", "lang"
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.webclean import corpus_prep
 
@@ -1367,11 +1389,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webclean_verdict": q_webclean_verdict,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_yield": q_corpus_prep_yield,
+        "sample_deterministic": q_sample_deterministic,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     # same pattern strings on both contract sides (RE2-compatible)
+    from sagan_spark.ops.sampling import frac_to_hex8
     from sagan_spark.ops.webclean import EMAIL_RE, IPV4_RE
 
     shingles = (
@@ -2000,5 +2026,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.reason, CAST(count(*) AS BIGINT) AS n_docs,"
             " CAST(sum(t.t) AS BIGINT) AS n_tokens"
             " FROM prep p JOIN toks t ON t.doc_id = p.doc_id GROUP BY 1"
+        ),
+        # deterministic md5-keyed sampling: same hex-threshold /
+        # hash-order expressions on both sides (ops/sampling.py)
+        "sample_deterministic": (
+            "SELECT doc_id, lang FROM documents"
+            f" WHERE substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{frac_to_hex8(0.25)}'"
+        ),
+        "sample_split": (
+            "SELECT doc_id, CASE WHEN"
+            " substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{frac_to_hex8(0.2)}' THEN 'holdout' ELSE 'train' END AS split"
+            " FROM documents"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang"
+            " ORDER BY substr(md5('strata|' || CAST(doc_id AS VARCHAR)), 1, 8),"
+            " doc_id) AS rn FROM documents)"
+            " WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 10 ELSE 0 END"
         ),
     }

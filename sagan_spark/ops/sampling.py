@@ -1,0 +1,83 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines over the `documents` table.
+
+All three operators key off ``md5(salt || doc_id)``: reproducible
+across runs, engines, and cluster sizes (no RNG state, no
+partition-order dependence — Spark's native ``sample()`` is neither
+stable under repartitioning nor mirrorable in an external oracle).
+Comparing the first 8 hex chars lexicographically equals comparing the
+top 32 hash bits numerically, so thresholds are plain hex-string
+literals and the DuckDB oracle is the byte-identical expression.
+
+Scale notes (100 TB posture):
+- :func:`deterministic_sample` / :func:`train_holdout_split` are pure
+  scan-level projections — no shuffle, no state; Catalyst pushes the
+  hash filter next to the scan.
+- :func:`stratified_sample` needs a per-stratum rank, i.e. ONE shuffle
+  by the stratum key.  Quotas are exact (rank-based).  For strata too
+  hot for a single window partition, pre-filter with
+  :func:`deterministic_sample` at a generous fraction first (hash
+  order is preserved — the rank of survivors is unchanged), then rank
+  the survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash8(id_col, salt: str):
+    """First 8 hex chars of md5(salt|id) — the deterministic sort/
+    threshold key (lowercase hex; lexicographic == numeric on the top
+    32 bits)."""
+    return F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8)
+
+
+def frac_to_hex8(fraction: float) -> str:
+    """Threshold literal: keep rows whose hash8 < this."""
+    n = min(max(int(round(fraction * (1 << 32))), 0), (1 << 32) - 1)
+    return format(n, "08x")
+
+
+def deterministic_sample(docs: DataFrame, fraction: float,
+                         id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — stable under
+    re-runs, repartitioning, and engine changes; disjoint salts give
+    independent samples."""
+    return docs.filter(_hash8(F.col(id_col), salt) < F.lit(frac_to_hex8(fraction)))
+
+
+def train_holdout_split(docs: DataFrame, holdout_frac: float = 0.1,
+                        id_col: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Adds a ``split`` column ('holdout' for ~holdout_frac of ids,
+    else 'train') — the deterministic train/eval partition of a corpus
+    (same doc lands in the same split on every run and cluster)."""
+    h = _hash8(F.col(id_col), salt)
+    return docs.withColumn(
+        "split",
+        F.when(h < F.lit(frac_to_hex8(holdout_frac)), F.lit("holdout")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample(docs: DataFrame, quotas: dict[str, int],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      salt: str = "strata") -> DataFrame:
+    """Exactly ``quotas[stratum]`` rows per stratum (fewer when the
+    stratum is smaller), chosen in deterministic hash order — per-
+    language corpus balancing with reproducible membership.  Strata
+    absent from ``quotas`` are dropped."""
+    h = _hash8(F.col(id_col), salt)
+    quota = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(strata_col)]
+    rn = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        docs.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= F.coalesce(quota, F.lit(0)))
+        .drop("_rn")
+    )

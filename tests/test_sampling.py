@@ -1,0 +1,79 @@
+"""Deterministic sampling ops vs a hashlib pure-Python twin, plus the
+properties that justify them: run-to-run stability, salt independence,
+and exact per-stratum quotas."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from sagan_spark.ops.sampling import (
+    deterministic_sample,
+    frac_to_hex8,
+    stratified_sample,
+    train_holdout_split,
+)
+
+
+def _h8(salt: str, doc_id: int) -> str:
+    return hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()[:8]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (i, f"document number {i} body", "en" if i % 3 else "de")
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_deterministic_sample_vs_python(docs_df):
+    got = {r.doc_id for r in deterministic_sample(docs_df, 0.3, salt="s").collect()}
+    want = {i for i in range(300) if _h8("s", i) < frac_to_hex8(0.3)}
+    assert got == want
+    assert 0 < len(got) < 300
+    # stable under re-execution and repartitioning
+    again = {
+        r.doc_id
+        for r in deterministic_sample(docs_df.repartition(7), 0.3, salt="s").collect()
+    }
+    assert again == got
+
+
+def test_different_salts_give_different_samples(docs_df):
+    a = {r.doc_id for r in deterministic_sample(docs_df, 0.3, salt="a").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs_df, 0.3, salt="b").collect()}
+    assert a != b
+
+
+def test_train_holdout_split_vs_python(docs_df):
+    got = {r.doc_id: r.split for r in train_holdout_split(docs_df, 0.2).collect()}
+    assert len(got) == 300  # every doc labeled exactly once
+    for i in range(300):
+        want = "holdout" if _h8("split", i) < frac_to_hex8(0.2) else "train"
+        assert got[i] == want
+
+
+def test_stratified_sample_quotas_and_membership(docs_df):
+    out = stratified_sample(docs_df, {"en": 40, "de": 15}).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["en"]) == 40
+    assert len(by_lang["de"]) == 15
+    # membership = first-N ids in (hash, id) order per stratum
+    for lang, quota in (("en", 40), ("de", 15)):
+        ids = [i for i in range(300) if (("en" if i % 3 else "de") == lang)]
+        want = sorted(ids, key=lambda i: (_h8("strata", i), i))[:quota]
+        assert sorted(by_lang[lang]) == sorted(want)
+
+
+def test_stratified_small_stratum_and_unquoted_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = stratified_sample(docs, {"en": 10}).collect()
+    assert {r.doc_id for r in out} == {1, 2}  # quota > size keeps all; fr dropped
