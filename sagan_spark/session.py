@@ -59,6 +59,15 @@ def build_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # fewer, larger Arrow batches through the pandas-UDF hot path
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # the fused N-rule projection generates ~7k-bytecode methods at
+        # the default split threshold (1024) — big enough that HotSpot
+        # tiers them up late, so the first pass over a partition runs
+        # interpreted.  Splitting at 256 keeps every generated method
+        # small enough to JIT early: measured (200k-row match stage,
+        # local[32]) the second run drops 12.9->7.2 s and steady state
+        # is unchanged (6.3 vs 6.8 s); at 100 TB the warmup is amortized
+        # but a long tail of short tasks still benefits from fast tier-up
+        .config("spark.sql.codegen.methodSplitThreshold", "256")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
