@@ -1463,8 +1463,8 @@ def oracle_sql() -> dict[str, str]:
     # quality verdict (webclean_verdict's CASE) and the kept-docs
     # variant of the clustering for the corpus-prep composition
     verdict_inner = (
-        "SELECT doc_id, CASE WHEN length(text) < 20 THEN 'too_short'"
-        " WHEN lang NOT IN ('en') THEN 'lang'"
+        "SELECT doc_id, CASE WHEN text IS NULL OR length(text) < 20 THEN 'too_short'"
+        " WHEN lang IS NULL OR lang NOT IN ('en') THEN 'lang'"
         " WHEN (len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE) > 0.30"
         "  THEN 'repetition' ELSE 'ok' END AS reason"
         " FROM (SELECT doc_id, lang, text, str_split(text, chr(10)) AS l"
@@ -2005,8 +2005,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "webclean_verdict": (
             "SELECT doc_id, reason, reason = 'ok' AS keep FROM ("
-            "SELECT doc_id, CASE WHEN length(text) < 20 THEN 'too_short'"
-            " WHEN lang NOT IN ('en') THEN 'lang'"
+            "SELECT doc_id, CASE WHEN text IS NULL OR length(text) < 20 THEN 'too_short'"
+            " WHEN lang IS NULL OR lang NOT IN ('en') THEN 'lang'"
             " WHEN (len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE) > 0.30"
             "  THEN 'repetition' ELSE 'ok' END AS reason"
             " FROM (SELECT doc_id, lang, text, str_split(text, chr(10)) AS l"

@@ -45,6 +45,11 @@ def deterministic_sample(docs: DataFrame, fraction: float,
     """Keep ~``fraction`` of rows, chosen by id hash — stable under
     re-runs, repartitioning, and engine changes; disjoint salts give
     independent samples."""
+    if fraction >= 1.0:
+        # no filter at all: the clamped 'ffffffff' threshold with a
+        # strict < would drop ~1-per-4.3B docs whose top hash bits are
+        # all ones — at multi-billion-doc scale "keep all" must be exact
+        return docs
     return docs.filter(_hash8(F.col(id_col), salt) < F.lit(frac_to_hex8(fraction)))
 
 
@@ -54,11 +59,14 @@ def train_holdout_split(docs: DataFrame, holdout_frac: float = 0.1,
     else 'train') — the deterministic train/eval partition of a corpus
     (same doc lands in the same split on every run and cluster)."""
     h = _hash8(F.col(id_col), salt)
+    is_holdout = (
+        F.lit(True)  # frac>=1: everything holds out (see deterministic_sample)
+        if holdout_frac >= 1.0
+        else h < F.lit(frac_to_hex8(holdout_frac))
+    )
     return docs.withColumn(
         "split",
-        F.when(h < F.lit(frac_to_hex8(holdout_frac)), F.lit("holdout")).otherwise(
-            F.lit("train")
-        ),
+        F.when(is_holdout, F.lit("holdout")).otherwise(F.lit("train")),
     )
 
 

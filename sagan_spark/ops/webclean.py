@@ -161,9 +161,15 @@ def filter_verdict(docs: DataFrame, text_col: str = "text",
     dup_frac = (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(
         lines
     ).cast("double")
+    # NULL text counts as length 0 and NULL lang as not-in-langs: in a
+    # scraped corpus both are routine, and a NULL WHEN-condition would
+    # otherwise fall through every gate straight to 'ok'/keep
     reason = (
-        F.when(F.length(text_col) < min_chars, F.lit("too_short"))
-        .when(~F.col("lang").isin(*langs), F.lit("lang"))
+        F.when(
+            F.col(text_col).isNull() | (F.length(text_col) < min_chars),
+            F.lit("too_short"),
+        )
+        .when(~F.coalesce(F.col("lang").isin(*langs), F.lit(False)), F.lit("lang"))
         .when(dup_frac > max_dup_line_frac, F.lit("repetition"))
         .otherwise(F.lit("ok"))
     )

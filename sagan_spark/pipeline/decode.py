@@ -30,8 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# inet_pton's dotted-quad accept set: 0-255 per octet, no leading zeros
-_V4_RE = r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+# THE shared dotted-quad accept regex (see enrich.V4_RE docstring)
+from sagan_spark.pipeline.enrich import V4_RE as _V4_RE
 # pragmatic IPv6 shape check (hex groups + optional '::' + v4 tail);
 # inet_pton is stricter on degenerate forms — the corpus pins v4
 _V6_RE = r"^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,7}:|([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}|::([0-9a-fA-F]{1,4}:){0,6}[0-9a-fA-F]{1,4}|::)$"

@@ -425,12 +425,9 @@ class SaganSparkEngine:
         only when flexbit_flag==false || flexbit_noalert==0).  The
         xbit variants (``xbits: noalert|noeve``) are PER-SINK flags —
         they route in ``route.sink_suppressions``, not here."""
-        noalert_sids = [
-            r.sid
-            for r in self.rules
-            if "noalert" in getattr(r, "flags", [])
-            and any(x.track.startswith("flex") for x in r.xbits)
-        ]
+        from sagan_spark.pipeline.route import flexbit_noalert_sids
+
+        noalert_sids = flexbit_noalert_sids(self.rules)
         return all_hits.withColumn(
             "noalert",
             F.col("sid").isin(noalert_sids) if noalert_sids else F.lit(False),

@@ -92,6 +92,15 @@ def _range_struct_array(ranges: list[IpRange]) -> Column:
     )
 
 
+# inet_pton's dotted-quad accept set: 0-255 per octet, no leading
+# zeros.  THE one v4 accept regex — decode's host sniffing and the
+# engine's shared ip-bits parse must agree (and both mirror
+# extract._v4_int's Python-side accept set) or the decoder's
+# malformed_host counting silently diverges from the gates.
+V4_OCTET_RE = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+V4_RE = f"^{V4_OCTET_RE}(\\.{V4_OCTET_RE}){{3}}$"
+
+
 def v4_hilo_cols(ip: Column) -> tuple[Column, Column]:
     """JVM-side biased (hi, lo) of a dotted-quad IPv4 STRING column —
     null/null when the string is not a valid IPv4 (hostname, IPv6,
@@ -108,8 +117,7 @@ def v4_hilo_cols(ip: Column) -> tuple[Column, Column]:
     materialized as shared columns by the engine; it must NOT appear in
     per-rule expression trees (23 rules x 8 regexp_extract blew the
     whole-stage-codegen budget and cost 4x end-to-end)."""
-    oct_pat = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
-    valid = ip.rlike(f"^{oct_pat}(\\.{oct_pat}){{3}}$")
+    valid = ip.rlike(V4_RE)
     # flat GetArrayItem arithmetic, NOT F.aggregate: higher-order
     # lambdas are codegen-fallback and the streaming planner inlines
     # this expression into every consumer — an aggregate() here wedged

@@ -77,6 +77,19 @@ def _proto_name() -> F.Column:
     )
 
 
+def _flow_id() -> F.Column:
+    """EVE flow_id from the event ts (reference FlowGetId,
+    src/util.c:1316-1320: (sec & 0xFFFF) << 16 | (usec & 0xFFFF)) —
+    ONE definition so the EVE 'alert' and 'log' records can never
+    drift for the same event.  NTZ inputs cast to session-tz instants."""
+    ts = F.col("ts").cast("timestamp")
+    sec = ts.cast("long")
+    usec = F.unix_micros(ts) % 1_000_000
+    return (
+        sec.bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16)
+    ) + usec.bitwiseAND(F.lit(0xFFFF))
+
+
 def assemble_alerts(
     alerts: DataFrame,
     meta: DataFrame,
@@ -108,12 +121,7 @@ def assemble_alerts(
     elif "priority" not in alerts.columns:
         alerts = alerts.withColumn("priority", F.lit(""))
     joined = alerts.join(F.broadcast(meta), ["sid", "rev"], "left")
-    ts = F.col("ts").cast("timestamp")  # NTZ inputs -> session-tz instants
-    sec = ts.cast("long")
-    usec = F.unix_micros(ts) % 1_000_000
-    flow_id = (
-        sec.bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16)
-    ) + usec.bitwiseAND(F.lit(0xFFFF))
+    flow_id = _flow_id()
     out = (
         joined.withColumn("flow_id", flow_id)
         .withColumn("proto_name", _proto_name())
@@ -281,12 +289,7 @@ def eve_log_view(frame: DataFrame, proto_string: str = "udp") -> DataFrame:
     config->sagan_proto_string (the listener protocol)."""
     if "priority" not in frame.columns:
         frame = frame.withColumn("priority", F.lit(""))
-    ts = F.col("ts").cast("timestamp")
-    sec = ts.cast("long")
-    usec = F.unix_micros(ts) % 1_000_000
-    flow_id = (
-        sec.bitwiseAND(F.lit(0xFFFF)) * F.lit(1 << 16)
-    ) + usec.bitwiseAND(F.lit(0xFFFF))
+    flow_id = _flow_id()
     return frame.select(
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").alias("timestamp"),
         F.lit("log").alias("event_type"),
@@ -361,13 +364,29 @@ SINK_BUILDERS = {
 }
 
 
+def flexbit_noalert_sids(rules: list[RuleIR]) -> list[int]:
+    """Sids whose ``flexbits: noalert`` suppresses the WHOLE alert
+    (reference engine.c:1436: Send_Alert only when flexbit_flag==false
+    || flexbit_noalert==0).  Shared by the batch engine's noalert
+    column and the streaming router — both paths must drop the same
+    sids or batch==streaming parity breaks."""
+    return [
+        r.sid
+        for r in rules
+        if "noalert" in getattr(r, "flags", [])
+        and any(x.track.startswith("flex") for x in r.xbits)
+    ]
+
+
 def sink_suppressions(rules: list[RuleIR]) -> dict[str, list[int]]:
     """Per-SINK suppressed sid lists (reference src/output.c:88-99):
     ``xbits: noalert`` drops the rule's alerts from the alert-file sink
     only; ``noeve`` (xbit or flexbit spelling) drops them from EVE
-    only; fast and syslog always write.  (``flexbits: noalert``
-    suppresses the whole alert and is handled in the engine —
-    engine.c:1436.)"""
+    only; fast and syslog always write.  ``flexbits: noalert``
+    suppresses the whole alert — the batch engine also drops it in
+    EngineResult.alerts(); here it lands on every sink's list so the
+    streaming writer (which must keep those rows for set staging)
+    reaches the same output."""
     no_alert = [r.sid for r in rules if "xbit_noalert" in r.flags]
     no_eve = [
         r.sid for r in rules if "xbit_noeve" in r.flags or "noeve" in r.flags
@@ -377,6 +396,15 @@ def sink_suppressions(rules: list[RuleIR]) -> dict[str, list[int]]:
         out["alerts_alert"] = no_alert
     if no_eve:
         out["alerts_eve"] = no_eve
+    # flexbits:noalert kills the WHOLE alert (engine.c:1436).  Batch
+    # drops those rows in EngineResult.alerts(); the streaming writer
+    # instead keeps them flowing (their set/unset events must still
+    # stage for chained checks) and relies on these per-sink lists, so
+    # the sids go on EVERY sink.
+    whole = flexbit_noalert_sids(rules)
+    if whole:
+        for sink in SINK_BUILDERS:
+            out[sink] = out.get(sink, []) + [s for s in whole if s not in out.get(sink, [])]
     return out
 
 

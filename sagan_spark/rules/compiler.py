@@ -346,8 +346,16 @@ class RuleCompiler:
             # localhost hit's halves leak through when host is not v4)
             fb = F.coalesce(host_half, hit_half) if hit is not None else host_half
             if jm is not None and hit is not None:
+                # jm active but not v4 (e.g. v6): the hit's halves are
+                # bits of a DIFFERENT address unless the strings agree —
+                # only borrow them on equality, else NULL (fail-closed,
+                # like a hostname; reference IP2Bit parses the resolved
+                # v6 itself, a path we take only via the positional hit)
                 return (
-                    F.when(_active_ip(jm), F.coalesce(jm_v4[part], hit_half))
+                    F.when(
+                        _active_ip(jm),
+                        F.coalesce(jm_v4[part], F.when(jm == hit_ip, hit_half)),
+                    )
                     .when(jm.isNull() & _active_ip(hit_ip), hit_half)
                     .otherwise(fb)
                 )

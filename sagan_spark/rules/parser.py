@@ -196,11 +196,15 @@ def _value_to_seconds(v: str) -> int:
 
 
 # options with no match semantics we deliberately accept and ignore
-# (normalize is a liblognorm hint; flowbits is the Snort spelling Sagan
-# itself tolerates; offload needs a remote HTTP evaluator — out of
-# scope per SURVEY §2.8).  NOTE: `metadata` is NOT here — it has a
-# dedicated branch that captures it for the EVE alert record.
-_IGNORABLE_OPTIONS = {"normalize", "flowbits", "offload"}
+# (normalize is a liblognorm hint; offload needs a remote HTTP
+# evaluator — out of scope per SURVEY §2.8).  NOTE: `metadata` is NOT
+# here — it has a dedicated branch that captures it for the EVE alert
+# record, and `flowbits` is not either: it aliases to flexbits (the
+# pre-rename spelling Sagan's own published rules use, identical
+# grammar — doc/source/blogs/sagan-flowbits.rst; the current C parser
+# silently DROPS it, rules.c:1382 matches only "flexbits", which
+# over-alerts on those rulesets — we evaluate the intended gate).
+_IGNORABLE_OPTIONS = {"normalize", "offload"}
 
 
 def parse_rule(
@@ -442,7 +446,7 @@ def parse_rule(
                     expire=_value_to_seconds(spec.get("expire", "0")) if spec.get("expire") else 0,
                 )
             )
-        elif key in ("flexbits", "flexbit"):
+        elif key in ("flexbits", "flexbit", "flowbits"):
             # positional grammar (reference doc/source/rule-keywords.rst:297-336):
             #   flexbits: set, {name}[, {expire seconds}]
             #   flexbits: unset|isset|isnotset, {by_src|by_dst|both|reverse|none|username}, {name}

@@ -113,6 +113,26 @@ def _fs_for(spark: SparkSession, path_str: str):
     return fs, path
 
 
+def _read_store_or_none(spark: SparkSession, path: str):
+    """Read a staged parquet store; None when it does not exist yet or
+    holds no data files (all partitions swept/pruned).  Any OTHER
+    failure raises: treating a transient FS/corruption error as "no
+    store" would silently reset streaming state and permanently diverge
+    from batch (over-alert thresholds, re-suppress afters, missed bit
+    checks)."""
+    from pyspark.errors import AnalysisException
+
+    fs, p = _fs_for(spark, path)
+    if not fs.exists(p):
+        return None
+    try:
+        return spark.read.option("basePath", path).parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def _sweep_dead_buckets(
     spark: SparkSession,
     path: str,
@@ -230,9 +250,8 @@ def _read_prev_corr_state(spark: SparkSession, path: str, batch_id: int):
     """Latest stage-B correlation state snapshot written BEFORE this
     batch (retry-safe: a replayed batch N reads N-1's snapshot even if a
     half-written N partition exists)."""
-    try:
-        df = spark.read.option("basePath", path).parquet(path)
-    except Exception:  # first batch: no state yet
+    df = _read_store_or_none(spark, path)
+    if df is None:  # first batch: no state yet
         return None
     df = df.withColumn(
         "_bnum", F.regexp_extract("batch_id", r"_(\d+)$", 1).cast("long")
@@ -376,6 +395,17 @@ class StreamingSaganEngine:
             [r for r in self.rules if r.sid not in self.cond_sids]
         )
 
+    def _watermark_secs(self) -> int:
+        """self.watermark ("10 minutes", "30 seconds", ...) in seconds —
+        the allowed event lateness, used as the staged-store sweep lag."""
+        n, unit = self.watermark.split()
+        return int(n) * {
+            "second": 1, "seconds": 1,
+            "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600,
+            "day": 86400, "days": 86400,
+        }[unit]
+
     def alerts_stream(self, frame: DataFrame) -> DataFrame:
         """frame: streaming canonical event frame -> streaming alert rows."""
         # carry the full event columns: a stream cannot re-join its own
@@ -503,6 +533,11 @@ class StreamingSaganEngine:
         return replayed.unionByName(plain)
 
     def routed_alerts(self, frame: DataFrame) -> DataFrame:
+        """Correlation-surviving alert rows.  flexbit-noalert sids stay
+        IN this stream on purpose: their set/unset events must still
+        stage for chained checks (the reference sets bits before the
+        Send_Alert gate, engine.c:1415-1436) — the whole-alert drop
+        happens per sink via route.sink_suppressions."""
         alerts = self.alerts_stream(frame)
         return alerts.filter(~F.col("suppressed_after") & ~F.col("suppressed_threshold"))
 
@@ -761,16 +796,13 @@ class StreamingSaganEngine:
             batch_df = batch_df.persist()
             min_chk = batch_df.agg(F.min(ts_seconds_d(F.col("ts")))).first()[0]
             sets_path = f"{base_path}/xbit_sets"
-            try:
-                sets = spark.read.option("basePath", sets_path).parquet(sets_path)
+            sets = _read_store_or_none(spark, sets_path)  # None: nothing staged yet
+            if sets is not None and min_chk is not None:
                 # partition-prune buckets no check in this batch can see
-                if min_chk is not None:
-                    live_from = int((min_chk - max_expire) // bucket_secs)
-                    sets = sets.filter(
-                        (F.col("set_bucket") < 0) | (F.col("set_bucket") >= live_from)
-                    )
-            except Exception:  # no setter fired yet
-                sets = None
+                live_from = int((min_chk - max_expire) // bucket_secs)
+                sets = sets.filter(
+                    (F.col("set_bucket") < 0) | (F.col("set_bucket") >= live_from)
+                )
             flag_cols = []
             member_entries = []
             for i, (sid, x, pos) in enumerate(cond_specs):
@@ -1158,7 +1190,19 @@ class StreamingSaganEngine:
                 if walk_out is not None:
                     walk_out.unpersist()
             if min_chk is not None and max_expire > 0:
-                _sweep_dead_buckets(spark, sets_path, bucket_secs, max_expire, min_chk)
+                # sweep against a watermark-lagged floor, not this
+                # batch's own min: stage B applies no watermark to its
+                # checks, so a later batch may legitimately carry an
+                # event up to `watermark` older than anything seen here
+                # — deleting buckets it still probes would flip its
+                # isset verdicts vs the batch walk
+                _sweep_dead_buckets(
+                    spark,
+                    sets_path,
+                    bucket_secs,
+                    max_expire,
+                    min_chk - self._watermark_secs(),
+                )
 
         writer = (
             hits.withColumn("suppressed_after", F.lit(False))

@@ -107,3 +107,30 @@ def test_v4_hilo_cols_matches_python_twin(spark):
         assert got[c] == int_to_biased_hilo(ip_to_int(c)), c
     for b in bad:
         assert got[b] == (None, None), b
+
+
+def test_json_map_v6_does_not_borrow_positional_v4_bits(spark):
+    """json_map resolves src_ip to a v6 string while Parse_IP finds a
+    DIFFERENT v4 in the message: the blacklist gate must not test the
+    positional v4's bits against the range (the final string is the
+    v6).  Bits go NULL (fail-closed, like a hostname) — unless the two
+    strings are literally equal, when borrowing the hit's halves IS
+    bits-of-the-final-string."""
+    rows = [
+        # v6 json ip, blacklisted v4 in the message -> must NOT fire
+        ("x1", "2026-01-01 00:00:01", '{"src": "2001:db8::1"} seen 10.9.9.9 ok'),
+        # json ip == positional ip (both v4, in range) -> fires
+        ("x2", "2026-01-01 00:00:02", '{"src": "10.1.1.1"} seen 10.1.1.1 ok'),
+    ]
+    df = spark.createDataFrame(rows, "event_key string, ts string, message string")
+    frame = df.select(
+        "event_key", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("host.example").alias("host"), F.lit("p").alias("program"),
+        F.lit("").alias("facility"), F.lit("").alias("level"), F.lit("").alias("tag"),
+        "message",
+    )
+    cfg = EngineConfig(blacklist_cidrs=["10.0.0.0/8"])
+    txt = ('alert any any any -> any any (msg:"bl6"; content:"{"; '
+           'json_map: "src_ip",".src"; parse_src_ip: 1; '
+           'blacklist: by_src; sid:9800010;)')
+    assert _keys(spark, txt, frame, cfg) == {"x2"}

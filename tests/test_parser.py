@@ -212,3 +212,27 @@ def test_valid_rule_options_all_accepted_strict():
     )
     r = parse_rule(rule)  # strict=True default: must not raise
     assert r.sid == 31 and not r.unknown_options
+
+
+def test_flowbits_aliases_flexbits():
+    """`flowbits` is the pre-rename spelling Sagan's published rules use
+    (doc/source/blogs/sagan-flowbits.rst) — it must compile to the SAME
+    IR as flexbits, not vanish (the C parser, rules.c:1382, silently
+    drops it and over-alerts on those rulesets)."""
+    a = parse_rule(
+        'alert any any any -> any any (msg:"m"; content:"x"; '
+        "flowbits: set, created_enabled, 30; flowbits: noalert; sid:40;)"
+    )
+    b = parse_rule(
+        'alert any any any -> any any (msg:"m"; content:"x"; '
+        "flexbits: set, created_enabled, 30; flexbits: noalert; sid:40;)"
+    )
+    assert [(x.action, x.name, x.expire, x.track) for x in a.xbits] == [
+        (x.action, x.name, x.expire, x.track) for x in b.xbits
+    ]
+    assert a.flags == b.flags and "noalert" in a.flags
+    c = parse_rule(
+        'alert any any any -> any any (msg:"m"; content:"y"; '
+        "flowbits: isnotset, by_src, created_enabled; sid:41;)"
+    )
+    assert [(x.action, x.track) for x in c.xbits] == [("isnotset", "flex_by_src")]

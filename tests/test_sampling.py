@@ -77,3 +77,11 @@ def test_stratified_small_stratum_and_unquoted_dropped(spark):
     )
     out = stratified_sample(docs, {"en": 10}).collect()
     assert {r.doc_id for r in out} == {1, 2}  # quota > size keeps all; fr dropped
+
+
+def test_full_fraction_keeps_every_row(docs_df):
+    """fraction >= 1.0 is exact keep-all: no hash filter at all (the
+    clamped 'ffffffff' strict-< threshold would drop ~1-per-4.3B docs)."""
+    assert deterministic_sample(docs_df, 1.0).count() == docs_df.count()
+    split = train_holdout_split(docs_df, holdout_frac=1.0)
+    assert split.filter(split.split == "train").count() == 0

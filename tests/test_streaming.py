@@ -508,3 +508,52 @@ alert any any any -> any any (msg:"chk"; content:"checkme"; parse_src_ip: 1; xbi
     )
     got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
     assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
+
+
+# ---------------------------------------------------------------------------
+# flexbit noalert: whole-alert suppression must hold in streaming too —
+# the noalert setter's alerts reach no sink, but its SET still stages
+# for chained checks (reference sets bits before the Send_Alert gate,
+# engine.c:1415-1436).  Written with the `flowbits` spelling to pin the
+# alias (Sagan's own published rules use it; doc/sagan-flowbits.rst).
+# ---------------------------------------------------------------------------
+
+NOALERT_CHAIN_RULES = """\
+alert any any any -> any any (msg:"silent set"; content:"setme"; parse_src_ip: 1; flowbits: set, nb1, 3600; flowbits: noalert; sid:9500001;)
+alert any any any -> any any (msg:"check"; content:"checkme"; parse_src_ip: 1; flowbits: isset, by_src, nb1; sid:9500002;)
+"""
+
+
+def test_streaming_flexbit_noalert_equals_batch(spark, tmp_path):
+    table = _mini_pages(
+        [
+            ("u://na/1", "2026-01-01 00:00:01", "setme from 10.0.0.1 ok"),
+            ("u://na/2", "2026-01-01 00:00:10", "checkme from 10.0.0.1 hit"),
+            ("u://na/3", "2026-01-01 00:00:20", "checkme from 10.0.0.2 miss"),
+        ]
+    )
+    want, got, _ = _run_chained(spark, NOALERT_CHAIN_RULES, table, tmp_path, "noalert")
+    assert got == want
+    # the noalert setter reaches NO sink...
+    assert not any(sid == 9500001 for _, sid in got)
+    # ...but its set still gated the chained check
+    assert ("u://na/2", 9500002) in got
+    assert ("u://na/3", 9500002) not in got
+
+
+def test_watermark_secs_parse():
+    """The staged-store sweep lags by the allowed lateness — the parse
+    must cover every unit the watermark string accepts."""
+    from sagan_spark.rules.parser import parse_rules
+
+    for wm, secs in [
+        ("0 seconds", 0),
+        ("30 seconds", 30),
+        ("10 minutes", 600),
+        ("2 hours", 7200),
+        ("1 day", 86400),
+    ]:
+        eng = StreamingSaganEngine(
+            parse_rules(UNSET_RULES), watermark=wm, enable_xbits=True
+        )
+        assert eng._watermark_secs() == secs

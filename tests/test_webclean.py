@@ -274,3 +274,21 @@ def test_corpus_prep_dup_pair_hidden_by_quality_gate(spark):
     got = {r.doc_id: r.reason for r in corpus_prep(docs, jaccard_threshold=0.5).collect()}
     assert got[10] == "lang"
     assert got[11] == "ok"
+
+
+def test_filter_verdict_null_text_and_lang_dropped(spark):
+    """NULL text routes too_short and NULL lang routes lang — a NULL
+    WHEN-condition must not fall through every gate to 'ok'/keep
+    (routine rows in a scraped corpus)."""
+    df = spark.createDataFrame(
+        [
+            (1, None, "en"),
+            (2, "plenty of perfectly good english text here", None),
+            (3, "plenty of perfectly good english text here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: (r.reason, r.keep) for r in filter_verdict(df).collect()}
+    assert got[1] == ("too_short", False)
+    assert got[2] == ("lang", False)
+    assert got[3] == ("ok", True)
