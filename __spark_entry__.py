@@ -1280,6 +1280,44 @@ def q_webclean_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_verdict(docs)
 
 
+def q_webclean_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.webclean import gopher_quality_filters
+
+    return gopher_quality_filters(_docs(spark, sf_dir))
+
+
+def _docs_with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic synthetic url (the testdata table
+    carries no url column; the SAME expression runs in the oracle)."""
+    docs = _docs(spark, sf_dir)
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".org"))
+    )
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"), tld,
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+def q_url_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.urltools import domain_rollup
+
+    return domain_rollup(_docs_with_url(spark, sf_dir))
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.urltools import blocklist_filter
+
+    return blocklist_filter(
+        _docs_with_url(spark, sf_dir), ["src1.com", "src0.co.uk"]
+    ).select("doc_id", "url")
+
+
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.sampling import deterministic_sample
 
@@ -1387,6 +1425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webclean_top_ngram": q_webclean_top_ngram,
         "webclean_pii": q_webclean_pii,
         "webclean_verdict": q_webclean_verdict,
+        "webclean_gopher": q_webclean_gopher,
+        "url_domain_rollup": q_url_domain_rollup,
+        "url_blocklist": q_url_blocklist,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_yield": q_corpus_prep_yield,
         "sample_deterministic": q_sample_deterministic,
@@ -1398,6 +1439,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # same pattern strings on both contract sides (RE2-compatible)
     from sagan_spark.ops.sampling import frac_to_hex8
+    from sagan_spark.ops.urltools import HOST_RE, TWO_LEVEL_TLDS
+    from sagan_spark.ops.webclean import GOPHER_STOPWORDS
+
+    # synthetic url + host/domain (the op's exact algorithm: last two
+    # labels, or three when the last two are a known two-level TLD)
+    _tlds = ", ".join("'%s'" % t for t in TWO_LEVEL_TLDS)
+    _domain_inner = (
+        "SELECT doc_id, url, host, CASE WHEN host = '' THEN ''"
+        " WHEN len(hp) <= 2 THEN host"
+        " WHEN hp[len(hp)-1] || '.' || hp[len(hp)] IN (" + _tlds + ")"
+        "  THEN hp[len(hp)-2] || '.' || hp[len(hp)-1] || '.' || hp[len(hp)]"
+        " ELSE hp[len(hp)-1] || '.' || hp[len(hp)] END AS domain, toks"
+        " FROM (SELECT doc_id, url, host, str_split(host, '.') AS hp, toks"
+        " FROM (SELECT doc_id, url,"
+        "  lower(regexp_extract(url, '" + HOST_RE + "', 1)) AS host,"
+        "  len(list_filter(regexp_split_to_array(text, '\\s+'),"
+        "   x -> x <> '')) AS toks"
+        " FROM (SELECT doc_id, text, 'https://www.' || source ||"
+        "  (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'"
+        "   WHEN doc_id % 3 = 1 THEN '.com' ELSE '.org' END) ||"
+        "  '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents)))"
+    )
     from sagan_spark.ops.webclean import EMAIL_RE, IPV4_RE
 
     shingles = (
@@ -2002,6 +2065,61 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(length(regexp_replace(regexp_replace(text, '{EMAIL_RE}',"
             f" '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g')) AS BIGINT) AS clean_len"
             f" FROM documents"
+        ),
+        "webclean_gopher": (
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,"
+            " round(mean_wlen, 6) AS mean_word_len,"
+            " round(symbol_ratio, 6) AS symbol_ratio,"
+            " round(bullet_frac, 6) AS bullet_line_frac,"
+            " round(ell_frac, 6) AS ellipsis_line_frac,"
+            " round(alpha_frac, 6) AS alpha_word_frac,"
+            " CAST(n_stop AS BIGINT) AS n_stopwords,"
+            " reason AS gopher_reason, reason = 'ok' AS gopher_keep"
+            " FROM (SELECT *, CASE"
+            "  WHEN NOT coalesce(n_words >= 50 AND n_words <= 100000, FALSE)"
+            "   THEN 'word_count'"
+            "  WHEN NOT coalesce(mean_wlen >= 3.0 AND mean_wlen <= 10.0, FALSE)"
+            "   THEN 'mean_word_length'"
+            "  WHEN NOT coalesce(symbol_ratio <= 0.1, FALSE) THEN 'symbol_ratio'"
+            "  WHEN NOT coalesce(bullet_frac < 0.9, FALSE) THEN 'bullet_lines'"
+            "  WHEN NOT coalesce(ell_frac < 0.3, FALSE) THEN 'ellipsis_lines'"
+            "  WHEN NOT coalesce(alpha_frac >= 0.8, FALSE) THEN 'alpha_words'"
+            "  WHEN NOT coalesce(n_stop >= 2, FALSE) THEN 'stopwords'"
+            "  ELSE 'ok' END AS reason FROM ("
+            " SELECT doc_id, len(w) AS n_words,"
+            "  coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0)"
+            "   / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_wlen,"
+            "  (len(str_split(text, '#')) - 1 + len(str_split(text, '...')) - 1"
+            "   + len(str_split(text, chr(8230))) - 1)"
+            "   / CAST(greatest(len(w), 1) AS DOUBLE) AS symbol_ratio,"
+            "  len(list_filter(l, x -> regexp_matches(x, '^[-*' || chr(8226) || ']')))"
+            "   / CAST(greatest(len(l), 1) AS DOUBLE) AS bullet_frac,"
+            "  len(list_filter(l, x -> regexp_matches(x,"
+            "   '(\\.\\.\\.|' || chr(8230) || ')$')))"
+            "   / CAST(greatest(len(l), 1) AS DOUBLE) AS ell_frac,"
+            "  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))"
+            "   / CAST(greatest(len(w), 1) AS DOUBLE) AS alpha_frac,"
+            + " + ".join(
+                "  CAST(contains(' ' || lower(text) || ' ', ' {} ') AS INT)".format(s)
+                for s in GOPHER_STOPWORDS
+            )
+            + " AS n_stop"
+            " FROM (SELECT doc_id, text,"
+            "  list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),"
+            "   x -> x <> '') AS w,"
+            "  str_split(coalesce(text, ''), chr(10)) AS l"
+            " FROM documents)))"
+        ),
+        "url_domain_rollup": (
+            "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(toks) AS BIGINT) AS n_tokens,"
+            " CAST(count(DISTINCT host) AS BIGINT) AS n_hosts FROM ("
+            + _domain_inner
+            + ") GROUP BY domain"
+        ),
+        "url_blocklist": (
+            "SELECT doc_id, url FROM (" + _domain_inner + ")"
+            " WHERE domain NOT IN ('src1.com', 'src0.co.uk')"
         ),
         "webclean_verdict": (
             "SELECT doc_id, reason, reason = 'ok' AS keep FROM ("

@@ -51,6 +51,8 @@ HEADLINE = [
     "text_fingerprint",
     "webclean_repetition",
     "webclean_pii",
+    "webclean_gopher",
+    "url_domain_rollup",
 ]
 
 

@@ -1,0 +1,107 @@
+"""URL / domain operators for training-data pipelines over the
+`documents` table: host extraction, registered-domain heuristic,
+per-domain corpus rollups, and domain blocklist routing.
+
+Corpus curation at web scale is domain-driven — licensing blocklists,
+per-site quotas, domain-level quality priors — so these run before any
+per-document text work (the cheapest gate there is: one regex on the
+url column, predicate-pushdown-friendly, no Python anywhere).
+
+Scale notes (100 TB posture):
+- :func:`with_domain` / :func:`blocklist_filter` are scan-level
+  projections/filters — no shuffle; the blocklist is a broadcast hash
+  join (LEFT ANTI) when given as a DataFrame, or a literal isin for
+  small in-memory lists.
+- :func:`domain_rollup` is ONE shuffle on the domain key with map-side
+  partial aggregation.  Domains are Zipf-skewed; the counts here are
+  algebraic aggregates, so AQE's skew handling plus partial aggs keep
+  the hot keys from funneling (no distinct-per-key state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# host = authority minus userinfo/port; RE2-compatible so the SAME
+# pattern runs in the DuckDB oracle
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+# common two-level public suffixes for the registered-domain heuristic
+# (a full public-suffix list is a drop-in replacement for this set)
+TWO_LEVEL_TLDS = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "co.za", "com.ar", "com.tr",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host part of a URL ('' when the URL has no
+    authority)."""
+    return F.lower(F.regexp_extract(url, HOST_RE, 1))
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 heuristic: last two labels, or last three when the last
+    two form a known two-level public suffix (TWO_LEVEL_TLDS).  Plain
+    array arithmetic over the split host — no Python."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    return (
+        F.when(host.isNull() | (host == ""), F.lit(""))
+        .when(n <= 2, host)
+        .when(last2.isin(*TWO_LEVEL_TLDS), last3)
+        .otherwise(last2)
+    )
+
+
+def with_domain(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``host`` and ``domain`` columns — scan-level projection."""
+    host = url_host(F.col(url_col))
+    return docs.withColumn("host", host).withColumn(
+        "domain", registered_domain(F.col("host"))
+    )
+
+
+def domain_rollup(docs: DataFrame, url_col: str = "url",
+                  text_col: str = "text") -> DataFrame:
+    """Per-domain corpus accounting: (domain, n_docs, n_tokens,
+    n_hosts) — the per-site yield table quota/blocklist decisions read.
+    ONE shuffle (groupBy domain); tokens counted scan-side so only the
+    narrow rollup shuffles."""
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    ).cast("long")
+    return (
+        with_domain(docs, url_col)
+        .select("domain", "host", toks.alias("_toks"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_toks").cast("long").alias("n_tokens"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+    )
+
+
+def blocklist_filter(docs: DataFrame, blocked, url_col: str = "url",
+                     keep: bool = False) -> DataFrame:
+    """Drop (or with ``keep=True``, retain only) docs whose registered
+    domain is in ``blocked`` — a list of domains or a 1-column
+    DataFrame.  List form compiles to a literal isin (pure codegen);
+    DataFrame form is a broadcast LEFT ANTI / LEFT SEMI hash join, the
+    right plan for blocklists up to millions of rows."""
+    d = with_domain(docs, url_col)
+    if isinstance(blocked, DataFrame):
+        bl = blocked.toDF("domain")
+        how = "left_semi" if keep else "left_anti"
+        out = d.join(F.broadcast(bl), "domain", how)
+    else:
+        cond = F.col("domain").isin(*list(blocked))
+        out = d.filter(cond if keep else ~cond)
+    return out.drop("host", "domain")

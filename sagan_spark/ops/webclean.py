@@ -118,6 +118,81 @@ def top_ngram_char_frac(docs: DataFrame, n: int = 2, text_col: str = "text",
     )
 
 
+# Gopher Appendix-A quality rules (Rae et al., arXiv:2112.11446): the
+# published thresholds, verbatim.  Stopword set is the paper's 8.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filters(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The full published Gopher quality-filter rule set, one boolean
+    per rule plus the FIRST failing reason (evaluation in the paper's
+    listing order) — per-row array arithmetic only, no shuffle, no
+    Python; every formula is mirrorable in the DuckDB oracle:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#' or '...'/ellipsis) <= 0.1
+    - < 90% of lines start with a bullet ('-', '*', or U+2022)
+    - < 30% of lines end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct stopwords of the paper's 8 present
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    lines = _lines(t)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    wchars = F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_wlen = wchars / F.greatest(n_words, F.lit(1)).cast("double")
+    n_hash = F.size(F.split(t, "#", -1)) - 1
+    n_ellipsis = (F.size(F.split(t, r"\.\.\.", -1)) - 1) + (
+        F.size(F.split(t, "\u2026", -1)) - 1
+    )
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)).cast("double")
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.rlike("^[-*\u2022]"))
+    ) / F.greatest(n_lines, F.lit(1)).cast("double")
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|\u2026)$"))
+    ) / F.greatest(n_lines, F.lit(1)).cast("double")
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    n_stop = sum(
+        (
+            F.when(padded.contains(f" {s} "), F.lit(1)).otherwise(F.lit(0))
+            for s in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    checks = [
+        ("word_count", (n_words >= 50) & (n_words <= 100_000)),
+        ("mean_word_length", (mean_wlen >= 3.0) & (mean_wlen <= 10.0)),
+        ("symbol_ratio", symbol_ratio <= 0.1),
+        ("bullet_lines", bullet_frac < 0.9),
+        ("ellipsis_lines", ellipsis_frac < 0.3),
+        ("alpha_words", alpha_frac >= 0.8),
+        ("stopwords", n_stop >= 2),
+    ]
+    reason = F.lit("ok")
+    for name, ok in reversed(checks):
+        reason = F.when(~F.coalesce(ok, F.lit(False)), F.lit(name)).otherwise(reason)
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        reason.alias("gopher_reason"),
+        (reason == "ok").alias("gopher_keep"),
+    )
+
+
 # PII patterns: RE2-compatible (no lookaround/backrefs) so the SAME
 # pattern string runs in Spark's Java regex and DuckDB's RE2 oracle.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -25,6 +25,7 @@ from sagan_spark.ops.webclean import (
     filter_verdict,
     pii_scrub,
     repetition_metrics,
+    gopher_quality_filters,
     top_ngram_char_frac,
 )
 
@@ -292,3 +293,65 @@ def test_filter_verdict_null_text_and_lang_dropped(spark):
     assert got[1] == ("too_short", False)
     assert got[2] == ("lang", False)
     assert got[3] == ("ok", True)
+
+
+def _py_gopher(text):
+    import re as _re
+
+    if text is None:
+        words, lines, low = [], [""], ""
+    else:
+        words = [w for w in _re.split(r"\s+", text) if w != ""]
+        lines = text.split("\n")
+        low = f" {text.lower()} "
+    n_words, n_lines = len(words), len(lines)
+    wchars = sum(len(w) for w in words)
+    mean_wlen = wchars / max(n_words, 1)
+    n_hash = (text or "").count("#")
+    n_ell = (text or "").count("...") + (text or "").count("…")
+    symbol_ratio = (n_hash + n_ell) / max(n_words, 1)
+    bullet = sum(bool(_re.match(r"^[-*•]", l)) for l in lines) / max(n_lines, 1)
+    ell = sum(bool(_re.search(r"(\.\.\.|…)$", l)) for l in lines) / max(n_lines, 1)
+    alpha = sum(bool(_re.search("[A-Za-z]", w)) for w in words) / max(n_words, 1)
+    stops = sum(f" {s} " in low for s in
+                ("the", "be", "to", "of", "and", "that", "have", "with"))
+    checks = [
+        ("word_count", 50 <= n_words <= 100_000),
+        ("mean_word_length", 3.0 <= mean_wlen <= 10.0),
+        ("symbol_ratio", symbol_ratio <= 0.1),
+        ("bullet_lines", bullet < 0.9),
+        ("ellipsis_lines", ell < 0.3),
+        ("alpha_words", alpha >= 0.8),
+        ("stopwords", stops >= 2),
+    ]
+    reason = next((name for name, ok in checks if not ok), "ok")
+    return reason, reason == "ok"
+
+
+GOPHER_DOCS = [
+    (0, " ".join(f"word{i} of the and" for i in range(20)), "en"),  # 80 ok words
+    (1, "too few words here", "en"),
+    (2, " ".join("hashtag# with the" for _ in range(60)), "en"),  # symbol spam
+    (3, "\n".join("- bullet line" for _ in range(20)), "en"),
+    (4, "\n".join(f"trailing {i}..." for i in range(3)) + "\n"
+        + " ".join(f"the of word{i}" for i in range(20)), "en"),
+    (5, " ".join("12345 67890" for _ in range(40)), "en"),  # no alpha
+    (6, " ".join(f"word{i}" for i in range(60)), "en"),  # no stopwords
+    (7, None, "en"),
+    (8, " ".join("supercalifragilistic" for _ in range(60)), "en"),  # long words
+]
+
+
+def test_gopher_filters_vs_python(spark):
+    df = spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.gopher_reason, r.gopher_keep)
+        for r in gopher_quality_filters(df).collect()
+    }
+    for doc_id, text, _ in GOPHER_DOCS:
+        assert got[doc_id] == _py_gopher(text), (doc_id, text, got[doc_id])
+    # every rule individually exercised
+    assert {got[i][0] for i in range(9)} >= {
+        "ok", "word_count", "symbol_ratio", "bullet_lines",
+        "ellipsis_lines", "alpha_words", "stopwords", "mean_word_length",
+    }
