@@ -1280,6 +1280,14 @@ def q_webclean_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_verdict(docs)
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.dedup import dedup_paragraphs
+
+    return dedup_paragraphs(_docs(spark, sf_dir)).select(
+        "doc_id", "clean_text", "n_paragraphs", "n_dropped"
+    )
+
+
 def q_webclean_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.webclean import gopher_quality_filters
 
@@ -1407,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster_canonical": q_dedup_cluster_canonical,
         "dedup_drop_list": q_dedup_drop_list,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -2065,6 +2074,21 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(length(regexp_replace(regexp_replace(text, '{EMAIL_RE}',"
             f" '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g')) AS BIGINT) AS clean_len"
             f" FROM documents"
+        ),
+        "dedup_paragraphs": (
+            "SELECT doc_id,"
+            " coalesce(string_agg(para, chr(10) || chr(10) ORDER BY idx)"
+            "  FILTER (WHERE keep), '') AS clean_text,"
+            " CAST(count(*) AS BIGINT) AS n_paragraphs,"
+            " CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped"
+            " FROM (SELECT doc_id, idx, para,"
+            "  trim(para) = '' OR row_number() OVER ("
+            "   PARTITION BY para ORDER BY doc_id, idx) = 1 AS keep"
+            " FROM (SELECT doc_id, u.idx AS idx, u.para AS para"
+            "  FROM (SELECT doc_id, unnest(list_transform("
+            "   str_split(text, chr(10) || chr(10)),"
+            "   (x, i) -> struct_pack(idx := i, para := x))) AS u"
+            "  FROM documents))) GROUP BY doc_id"
         ),
         "webclean_gopher": (
             "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,"

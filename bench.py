@@ -53,6 +53,7 @@ HEADLINE = [
     "webclean_pii",
     "webclean_gopher",
     "url_domain_rollup",
+    "dedup_paragraphs",
 ]
 
 

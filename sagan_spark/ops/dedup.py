@@ -469,3 +469,66 @@ def near_dup_drop_list(docs: DataFrame, k: int = 8, n_bands: int = 4,
         comps.filter(F.col("node") != F.col("comp"))
         .select(F.col("node").cast("long").alias(id_col))
     )
+
+
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide EXACT paragraph dedup (the inter-document repetition
+    removal step of MassiveText/RefinedWeb-style pipelines): every
+    repeated paragraph keeps only its FIRST occurrence in (doc_id,
+    position) order; each doc's surviving paragraphs reassemble in
+    their original order.  Returns (doc_id, clean_text, n_paragraphs,
+    n_dropped).
+
+    Plan (100 TB posture): paragraph explode is narrow; global
+    first-occurrence is ONE shuffle — a window over md5(paragraph)
+    ranked by (doc_id, idx) — and reassembly is ONE shuffle back on
+    doc_id.  Both keys are high-cardinality (no funnel); boilerplate
+    paragraphs that repeat corpus-wide are exactly the hot hashes, but
+    the per-hash state is a single rank, not an accumulation, so AQE
+    skew-split handles them.  Whitespace-only paragraphs are kept
+    as-is (never treated as duplicates of each other) — dropping
+    "empty" separators would silently reflow unrelated text.
+    """
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    )
+    # blanks bypass the window entirely: every whitespace-only
+    # paragraph in the corpus would otherwise shuffle into ONE
+    # partition-by-para task (consecutive separators make "" the
+    # hottest key there is) — and they are always kept anyway
+    blank = F.trim(F.col("para")) == ""
+    rn = F.row_number().over(
+        Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("idx").asc())
+    )
+    kept = (
+        paras.filter(~blank)
+        .withColumn("_keep", rn == 1)
+        .unionByName(paras.filter(blank).withColumn("_keep", F.lit(True)))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("idx"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("para"),
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -262,3 +262,41 @@ def test_ivf_topk_equals_python_twin(spark, vectors):
             want[(qid, rank)] = vid
     assert got == want
     assert got  # probes found neighbors
+
+
+def test_dedup_paragraphs_vs_python(spark):
+    from sagan_spark.ops.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "alpha para\n\ncommon boilerplate\n\nunique one"),
+        (2, "common boilerplate\n\nbeta para"),
+        (3, "unique three\n\n\n\ncommon boilerplate"),  # blank para kept
+        (4, "common boilerplate"),  # whole doc is a dup paragraph
+        (5, "alpha para\n\nalpha para"),  # intra-doc repeat also drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    seen: set = set()
+    want = {}
+    for doc_id, text in sorted(rows):
+        kept, dropped = [], 0
+        paras = text.split("\n\n")
+        for p in paras:
+            if p.strip() == "":
+                kept.append(p)
+            elif p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        want[doc_id] = ("\n\n".join(kept), len(paras), dropped)
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_paragraphs, r.n_dropped)
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert got == want
+    assert got[4] == ("", 1, 1)  # fully-deduped doc -> empty, not missing
+    # doc 1 saw "common boilerplate" first; doc 3 keeps its blank para
+    assert got[3] == ("unique three\n\n", 3, 1)
+    assert got[1][2] == 0  # the first claimant drops nothing
