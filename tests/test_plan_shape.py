@@ -102,3 +102,51 @@ def test_scan_prunes_and_pushes(spark, tmp_path):
     scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "html" not in scan_line.split("ReadSchema")[-1], "html column not pruned"
     assert "IsNotNull(text)" in scan_line, "null guard not pushed to scan"
+
+
+def test_corpus_ops_stay_jvm_side(spark):
+    """The scan-level corpus ops must compile to pure codegen — no
+    Python evaluation node anywhere in the executed plan (BatchEvalPython
+    / ArrowEvalPython would mean a per-row or per-batch Python hop the
+    ops' 100 TB posture forbids)."""
+    from sagan_spark.ops.dedup import dedup_paragraphs
+    from sagan_spark.ops.urltools import blocklist_filter, domain_rollup
+    from sagan_spark.ops.webclean import (
+        filter_verdict,
+        gopher_quality_filters,
+        pii_scrub,
+        repetition_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "en", "https://www.a.example.com/x")],
+        "doc_id long, text string, lang string, url string",
+    )
+    plans = {
+        "gopher": gopher_quality_filters(docs),
+        "repetition": repetition_metrics(docs),
+        "pii": pii_scrub(docs),
+        "verdict": filter_verdict(docs),
+        "rollup": domain_rollup(docs),
+        "blocklist": blocklist_filter(docs, ["example.com"]),
+        "para_dedup": dedup_paragraphs(docs),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"{name}: Python node in plan"
+
+
+def test_paragraph_dedup_blank_paras_never_shuffle(spark):
+    """Blank paragraphs must not enter the partition-by-para window —
+    the '' key would funnel every consecutive-separator blank in the
+    corpus into one task.  Pin: the window's input carries a
+    NOT(trim(para) = '') filter."""
+    from sagan_spark.ops.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\n\n\nb")], "doc_id long, text string"
+    )
+    plan = dedup_paragraphs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    w = [seg for seg in plan.split("Window ") if "row_number" in seg]
+    assert w, "window node missing"
+    assert "NOT (trim(para" in w[0], "blank filter not below the window"
