@@ -2076,24 +2076,29 @@ def oracle_sql() -> dict[str, str]:
             f" FROM documents"
         ),
         "dedup_paragraphs": (
+            "SELECT d.doc_id, g.clean_text,"
+            " CAST(coalesce(g.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,"
+            " CAST(coalesce(g.n_dropped, 0) AS BIGINT) AS n_dropped"
+            " FROM documents d LEFT JOIN ("
             "SELECT doc_id,"
             " coalesce(string_agg(para, chr(10) || chr(10) ORDER BY idx)"
             "  FILTER (WHERE keep), '') AS clean_text,"
-            " CAST(count(*) AS BIGINT) AS n_paragraphs,"
-            " CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped"
+            " count(*) AS n_paragraphs,"
+            " sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped"
             " FROM (SELECT doc_id, idx, para,"
-            "  trim(para) = '' OR row_number() OVER ("
+            "  regexp_matches(para, '^\\s*$') OR row_number() OVER ("
             "   PARTITION BY para ORDER BY doc_id, idx) = 1 AS keep"
             " FROM (SELECT doc_id, u.idx AS idx, u.para AS para"
             "  FROM (SELECT doc_id, unnest(list_transform("
             "   str_split(text, chr(10) || chr(10)),"
             "   (x, i) -> struct_pack(idx := i, para := x))) AS u"
-            "  FROM documents))) GROUP BY doc_id"
+            "  FROM documents))) GROUP BY doc_id) g ON g.doc_id = d.doc_id"
         ),
         "webclean_gopher": (
             "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,"
             " round(mean_wlen, 6) AS mean_word_len,"
-            " round(symbol_ratio, 6) AS symbol_ratio,"
+            " round(hash_r, 6) AS hash_ratio,"
+            " round(ell_r, 6) AS ellipsis_ratio,"
             " round(bullet_frac, 6) AS bullet_line_frac,"
             " round(ell_frac, 6) AS ellipsis_line_frac,"
             " round(alpha_frac, 6) AS alpha_word_frac,"
@@ -2104,7 +2109,8 @@ def oracle_sql() -> dict[str, str]:
             "   THEN 'word_count'"
             "  WHEN NOT coalesce(mean_wlen >= 3.0 AND mean_wlen <= 10.0, FALSE)"
             "   THEN 'mean_word_length'"
-            "  WHEN NOT coalesce(symbol_ratio <= 0.1, FALSE) THEN 'symbol_ratio'"
+            "  WHEN NOT coalesce(hash_r <= 0.1 AND ell_r <= 0.1, FALSE)"
+            "   THEN 'symbol_ratio'"
             "  WHEN NOT coalesce(bullet_frac < 0.9, FALSE) THEN 'bullet_lines'"
             "  WHEN NOT coalesce(ell_frac < 0.3, FALSE) THEN 'ellipsis_lines'"
             "  WHEN NOT coalesce(alpha_frac >= 0.8, FALSE) THEN 'alpha_words'"
@@ -2113,9 +2119,11 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, len(w) AS n_words,"
             "  coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0)"
             "   / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_wlen,"
-            "  (len(str_split(text, '#')) - 1 + len(str_split(text, '...')) - 1"
+            "  (len(str_split(text, '#')) - 1)"
+            "   / CAST(greatest(len(w), 1) AS DOUBLE) AS hash_r,"
+            "  (len(str_split(text, '...')) - 1"
             "   + len(str_split(text, chr(8230))) - 1)"
-            "   / CAST(greatest(len(w), 1) AS DOUBLE) AS symbol_ratio,"
+            "   / CAST(greatest(len(w), 1) AS DOUBLE) AS ell_r,"
             "  len(list_filter(l, x -> regexp_matches(x, '^[-*' || chr(8226) || ']')))"
             "   / CAST(greatest(len(l), 1) AS DOUBLE) AS bullet_frac,"
             "  len(list_filter(l, x -> regexp_matches(x,"
@@ -2124,11 +2132,13 @@ def oracle_sql() -> dict[str, str]:
             "  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))"
             "   / CAST(greatest(len(w), 1) AS DOUBLE) AS alpha_frac,"
             + " + ".join(
-                "  CAST(contains(' ' || lower(text) || ' ', ' {} ') AS INT)".format(s)
+                "  CAST(len(list_filter(w, x -> lower(regexp_replace(x,"
+                " '^[^A-Za-z0-9]+|[^A-Za-z0-9]+$', '', 'g')) = '{}')) > 0"
+                " AS INT)".format(s)
                 for s in GOPHER_STOPWORDS
             )
             + " AS n_stop"
-            " FROM (SELECT doc_id, text,"
+            " FROM (SELECT doc_id, coalesce(text, '') AS text,"
             "  list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),"
             "   x -> x <> '') AS w,"
             "  str_split(coalesce(text, ''), chr(10)) AS l"

@@ -477,58 +477,60 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
     removal step of MassiveText/RefinedWeb-style pipelines): every
     repeated paragraph keeps only its FIRST occurrence in (doc_id,
     position) order; each doc's surviving paragraphs reassemble in
-    their original order.  Returns (doc_id, clean_text, n_paragraphs,
-    n_dropped).
+    their original order.  Returns one row per input doc — (doc_id,
+    clean_text, n_paragraphs, n_dropped); a NULL-text doc comes back
+    with NULL clean_text and zero counts, never silently vanishes.
+    ``sep`` is a literal string (regex-escaped before the split).
 
     Plan (100 TB posture): paragraph explode is narrow; global
-    first-occurrence is ONE shuffle — a window over md5(paragraph)
-    ranked by (doc_id, idx) — and reassembly is ONE shuffle back on
-    doc_id.  Both keys are high-cardinality (no funnel); boilerplate
-    paragraphs that repeat corpus-wide are exactly the hot hashes, but
-    the per-hash state is a single rank, not an accumulation, so AQE
-    skew-split handles them.  Whitespace-only paragraphs are kept
-    as-is (never treated as duplicates of each other) — dropping
-    "empty" separators would silently reflow unrelated text.
+    first-occurrence is ONE shuffle — a window partitioned by
+    (is_blank, window-key) ranked by (doc_id, idx) — and reassembly is
+    ONE shuffle back on doc_id, with ONE scan of the corpus.
+    Whitespace-only paragraphs (regex \\s* — spaces, tabs, newlines,
+    same class the tokenizers here use) are always kept — dropping "empty" separators
+    would silently reflow unrelated text — and each gets a UNIQUE
+    per-row window key: "" would otherwise be the hottest key in the
+    corpus and funnel every consecutive-separator blank into one task.
     """
+    import re as _re
+
     from pyspark.sql import Window
 
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("idx", "para"),
     )
-    # blanks bypass the window entirely: every whitespace-only
-    # paragraph in the corpus would otherwise shuffle into ONE
-    # partition-by-para task (consecutive separators make "" the
-    # hottest key there is) — and they are always kept anyway
-    blank = F.trim(F.col("para")) == ""
+    blank = F.col("para").rlike(r"^\s*$")
+    wkey = F.when(
+        blank, F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("idx"))
+    ).otherwise(F.col("para"))
     rn = F.row_number().over(
-        Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("idx").asc())
+        Window.partitionBy(blank, wkey).orderBy(F.col(id_col).asc(), F.col("idx").asc())
     )
-    kept = (
-        paras.filter(~blank)
-        .withColumn("_keep", rn == 1)
-        .unionByName(paras.filter(blank).withColumn("_keep", F.lit(True)))
-    )
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                sep,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_keep"),
-                                F.struct(F.col("idx"), F.col("para")),
-                            )
+    kept = paras.withColumn("_keep", rn == 1)  # blanks: unique key -> always 1
+    deduped = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("idx"), F.col("para")),
                         )
-                    ),
-                    lambda s: s.getField("para"),
+                    )
                 ),
-            ).alias("clean_text"),
-            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
-            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_dropped"),
-        )
+                lambda s: s.getField("para"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )
+    # NULL-text docs explode to zero rows — restore them (no reason to
+    # lose a doc here; the quality gates own NULL routing)
+    return (
+        docs.select(id_col)
+        .join(deduped, id_col, "left")
+        .withColumn("n_paragraphs", F.coalesce("n_paragraphs", F.lit(0)))
+        .withColumn("n_dropped", F.coalesce("n_dropped", F.lit(0)))
     )

@@ -12,10 +12,12 @@ Scale notes (100 TB posture):
   projections/filters — no shuffle; the blocklist is a broadcast hash
   join (LEFT ANTI) when given as a DataFrame, or a literal isin for
   small in-memory lists.
-- :func:`domain_rollup` is ONE shuffle on the domain key with map-side
-  partial aggregation.  Domains are Zipf-skewed; the counts here are
-  algebraic aggregates, so AQE's skew handling plus partial aggs keep
-  the hot keys from funneling (no distinct-per-key state).
+- :func:`domain_rollup` aggregates in TWO levels: a fine-grained
+  (domain, host) partial first, then the tiny per-domain rollup.
+  Domains are Zipf-skewed, and a single-level countDistinct(host)
+  would hold distinct-host state per hot domain (blogspot-style
+  domains carry millions of hosts) — the two-level form keeps every
+  aggregate algebraic and lets map-side partials absorb the skew.
 """
 
 from __future__ import annotations
@@ -61,7 +63,16 @@ def registered_domain(host: Column) -> Column:
 
 
 def with_domain(docs: DataFrame, url_col: str = "url") -> DataFrame:
-    """Adds ``host`` and ``domain`` columns — scan-level projection."""
+    """Adds ``host`` and ``domain`` columns — scan-level projection.
+    Refuses to clobber existing columns of those names: a curation
+    pipeline often carries a precomputed domain, and silently
+    overwriting it is data loss."""
+    clash = {"host", "domain"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"with_domain would overwrite existing column(s) {sorted(clash)}; "
+            "rename them first or compute url_host/registered_domain directly"
+        )
     host = url_host(F.col(url_col))
     return docs.withColumn("host", host).withColumn(
         "domain", registered_domain(F.col("host"))
@@ -71,21 +82,28 @@ def with_domain(docs: DataFrame, url_col: str = "url") -> DataFrame:
 def domain_rollup(docs: DataFrame, url_col: str = "url",
                   text_col: str = "text") -> DataFrame:
     """Per-domain corpus accounting: (domain, n_docs, n_tokens,
-    n_hosts) — the per-site yield table quota/blocklist decisions read.
-    ONE shuffle (groupBy domain); tokens counted scan-side so only the
-    narrow rollup shuffles."""
-    toks = F.size(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    ).cast("long")
-    return (
+    n_hosts) — the per-site yield table quota/blocklist decisions
+    read.  Two-level aggregation (see module scale notes): the
+    (domain, host) partial is fine-grained so a Zipf-hot domain never
+    accumulates distinct-host state in one task; the domain rollup
+    then sums tiny rows.  Tokens use the SAME \\s+ tokenization as
+    webclean (one definition, one oracle mirror)."""
+    from sagan_spark.ops.webclean import _words
+
+    toks = F.size(_words(F.col(text_col))).cast("long")
+    per_host = (
         with_domain(docs, url_col)
         .select("domain", "host", toks.alias("_toks"))
-        .groupBy("domain")
+        .groupBy("domain", "host")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("_toks").cast("long").alias("n_tokens"),
-            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("_docs"),
+            F.sum("_toks").cast("long").alias("_tokens"),
         )
+    )
+    return per_host.groupBy("domain").agg(
+        F.sum("_docs").cast("long").alias("n_docs"),
+        F.sum("_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
     )
 
 
@@ -96,12 +114,15 @@ def blocklist_filter(docs: DataFrame, blocked, url_col: str = "url",
     DataFrame.  List form compiles to a literal isin (pure codegen);
     DataFrame form is a broadcast LEFT ANTI / LEFT SEMI hash join, the
     right plan for blocklists up to millions of rows."""
-    d = with_domain(docs, url_col)
+    # internal column name: never clobbers (or drops) a caller's own
+    # host/domain columns
+    dom = registered_domain(url_host(F.col(url_col)))
+    d = docs.withColumn("_sg_domain", dom)
     if isinstance(blocked, DataFrame):
-        bl = blocked.toDF("domain")
+        bl = blocked.toDF("_sg_domain")
         how = "left_semi" if keep else "left_anti"
-        out = d.join(F.broadcast(bl), "domain", how)
+        out = d.join(F.broadcast(bl), "_sg_domain", how)
     else:
-        cond = F.col("domain").isin(*list(blocked))
+        cond = F.col("_sg_domain").isin(*list(blocked))
         out = d.filter(cond if keep else ~cond)
-    return out.drop("host", "domain")
+    return out.drop("_sg_domain")

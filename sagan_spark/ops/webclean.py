@@ -132,13 +132,20 @@ def gopher_quality_filters(docs: DataFrame, text_col: str = "text",
 
     - 50 <= word count <= 100,000
     - 3 <= mean word length <= 10
-    - symbol-to-word ratio ('#' or '...'/ellipsis) <= 0.1
+    - symbol-to-word ratio <= 0.1 for '#' AND for '...'/ellipsis
+      (the paper drops when EITHER symbol's own ratio exceeds 0.1 —
+      the two are separate rules, not a combined count)
     - < 90% of lines start with a bullet ('-', '*', or U+2022)
     - < 30% of lines end with an ellipsis
     - >= 80% of words contain at least one alphabetic character
-    - >= 2 distinct stopwords of the paper's 8 present
+    - >= 2 distinct stopwords of the paper's 8 present, matched on the
+      SAME \\s+ tokens as every other rule (punctuation stripped from
+      token edges), not on space-delimited substrings
+
+    NULL text evaluates as the empty string (all-zero metrics, fails
+    word_count) so the contract oracle and this op agree row-for-row.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = _words(t)
     lines = _lines(t)
     n_words = F.size(words)
@@ -149,7 +156,8 @@ def gopher_quality_filters(docs: DataFrame, text_col: str = "text",
     n_ellipsis = (F.size(F.split(t, r"\.\.\.", -1)) - 1) + (
         F.size(F.split(t, "\u2026", -1)) - 1
     )
-    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)).cast("double")
+    hash_ratio = n_hash / F.greatest(n_words, F.lit(1)).cast("double")
+    ellipsis_ratio = n_ellipsis / F.greatest(n_words, F.lit(1)).cast("double")
     bullet_frac = F.size(
         F.filter(lines, lambda l: l.rlike("^[-*\u2022]"))
     ) / F.greatest(n_lines, F.lit(1)).cast("double")
@@ -159,10 +167,19 @@ def gopher_quality_filters(docs: DataFrame, text_col: str = "text",
     alpha_frac = F.size(
         F.filter(words, lambda w: w.rlike("[A-Za-z]"))
     ) / F.greatest(n_words, F.lit(1)).cast("double")
-    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    # token-based: lowercase each \\s+ token and strip edge
+    # punctuation, so "of\nthe matter," still counts of/the —
+    # space-substring probing misses every stopword at a line
+    # boundary or before punctuation
+    toks = F.transform(
+        words,
+        lambda w: F.lower(
+            F.regexp_replace(w, "^[^A-Za-z0-9]+|[^A-Za-z0-9]+$", "")
+        ),
+    )
     n_stop = sum(
         (
-            F.when(padded.contains(f" {s} "), F.lit(1)).otherwise(F.lit(0))
+            F.when(F.array_contains(toks, s), F.lit(1)).otherwise(F.lit(0))
             for s in GOPHER_STOPWORDS
         ),
         F.lit(0),
@@ -170,7 +187,7 @@ def gopher_quality_filters(docs: DataFrame, text_col: str = "text",
     checks = [
         ("word_count", (n_words >= 50) & (n_words <= 100_000)),
         ("mean_word_length", (mean_wlen >= 3.0) & (mean_wlen <= 10.0)),
-        ("symbol_ratio", symbol_ratio <= 0.1),
+        ("symbol_ratio", (hash_ratio <= 0.1) & (ellipsis_ratio <= 0.1)),
         ("bullet_lines", bullet_frac < 0.9),
         ("ellipsis_lines", ellipsis_frac < 0.3),
         ("alpha_words", alpha_frac >= 0.8),
@@ -183,7 +200,8 @@ def gopher_quality_filters(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(hash_ratio, 6).alias("hash_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
         F.round(bullet_frac, 6).alias("bullet_line_frac"),
         F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
         F.round(alpha_frac, 6).alias("alpha_word_frac"),

@@ -273,12 +273,18 @@ def test_dedup_paragraphs_vs_python(spark):
         (3, "unique three\n\n\n\ncommon boilerplate"),  # blank para kept
         (4, "common boilerplate"),  # whole doc is a dup paragraph
         (5, "alpha para\n\nalpha para"),  # intra-doc repeat also drops
+        (6, "a\n\n\t\n\nb"),   # tab-only para: blank, never deduped
+        (7, "c\n\n\t\n\nd"),   # second tab para must ALSO survive
+        (8, None),                # NULL text must not vanish
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     seen: set = set()
     want = {}
-    for doc_id, text in sorted(rows):
+    for doc_id, text in sorted(rows, key=lambda r: r[0]):
+        if text is None:
+            want[doc_id] = (None, 0, 0)
+            continue
         kept, dropped = [], 0
         paras = text.split("\n\n")
         for p in paras:
@@ -300,3 +306,5 @@ def test_dedup_paragraphs_vs_python(spark):
     # doc 1 saw "common boilerplate" first; doc 3 keeps its blank para
     assert got[3] == ("unique three\n\n", 3, 1)
     assert got[1][2] == 0  # the first claimant drops nothing
+    assert got[7] == ("c\n\n\t\n\nd", 3, 0)  # tab para is whitespace, kept
+    assert got[8] == (None, 0, 0)  # NULL-text doc present, untouched

@@ -136,17 +136,30 @@ def test_corpus_ops_stay_jvm_side(spark):
         assert "EvalPython" not in plan, f"{name}: Python node in plan"
 
 
-def test_paragraph_dedup_blank_paras_never_shuffle(spark):
-    """Blank paragraphs must not enter the partition-by-para window —
-    the '' key would funnel every consecutive-separator blank in the
-    corpus into one task.  Pin: the window's input carries a
-    NOT(trim(para) = '') filter."""
+def test_paragraph_dedup_blank_paras_never_funnel(spark):
+    """Blank paragraphs must not share one window key — '' would be
+    the hottest key in the corpus and funnel every consecutive-
+    separator blank into a single task.  Pin: the window partitions on
+    the blank-conditional synthetic key (CASE over rlike), and the
+    whole op reads the corpus ONCE (the earlier union form scanned and
+    posexploded it twice)."""
     from sagan_spark.ops.dedup import dedup_paragraphs
 
     docs = spark.createDataFrame(
         [(1, "a\n\n\n\nb")], "doc_id long, text string"
     )
-    plan = dedup_paragraphs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    qe = dedup_paragraphs(docs)._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
     w = [seg for seg in plan.split("Window ") if "row_number" in seg]
     assert w, "window node missing"
-    assert "NOT (trim(para" in w[0], "blank filter not below the window"
+    # the partition key columns are projected right below the window:
+    # CASE WHEN RLIKE(para, ^\s*$) THEN <unique per-row key> ELSE para
+    assert "CASE WHEN RLIKE(para" in w[0], (
+        "window not partitioned on the blank-conditional key"
+    )
+    # exactly two source reads: the exploded corpus and the id-only
+    # branch of the NULL-doc restore join (the earlier union form
+    # posexploded the full text column twice)
+    n_rel = plan.count("LocalRelation") + plan.count("LogicalRDD")
+    assert n_rel == 2, f"expected 2 relation reads, saw {n_rel}"
+    assert plan.count("posexplode") == 1, "corpus exploded more than once"

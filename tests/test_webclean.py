@@ -299,26 +299,29 @@ def _py_gopher(text):
     import re as _re
 
     if text is None:
-        words, lines, low = [], [""], ""
+        words, lines = [], [""]
     else:
         words = [w for w in _re.split(r"\s+", text) if w != ""]
         lines = text.split("\n")
-        low = f" {text.lower()} "
     n_words, n_lines = len(words), len(lines)
     wchars = sum(len(w) for w in words)
     mean_wlen = wchars / max(n_words, 1)
     n_hash = (text or "").count("#")
     n_ell = (text or "").count("...") + (text or "").count("…")
-    symbol_ratio = (n_hash + n_ell) / max(n_words, 1)
+    hash_ratio = n_hash / max(n_words, 1)
+    ell_ratio = n_ell / max(n_words, 1)
     bullet = sum(bool(_re.match(r"^[-*•]", l)) for l in lines) / max(n_lines, 1)
     ell = sum(bool(_re.search(r"(\.\.\.|…)$", l)) for l in lines) / max(n_lines, 1)
     alpha = sum(bool(_re.search("[A-Za-z]", w)) for w in words) / max(n_words, 1)
-    stops = sum(f" {s} " in low for s in
+    toks = {
+        _re.sub(r"^[^A-Za-z0-9]+|[^A-Za-z0-9]+$", "", w).lower() for w in words
+    }
+    stops = sum(s in toks for s in
                 ("the", "be", "to", "of", "and", "that", "have", "with"))
     checks = [
         ("word_count", 50 <= n_words <= 100_000),
         ("mean_word_length", 3.0 <= mean_wlen <= 10.0),
-        ("symbol_ratio", symbol_ratio <= 0.1),
+        ("symbol_ratio", hash_ratio <= 0.1 and ell_ratio <= 0.1),
         ("bullet_lines", bullet < 0.9),
         ("ellipsis_lines", ell < 0.3),
         ("alpha_words", alpha >= 0.8),
