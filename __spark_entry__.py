@@ -1447,19 +1447,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     # same pattern strings on both contract sides (RE2-compatible)
+    from sagan_spark.ops.psl import registered_domain_sql
     from sagan_spark.ops.sampling import frac_to_hex8
-    from sagan_spark.ops.urltools import HOST_RE, TWO_LEVEL_TLDS
+    from sagan_spark.ops.urltools import HOST_RE
     from sagan_spark.ops.webclean import GOPHER_STOPWORDS
 
-    # synthetic url + host/domain (the op's exact algorithm: last two
-    # labels, or three when the last two are a known two-level TLD)
-    _tlds = ", ".join("'%s'" % t for t in TWO_LEVEL_TLDS)
+    # synthetic url + host/domain (the op's exact algorithm: the PSL
+    # longest-match CASE generated from the SAME vendored tables the
+    # Spark column expression compiles from — ops/psl.py)
     _domain_inner = (
-        "SELECT doc_id, url, host, CASE WHEN host = '' THEN ''"
-        " WHEN len(hp) <= 2 THEN host"
-        " WHEN hp[len(hp)-1] || '.' || hp[len(hp)] IN (" + _tlds + ")"
-        "  THEN hp[len(hp)-2] || '.' || hp[len(hp)-1] || '.' || hp[len(hp)]"
-        " ELSE hp[len(hp)-1] || '.' || hp[len(hp)] END AS domain, toks"
+        "SELECT doc_id, url, host, "
+        + registered_domain_sql("host", "hp")
+        + " AS domain, toks"
         " FROM (SELECT doc_id, url, host, str_split(host, '.') AS hp, toks"
         " FROM (SELECT doc_id, url,"
         "  lower(regexp_extract(url, '" + HOST_RE + "', 1)) AS host,"

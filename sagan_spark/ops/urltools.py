@@ -29,12 +29,13 @@ from pyspark.sql import functions as F
 # pattern runs in the DuckDB oracle
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
 
-# common two-level public suffixes for the registered-domain heuristic
-# (a full public-suffix list is a drop-in replacement for this set)
-TWO_LEVEL_TLDS = (
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
-    "co.in", "co.kr", "co.za", "com.ar", "com.tr",
+# back-compat alias: the registered-domain tables now live in
+# sagan_spark.ops.psl (vendored from the public suffix list, with
+# wildcard + exception rules); PSL_TWO_LEVEL subsumes the old
+# 18-entry heuristic set
+from sagan_spark.ops.psl import (  # noqa: E402  (re-export)
+    PSL_TWO_LEVEL as TWO_LEVEL_TLDS,
+    registered_domain_col,
 )
 
 
@@ -45,21 +46,10 @@ def url_host(url: Column) -> Column:
 
 
 def registered_domain(host: Column) -> Column:
-    """eTLD+1 heuristic: last two labels, or last three when the last
-    two form a known two-level public suffix (TWO_LEVEL_TLDS).  Plain
-    array arithmetic over the split host — no Python."""
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    return (
-        F.when(host.isNull() | (host == ""), F.lit(""))
-        .when(n <= 2, host)
-        .when(last2.isin(*TWO_LEVEL_TLDS), last3)
-        .otherwise(last2)
-    )
+    """eTLD+1 via the vendored public-suffix tables (ops/psl.py):
+    longest-match PSL algorithm with wildcard and exception rules.
+    Plain array/when arithmetic over the split host — no Python."""
+    return registered_domain_col(host)
 
 
 def with_domain(docs: DataFrame, url_col: str = "url") -> DataFrame:
@@ -90,21 +80,30 @@ def domain_rollup(docs: DataFrame, url_col: str = "url",
     webclean (one definition, one oracle mirror)."""
     from sagan_spark.ops.webclean import _words
 
+    # internal column names (the _sg_ pattern blocklist_filter uses):
+    # the rollup only needs host/domain VALUES and returns none of the
+    # input columns, so it must not fail on a corpus that already
+    # carries its own host/domain columns (with_domain's clobber guard
+    # is for that function's public projection, not for this internal
+    # computation)
     toks = F.size(_words(F.col(text_col))).cast("long")
+    host = url_host(F.col(url_col))
     per_host = (
-        with_domain(docs, url_col)
-        .select("domain", "host", toks.alias("_toks"))
-        .groupBy("domain", "host")
+        docs.select(
+            host.alias("_sg_host"), toks.alias("_toks")
+        )
+        .withColumn("_sg_domain", registered_domain(F.col("_sg_host")))
+        .groupBy("_sg_domain", "_sg_host")
         .agg(
             F.count(F.lit(1)).cast("long").alias("_docs"),
             F.sum("_toks").cast("long").alias("_tokens"),
         )
     )
-    return per_host.groupBy("domain").agg(
+    return per_host.groupBy("_sg_domain").agg(
         F.sum("_docs").cast("long").alias("n_docs"),
         F.sum("_tokens").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_hosts"),
-    )
+    ).withColumnRenamed("_sg_domain", "domain")
 
 
 def blocklist_filter(docs: DataFrame, blocked, url_col: str = "url",

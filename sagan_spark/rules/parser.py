@@ -207,11 +207,16 @@ def _value_to_seconds(v: str) -> int:
 _IGNORABLE_OPTIONS = {"normalize", "offload"}
 
 
+#: one-time-warning latch for the flowbits->flexbits reinterpretation
+_WARNED_FLOWBITS = False
+
+
 def parse_rule(
     text: str,
     variables: dict[str, str] | None = None,
     position: int = 0,
     strict: bool = True,
+    flowbits_compat: bool = True,
 ) -> RuleIR:
     """Parse one rule line into a RuleIR.
 
@@ -220,7 +225,15 @@ def parse_rule(
     options too (Sagan_Log(ERROR, ...) exits), and a tolerated unknown
     option on a security rule means silent over-alerting.  With
     ``strict=False`` unknown options are collected in
-    ``RuleIR.unknown_options`` (counted, never dropped invisibly)."""
+    ``RuleIR.unknown_options`` (counted, never dropped invisibly).
+
+    ``flowbits_compat=True`` (default) aliases the pre-rename
+    ``flowbits`` spelling to flexbits (the grammar Sagan's published
+    rules use — doc/source/blogs/sagan-flowbits.rst) and warns ONCE per
+    process; the current C parser (rules.c:1382) matches only
+    ``flexbits`` and silently drops flowbits, so parity-sensitive
+    deployments that tuned against actual reference output can pass
+    ``flowbits_compat=False`` to reproduce that drop exactly."""
     text = _expand_vars(text.strip(), variables)
     try:
         lpar = text.index("(")
@@ -447,6 +460,22 @@ def parse_rule(
                 )
             )
         elif key in ("flexbits", "flexbit", "flowbits"):
+            if key == "flowbits":
+                if not flowbits_compat:
+                    # reference behavior: rules.c:1382 matches only
+                    # "flexbits" — a flowbits option is silently dropped
+                    continue
+                global _WARNED_FLOWBITS
+                if not _WARNED_FLOWBITS:
+                    _WARNED_FLOWBITS = True
+                    import warnings
+
+                    warnings.warn(
+                        "'flowbits' reinterpreted as flexbits (the reference "
+                        "C parser silently drops it — rules.c:1382); pass "
+                        "flowbits_compat=False for reference-exact parity",
+                        stacklevel=2,
+                    )
             # positional grammar (reference doc/source/rule-keywords.rst:297-336):
             #   flexbits: set, {name}[, {expire seconds}]
             #   flexbits: unset|isset|isnotset, {by_src|by_dst|both|reverse|none|username}, {name}
@@ -608,7 +637,10 @@ def _parse_track(spec: str) -> list[str]:
 
 
 def parse_rules(
-    text: str, variables: dict[str, str] | None = None, strict: bool = True
+    text: str,
+    variables: dict[str, str] | None = None,
+    strict: bool = True,
+    flowbits_compat: bool = True,
 ) -> list[RuleIR]:
     """Parse a whole ruleset file body; '#' comments and blanks skipped."""
     rules: list[RuleIR] = []
@@ -616,5 +648,13 @@ def parse_rules(
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
-        rules.append(parse_rule(line, variables, position=len(rules), strict=strict))
+        rules.append(
+            parse_rule(
+                line,
+                variables,
+                position=len(rules),
+                strict=strict,
+                flowbits_compat=flowbits_compat,
+            )
+        )
     return rules

@@ -103,6 +103,48 @@ def _idempotent_write(
     )
 
 
+#: seconds per CalendarInterval unit — every unit Spark's withWatermark
+#: accepts (interval strings are case-insensitive and allow singular or
+#: plural: '1 week', '500 milliseconds', '10 Minutes' are all valid).
+_INTERVAL_UNIT_SECS = {
+    "microsecond": 1e-6,
+    "millisecond": 1e-3,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def _interval_secs(interval: str) -> float:
+    """Parse a Spark CalendarInterval delay string ('10 minutes',
+    '1 Week', '500 milliseconds') to seconds, with the same
+    case-insensitive singular/plural unit rules Spark applies — so a
+    watermark Spark accepts never crashes the sweep mid-stream.
+    Raises ValueError on anything Spark would also reject."""
+    parts = interval.strip().split()
+    if len(parts) != 2:
+        raise ValueError(
+            f"watermark {interval!r}: expected '<n> <unit>' "
+            f"(units: {sorted(_INTERVAL_UNIT_SECS)})"
+        )
+    n_str, unit = parts
+    try:
+        n = float(n_str)
+    except ValueError:
+        raise ValueError(f"watermark {interval!r}: bad number {n_str!r}") from None
+    key = unit.lower()
+    if key.endswith("s") and key[:-1] in _INTERVAL_UNIT_SECS:
+        key = key[:-1]
+    if key not in _INTERVAL_UNIT_SECS:
+        raise ValueError(
+            f"watermark {interval!r}: unknown unit {unit!r} "
+            f"(units: {sorted(_INTERVAL_UNIT_SECS)})"
+        )
+    return n * _INTERVAL_UNIT_SECS[key]
+
+
 def _fs_for(spark: SparkSession, path_str: str):
     """Hadoop FileSystem for a path — works for file://, hdfs://, s3a://
     alike (os-level glob/rmtree would silently no-op on cluster storage,
@@ -128,7 +170,20 @@ def _read_store_or_none(spark: SparkSession, path: str):
     try:
         return spark.read.option("basePath", path).parquet(path)
     except AnalysisException as e:
-        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+        # Prefer the structured error class (Spark >= 3.4); fall back to
+        # the legacy message text so a benign empty store never raises on
+        # an older runtime — exception-string formats drift across
+        # versions, error classes do not.
+        klass = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        empty_classes = {"UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"}
+        if klass in empty_classes:
+            return None
+        if klass is None and (
+            "UNABLE_TO_INFER_SCHEMA" in str(e)
+            or "PATH_NOT_FOUND" in str(e)
+            or "Unable to infer schema" in str(e)
+            or "Path does not exist" in str(e)
+        ):
             return None
         raise
 
@@ -382,6 +437,9 @@ class StreamingSaganEngine:
             chain_components(rules)
         self.engine = SaganSparkEngine(rules, config)
         self.rules = rules
+        # fail on a malformed watermark HERE, not mid-stream at the
+        # first staged-store sweep inside foreachBatch
+        _interval_secs(watermark)
         self.watermark = watermark
 
     # -- stateful correlation --------------------------------------------------
@@ -395,16 +453,11 @@ class StreamingSaganEngine:
             [r for r in self.rules if r.sid not in self.cond_sids]
         )
 
-    def _watermark_secs(self) -> int:
-        """self.watermark ("10 minutes", "30 seconds", ...) in seconds —
-        the allowed event lateness, used as the staged-store sweep lag."""
-        n, unit = self.watermark.split()
-        return int(n) * {
-            "second": 1, "seconds": 1,
-            "minute": 60, "minutes": 60,
-            "hour": 3600, "hours": 3600,
-            "day": 86400, "days": 86400,
-        }[unit]
+    def _watermark_secs(self) -> float:
+        """self.watermark in seconds — the allowed event lateness, used
+        as the staged-store sweep lag.  Accepts every interval spelling
+        Spark's withWatermark accepts (validated at construction)."""
+        return _interval_secs(self.watermark)
 
     def alerts_stream(self, frame: DataFrame) -> DataFrame:
         """frame: streaming canonical event frame -> streaming alert rows."""
