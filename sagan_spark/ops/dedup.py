@@ -482,32 +482,47 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
     with NULL clean_text and zero counts, never silently vanishes.
     ``sep`` is a literal string (regex-escaped before the split).
 
-    Plan (100 TB posture): paragraph explode is narrow; global
-    first-occurrence is ONE shuffle — a window partitioned by
-    (is_blank, window-key) ranked by (doc_id, idx) — and reassembly is
-    ONE shuffle back on doc_id, with ONE scan of the corpus.
-    Whitespace-only paragraphs (regex \\s* — spaces, tabs, newlines,
-    same class the tokenizers here use) are always kept — dropping "empty" separators
-    would silently reflow unrelated text — and each gets a UNIQUE
-    per-row window key: "" would otherwise be the hottest key in the
-    corpus and funnel every consecutive-separator blank into one task.
+    Plan (100 TB posture): global first-occurrence is an AGGREGATION,
+    not a window — ``groupBy(para).agg(min(struct(doc_id, idx)))`` then
+    a join back.  min(struct) is algebraic, so map-side partial
+    aggregation absorbs hot keys: a boilerplate paragraph ("All rights
+    reserved.") repeated 10^8-10^9 times across a web corpus reduces to
+    one row per mapper before the shuffle, where the earlier
+    row_number() window funneled every copy into ONE task and sorted
+    there.  The join back re-shuffles on the paragraph key; the firsts
+    side is unique per key, so AQE skew-join splits a hot left
+    partition freely.  Whitespace-only paragraphs (regex \\s* — spaces,
+    tabs, newlines, same class the tokenizers here use) are always kept
+    — dropping "empty" separators would silently reflow unrelated text —
+    and each carries a UNIQUE per-row join key ('b:'-prefixed, disjoint
+    from the 'p:'-prefixed text keys): "" would otherwise be the
+    hottest key in the corpus and funnel every consecutive-separator
+    blank into one task.
     """
     import re as _re
-
-    from pyspark.sql import Window
 
     paras = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("idx", "para"),
     )
     blank = F.col("para").rlike(r"^\s*$")
-    wkey = F.when(
-        blank, F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("idx"))
-    ).otherwise(F.col("para"))
-    rn = F.row_number().over(
-        Window.partitionBy(blank, wkey).orderBy(F.col(id_col).asc(), F.col("idx").asc())
+    # disjoint key spaces: a blank's synthetic key can never equal a
+    # real paragraph's text key
+    jkey = F.when(
+        blank,
+        F.concat(F.lit("b:"), F.col(id_col).cast("string"), F.lit(":"), F.col("idx")),
+    ).otherwise(F.concat(F.lit("p:"), F.col("para")))
+    keyed = paras.withColumn("_jkey", jkey)
+    occ = F.struct(F.col(id_col), F.col("idx"))
+    firsts = (
+        keyed.filter(~blank).groupBy("_jkey").agg(F.min(occ).alias("_first"))
     )
-    kept = paras.withColumn("_keep", rn == 1)  # blanks: unique key -> always 1
+    kept = (
+        keyed.join(firsts, "_jkey", "left")
+        # blanks never match (unique synthetic keys) -> NULL _first -> kept
+        .withColumn("_keep", F.col("_first").isNull() | (occ == F.col("_first")))
+        .drop("_jkey", "_first")
+    )
     deduped = kept.groupBy(id_col).agg(
         F.concat_ws(
             sep,

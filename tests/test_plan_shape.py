@@ -136,30 +136,26 @@ def test_corpus_ops_stay_jvm_side(spark):
         assert "EvalPython" not in plan, f"{name}: Python node in plan"
 
 
-def test_paragraph_dedup_blank_paras_never_funnel(spark):
-    """Blank paragraphs must not share one window key — '' would be
-    the hottest key in the corpus and funnel every consecutive-
-    separator blank into a single task.  Pin: the window partitions on
-    the blank-conditional synthetic key (CASE over rlike), and the
-    whole op reads the corpus ONCE (the earlier union form scanned and
-    posexploded it twice)."""
+def test_paragraph_dedup_no_window_no_per_key_sort(spark):
+    """First-occurrence must be the min(struct) AGGREGATION form, not a
+    row_number window: a window partitioned by paragraph text funnels a
+    boilerplate paragraph repeated 1e9 times into ONE task and sorts
+    there, while min(struct) partial-aggregates map-side.  Pins: no
+    Window/row_number anywhere in the plan; a partial_min aggregate IS
+    present below the shuffle; blanks carry the 'b:'-prefixed unique
+    synthetic join key (never the shared '' key)."""
     from sagan_spark.ops.dedup import dedup_paragraphs
 
     docs = spark.createDataFrame(
         [(1, "a\n\n\n\nb")], "doc_id long, text string"
     )
     qe = dedup_paragraphs(docs)._jdf.queryExecution()
-    plan = qe.optimizedPlan().toString()
-    w = [seg for seg in plan.split("Window ") if "row_number" in seg]
-    assert w, "window node missing"
-    # the partition key columns are projected right below the window:
-    # CASE WHEN RLIKE(para, ^\s*$) THEN <unique per-row key> ELSE para
-    assert "CASE WHEN RLIKE(para" in w[0], (
-        "window not partitioned on the blank-conditional key"
+    plan = qe.executedPlan().toString()
+    assert "row_number" not in plan, "row_number window is back"
+    assert "Window" not in plan, "window exchange on the paragraph key is back"
+    assert "partial_min" in plan, "map-side partial min aggregation missing"
+    opt = qe.optimizedPlan().toString()
+    # blank rows: unique per-row synthetic key, disjoint from text keys
+    assert "CASE WHEN RLIKE(para" in opt and "b:" in opt, (
+        "blank-conditional unique join key missing"
     )
-    # exactly two source reads: the exploded corpus and the id-only
-    # branch of the NULL-doc restore join (the earlier union form
-    # posexploded the full text column twice)
-    n_rel = plan.count("LocalRelation") + plan.count("LogicalRDD")
-    assert n_rel == 2, f"expected 2 relation reads, saw {n_rel}"
-    assert plan.count("posexplode") == 1, "corpus exploded more than once"
