@@ -96,15 +96,19 @@ def _valid_v6(tok: str) -> bool:
         return False
 
 
+# [0-9] not \d: Python \d matches Unicode decimal digits, C atoi is
+# ASCII-only.  Precompiled: this runs once per v4:port token in the
+# extraction hot loop.
+_ATOI_RE = re.compile(r"\s*[+-]?[0-9]+")
+
+
 def _atoi(s: str) -> int:
     """C atoi for PORT tokens: leading int prefix, 0 on garbage,
     truncated mod 2^16 like the reference's assignment into the uint16
     port fields (src/sagan.h:411-412) — Python's unbounded int would
     otherwise overflow the UDF's Arrow int32 port column and abort the
     whole task on one malformed token like ':4294967296'."""
-    # [0-9] not \d: Python \d matches Unicode decimal digits, C atoi is
-    # ASCII-only.
-    m = re.match(r"\s*[+-]?[0-9]+", s)
+    m = _ATOI_RE.match(s)
     if not m:
         return 0
     try:
@@ -122,7 +126,13 @@ def _port_lookahead(tokens: list[str], j: int, sagan_port: int) -> int:
     re-tokenizing (src/parsers/ip.c:291), so the lookahead only sees the
     first 63 chars after the IP token — replicated here.
     """
-    tail = " ".join(tokens[j + 1 :])[:63]
+    return port_from_tail(" ".join(tokens[j + 1 :])[:63], sagan_port)
+
+
+def port_from_tail(tail: str, sagan_port: int) -> int:
+    """Port rules over an already-truncated 63-char lookahead tail —
+    shared by the scalar walk and the vectorized tier-1 path
+    (udfs.parse_ip_batch), so the spec lives in exactly one place."""
     la = tail.split()
     port = sagan_port
     if not la:

@@ -104,6 +104,122 @@ def test_parse_hash_sha256():
     assert parse_hash(f"x {h} y", "md5") == ""
 
 
+# --- two-tier batch Parse_IP parity (udfs.parse_ip_batch) -------------------
+
+ZOO = [
+    "connect from 192.168.2.1 done",
+    "bad host 192.168.2.1.",
+    'x "192.168.2.1" y (10.0.0.5)',
+    "from 192.168.2.1:1234 ok",
+    "from 192.168.2.1#1234 ok",
+    "via inet#192.168.2.1 ok",
+    "192.168.2.1 port 1234",
+    "192.168.2.1 source port: 1234",
+    "192.168.2.1 destination port 1234",
+    "192.168.2.1 client port: 1234",
+    "from fe80::b614:89ff:fe11:5e24 ok",
+    "login from [fe80::b614:89ff:fe11:5e24]:8080 accepted",
+    "src ::ffff:10.1.2.3 seen",
+    "drop tcp from 1.2.3.4",
+    "drop udp x",
+    "drop ICMP x",
+    "connection from 192.168.1.10:22 to 172.16.0.5#443 proto tcp",
+    "version 1.2.3 build 4.5",
+    "1.2.3.4.5 is too dotty",
+    "eth0:10.0.0.9 up",
+    "10.0.0.1:",
+    "10.0.0.1:99999",                       # atoi mod 2^16
+    "10.0.0.1:4294967296",                  # 10 digits, & 0xFFFF
+    "10.0.0.1:99999999999999999999",        # 20 digits -> tier-2 marker
+    "10.0.0.1:56abc trailing junk port",
+    "01.2.3.4 leading zero octet",
+    "256.1.1.1 out of range",
+    "0.0.0.0 all zero",
+    "a 10.0.0.1\t5 tab inside token",
+    "::1 two-colon v6 yields nothing",
+    "12:34:56 timestamp",
+    "Jan  1 03:15:07 host sshd[99]: Failed login from 203.0.113.9 port 2222 ssh2",
+    "tcp and udp both: last wins",
+    "",
+    None,
+    "1.2.3.4.",
+    ".1.2.3.4",
+    "x:1.2.3.4extra",
+    "sources 10.9.8.7 no lookahead word boundary",  # contains 'source' but not 'port'
+    "1.2 3.4 5.6.7.8 cross-token dot triple",       # dot-probe gate edge
+    "1.2 3.4.5.6.7.8 too dotty after span",
+    "v1.2.3.4 was tagged 1.2.3.4.5.6 and 9.8.7.6 shipped",
+    "x.y.z.w letters 10.0.0.300 bad octet 10.0.0.30 good",
+    "connexion depuis 10.0.0.1 réussie",            # non-ASCII -> tier 2
+    "2026:03:14:07 hexish timestamp stays fast 7.7.7.7",
+    "full form 2001:0db8:0000:0000:0000:8a2e:0370:7334 v6",
+    "mapped 0:0:0:0:0:ffff:1.2.3.4 six colons",
+    '{"src": "2001:db8::1"} seen 10.9.9.9 ok',   # mid-token '::' (regression)
+    "2001:db8::1 compressed v6 with group before double colon",
+    "x:2001::1 not v6 shaped but over-marking is safe",
+]
+
+
+def scalar_row(msg):
+    from sagan_spark.functions.extract import int_to_biased_hilo
+
+    hits, proto = parse_ip(msg if msg is not None else "")
+    return (
+        [
+            {"ip": h.ip, "port": h.port, **dict(zip(("hi", "lo"), int_to_biased_hilo(h.ip_int)))}
+            for h in hits
+        ],
+        proto,
+    )
+
+
+def test_parse_ip_batch_matches_scalar_zoo():
+    import pandas as pd
+
+    from sagan_spark.functions.udfs import parse_ip_batch
+
+    ips_s, proto_s = parse_ip_batch(pd.Series(ZOO, dtype=object))
+    for i, msg in enumerate(ZOO):
+        want_hits, want_proto = scalar_row(msg)
+        assert list(ips_s.iloc[i]) == want_hits, (i, msg)
+        assert int(proto_s.iloc[i]) == want_proto, (i, msg)
+
+
+def test_parse_ip_batch_matches_scalar_fuzz():
+    """Randomized composition of the reference's token forms — tier
+    assignment (vectorized vs token walk) must never change results."""
+    import random
+
+    import pandas as pd
+
+    from sagan_spark.functions.udfs import parse_ip_batch
+
+    rng = random.Random(20260818)
+    atoms = [
+        "10.{}.{}.{}", "255.255.255.{}", "0.0.0.{}", "{}.{}.{}.{}",
+        "192.168.1.{}:22", "192.168.1.{}:{}", "10.0.0.{}#443",
+        "fe80::b614:89ff:fe11:5e{:02x}", "::ffff:10.1.2.{}", "eth{}:10.1.1.{}",
+        "2001:db8::{}", "2001:db8:0:1::{:x}",
+        "10.0.0.{}.", "port", "source", "destination", "client", "tcp",
+        "udp", "icmp", "x", "login", "from", "(", ")", "[", "]", '"',
+        "12:34:5{}", "::1", "1.2.3", "1.2.3.4.5", "01.2.3.{}", "256.1.1.{}",
+        "{}", "#", ":", "=",
+    ]
+    msgs = []
+    for _ in range(500):
+        n = rng.randint(1, 12)
+        parts = []
+        for _ in range(n):
+            a = rng.choice(atoms)
+            parts.append(a.format(*[rng.randint(0, 299) for _ in range(a.count("{"))]))
+        msgs.append(" ".join(parts))
+    ips_s, proto_s = parse_ip_batch(pd.Series(msgs, dtype=object))
+    for i, msg in enumerate(msgs):
+        want_hits, want_proto = scalar_row(msg)
+        assert list(ips_s.iloc[i]) == want_hits, msg
+        assert int(proto_s.iloc[i]) == want_proto, msg
+
+
 def test_json_flatten_dotted_keys():
     m = '{"a": 1, "b": {"c": "x", "d": {"e": true}}}'
     flat = json_flatten(m)
