@@ -359,9 +359,12 @@ def _flex_tuple_match(shape: str, stored: tuple, esrc, edst, euser) -> bool:
 def chain_components(rules: list[RuleIR]) -> tuple[list[RuleIR], dict[str, str]]:
     """Chain rules (a condition AND a set/unset on one rule) and the
     union-find components of every bit they touch (bit name -> component
-    id).  Validates the supported surface: plain xbits only, no
-    after/threshold on a chain rule (its counters would have to run
-    inside the walk)."""
+    id).  Plain xbits AND flexbits are supported (a flexbit touched by a
+    chain rule takes the flat-tuple-store funnel form inside the
+    component walk — reference engine.c:999-1024 condition vs
+    :1415-1427 set, flexbit store src/flexbit-mmap.c:106-258); the one
+    unsupported combination is after/threshold ON a chain rule (its
+    counters would have to run inside the walk)."""
     cond_rules = [
         r for r in rules if any(x.action in ("isset", "isnotset") for x in r.xbits)
     ]
@@ -374,12 +377,6 @@ def chain_components(rules: list[RuleIR]) -> tuple[list[RuleIR], dict[str, str]]
                 f"sid {r.sid}: set/unset gated on BOTH a condition and "
                 "after/threshold would need the counters inside the walk"
             )
-        for x in r.xbits:
-            if x.track == "flex_auto" or flex_shape(x.track) is not None:
-                raise NotImplementedError(
-                    f"sid {r.sid}: flexbit chains (condition + set on one "
-                    "rule) are not supported — plain xbits only"
-                )
     parent: dict[str, str] = {}
 
     def find(b: str) -> str:
@@ -458,6 +455,16 @@ def apply_xbits(
         if x.action == "unset"
         and (x.track == "flex_auto" or flex_shape(x.track) is not None)
     }
+    # every flexbit a CHAIN rule touches funnels too: its verdict-gated
+    # set and the checks that observe it must replay in one ordered
+    # pass over the flat tuple store (and ALL access to the bit must
+    # use the same storage form)
+    funnel_bits |= {
+        x.name
+        for r in chain_rules
+        for x in r.xbits
+        if x.track == "flex_auto" or flex_shape(x.track) is not None
+    }
 
     _null_s = F.lit(None).cast("string")
 
@@ -485,6 +492,30 @@ def apply_xbits(
     for r in chain_rules:
         for x in r.xbits:
             if x.action not in ("set", "unset"):
+                continue
+            is_flex = x.track == "flex_auto" or flex_shape(x.track) is not None
+            if is_flex:
+                # verdict-gated FLEXBIT set/unset: tuple-carrying event
+                # into the component funnel's flat store
+                ev = (
+                    hits.filter(F.col("sid") == r.sid)
+                    .select(
+                        F.lit(x.name).alias("bit_name"),
+                        F.lit("").alias("bit_key"),
+                        ts_seconds_d(F.col("ts")).alias("ts_d"),
+                        F.col("event_key"),
+                        F.lit(r.position * 2 + 1).alias("seq"),
+                        F.lit("cf" + x.action).alias("kind"),
+                        F.lit(x.expire).alias("expire"),
+                        F.concat_ws(
+                            "#", F.col("event_key"), F.col("sid").cast("string")
+                        ).alias("hit_id"),
+                        F.lit(False).alias("want_set"),
+                        F.lit(flex_shape(x.track) or "").alias("shape"),
+                        *_tuple_cols(),
+                    )
+                )
+                spark_events.append(ev)
                 continue
             ev = (
                 hits.filter(F.col("sid") == r.sid)
@@ -680,6 +711,25 @@ def apply_xbits(
                         ]
                         for tup in dead:
                             del store[tup]
+                elif kind == "cfset":
+                    # flexbit chain set: fires only when the rule's own
+                    # condition verdict held (engine.c:1415-1427)
+                    if ver.get(hit_id, False):
+                        fstate.setdefault(name, {})[(esrc, edst, euser)] = (
+                            ts_d,
+                            expire,
+                        )
+                elif kind == "cfunset":
+                    if ver.get(hit_id, False):
+                        store = fstate.get(name)
+                        if store:
+                            dead = [
+                                tup
+                                for tup in store
+                                if _flex_tuple_match(shape, tup, esrc, edst, euser)
+                            ]
+                            for tup in dead:
+                                del store[tup]
                 else:  # fcheck
                     store = fstate.get(name, {})
                     active = any(
@@ -687,8 +737,12 @@ def apply_xbits(
                         and _flex_tuple_match(shape, tup, esrc, edst, euser)
                         for tup, (set_ts, exp) in store.items()
                     )
+                    ok = bool(active) == bool(want_set)
+                    # chain gating: a rule's own flexbit check verdict
+                    # gates its set later in the same ordered pass
+                    ver[hit_id] = ver.get(hit_id, True) and ok
                     out_ids.append(hit_id)
-                    out_ok.append(bool(active) == bool(want_set))
+                    out_ok.append(ok)
             yield pd.DataFrame({"hit_id": out_ids, "ok": pd.array(out_ok, dtype="boolean")})
 
     if chain_members:

@@ -226,50 +226,108 @@ def _sweep_dead_buckets(
 def _chain_walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Stage-B component walk for chained xbits: ordered replay of
     staged sets + this batch's checks and verdict-gated chain
-    set/unsets (mirror of the batch apply_xbits walk, plain xbits
-    only).  'v' rows carry the raw bit-state for the flag columns
+    set/unsets (mirror of the batch apply_xbits walk).  Plain xbits use
+    (name, key) state; flexbits use the reference's flat tuple store
+    (src/flexbit-mmap.c) — 'f*' kinds carry (shape, e_src, e_dst,
+    e_user).  'v' rows carry the raw bit-state for the flag columns
     (`ok` = bit active, the isnotset negation happens in the verdict
     expression); gated sets that actually fired come back as
-    'fired_set'/'fired_unset' rows for the staged store."""
+    'fired_set'/'fired_unset'/'fired_fset'/'fired_funset' rows for the
+    staged store."""
+    from sagan_spark.pipeline.correlate import _flex_tuple_match
+
     state: dict = {}
+    fstate: dict = {}
     ver: dict = {}
+
+    def _funset(name, shape, esrc, edst, euser) -> None:
+        store = fstate.get(name)
+        if store:
+            dead = [
+                t for t in store if _flex_tuple_match(shape, t, esrc, edst, euser)
+            ]
+            for t in dead:
+                del store[t]
+
     for pdf in batches:
         out: list[tuple] = []
         it = zip(
             pdf["kind"], pdf["bit_name"], pdf["bit_key"], pdf["ts_d"],
             pdf["event_key"], pdf["seq"], pdf["expire"], pdf["sid"],
             pdf["entry"], pdf["want_set"], pdf["ver_id"],
+            pdf["shape"], pdf["e_src"], pdf["e_dst"], pdf["e_user"],
         )
-        for kind, name, key, ts_d, ek, seq, expire, sid, entry, want_set, ver_id in it:
+        for (
+            kind, name, key, ts_d, ek, seq, expire, sid, entry, want_set,
+            ver_id, shape, esrc, edst, euser,
+        ) in it:
             if kind == "set":
                 state[(name, key)] = (ts_d, expire)
             elif kind == "unset":
                 state.pop((name, key), None)
+            elif kind == "fset":
+                fstate.setdefault(name, {})[(esrc, edst, euser)] = (ts_d, expire)
+            elif kind == "funset":
+                _funset(name, shape, esrc, edst, euser)
             elif kind == "cset":
                 if ver.get(ver_id, False):
                     state[(name, key)] = (ts_d, expire)
                     out.append(
-                        ("fired_set", ek, None, -1, False, name, key, ts_d, seq, expire)
+                        ("fired_set", ek, None, -1, False, name, key,
+                         ts_d, seq, expire, "", "", "", "")
                     )
             elif kind == "cunset":
                 if ver.get(ver_id, False):
                     state.pop((name, key), None)
                     out.append(
-                        ("fired_unset", ek, None, -1, False, name, key, ts_d, seq, expire)
+                        ("fired_unset", ek, None, -1, False, name, key,
+                         ts_d, seq, expire, "", "", "", "")
                     )
+            elif kind == "cfset":
+                if ver.get(ver_id, False):
+                    fstate.setdefault(name, {})[(esrc, edst, euser)] = (
+                        ts_d,
+                        expire,
+                    )
+                    out.append(
+                        ("fired_fset", ek, None, -1, False, name, key,
+                         ts_d, seq, expire, shape, esrc, edst, euser)
+                    )
+            elif kind == "cfunset":
+                if ver.get(ver_id, False):
+                    _funset(name, shape, esrc, edst, euser)
+                    out.append(
+                        ("fired_funset", ek, None, -1, False, name, key,
+                         ts_d, seq, expire, shape, esrc, edst, euser)
+                    )
+            elif kind == "fcheck":
+                store = fstate.get(name, {})
+                active = any(
+                    (exp == 0 or (ts_d - set_ts) < exp)
+                    and _flex_tuple_match(shape, t, esrc, edst, euser)
+                    for t, (set_ts, exp) in store.items()
+                )
+                cond_ok = bool(active) == bool(want_set)
+                ver[ver_id] = ver.get(ver_id, True) and cond_ok
+                out.append(
+                    ("v", ek, int(sid), int(entry), bool(active), name, key,
+                     ts_d, seq, expire, "", "", "", "")
+                )
             else:  # check
                 st = state.get((name, key))
                 active = st is not None and (st[1] == 0 or (ts_d - st[0]) < st[1])
                 cond_ok = bool(active) == bool(want_set)
                 ver[ver_id] = ver.get(ver_id, True) and cond_ok
                 out.append(
-                    ("v", ek, int(sid), int(entry), bool(active), name, key, ts_d, seq, expire)
+                    ("v", ek, int(sid), int(entry), bool(active), name, key,
+                     ts_d, seq, expire, "", "", "", "")
                 )
         yield pd.DataFrame(
             out,
             columns=[
                 "kind", "event_key", "sid", "entry", "ok",
                 "bit_name", "bit_key", "ts_d", "seq", "expire",
+                "shape", "e_src", "e_dst", "e_user",
             ],
         )
 
@@ -624,18 +682,23 @@ class StreamingSaganEngine:
         return out
 
     def _funnel_bits(self) -> set[str]:
-        """Flexbit names carrying an UNSET: the reference clears matching
-        tuples across ALL shapes (flexbit-mmap.c:973-1100), so these bits
-        stage full-tuple events and stage B replays the flat-store walk
-        per bit (same funnel model as batch correlate.apply_xbits)."""
-        from sagan_spark.pipeline.correlate import flex_shape
+        """Flexbit names carrying an UNSET — the reference clears
+        matching tuples across ALL shapes (flexbit-mmap.c:973-1100) —
+        plus every flexbit a CHAIN rule touches (its verdict-gated sets
+        and the checks that observe them replay in one component walk).
+        These bits stage full-tuple events and stage B replays the
+        flat-store walk (same funnel model as batch
+        correlate.apply_xbits)."""
+        from sagan_spark.pipeline.correlate import chain_components, flex_shape
 
+        chain_rules, _ = chain_components(self.rules)
+        chain_sids = {r.sid for r in chain_rules}
         return {
             x.name
             for r in self.rules
             for x in r.xbits
-            if x.action == "unset"
-            and (x.track == "flex_auto" or flex_shape(x.track) is not None)
+            if (x.track == "flex_auto" or flex_shape(x.track) is not None)
+            and (x.action == "unset" or r.sid in chain_sids)
         }
 
     def start_sink_query(
@@ -860,11 +923,12 @@ class StreamingSaganEngine:
             member_entries = []
             for i, (sid, x, pos) in enumerate(cond_specs):
                 col_name = f"_set{i}"
-                if flex_shape(x.track) is None and x.name in member_bits:
-                    # chain-component bit: the per-condition join cannot
-                    # see same-batch verdict-gated sets — walk instead
-                    # (even with an empty store: an isnotset-gated chain
-                    # can fire with no prior sets at all)
+                if x.name in member_bits:
+                    # chain-component bit (plain OR flexbit): the
+                    # per-condition join cannot see same-batch
+                    # verdict-gated sets — walk instead (even with an
+                    # empty store: an isnotset-gated chain can fire
+                    # with no prior sets at all)
                     member_entries.append((i, sid, x, pos, col_name))
                     continue
                 if sets is None:
@@ -1007,13 +1071,33 @@ class StreamingSaganEngine:
             walk_out = None
             if member_entries:
                 _null_l = F.lit(None).cast("long")
+                _blank_tuple = [
+                    F.lit("").alias("shape"),
+                    F.lit("").alias("e_src"),
+                    F.lit("").alias("e_dst"),
+                    F.lit("").alias("e_user"),
+                ]
+
+                def _event_tuple(shape: str):
+                    return [
+                        F.lit(shape).alias("shape"),
+                        F.col("src_ip").alias("e_src"),
+                        F.col("dst_ip").alias("e_dst"),
+                        F.coalesce(F.col("username"), F.lit("")).alias("e_user"),
+                    ]
+
                 parts = []
                 for i, sid, x, pos, col_name in member_entries:
+                    s = flex_shape(x.track)
                     parts.append(
                         batch_df.filter(F.col("sid") == sid).select(
-                            F.lit("check").alias("kind"),
+                            F.lit("fcheck" if s is not None else "check").alias(
+                                "kind"
+                            ),
                             F.lit(x.name).alias("bit_name"),
-                            xbit_key_expr(x.track).alias("bit_key"),
+                            (
+                                F.lit("") if s is not None else xbit_key_expr(x.track)
+                            ).alias("bit_key"),
                             ts_seconds_d(F.col("ts")).alias("ts_d"),
                             F.col("event_key"),
                             F.lit(pos * 2).cast("long").alias("seq"),
@@ -1024,14 +1108,28 @@ class StreamingSaganEngine:
                             F.concat_ws(
                                 "#", F.col("event_key"), F.col("sid").cast("string")
                             ).alias("ver_id"),
+                            *(
+                                _event_tuple(s)
+                                if s is not None
+                                else _blank_tuple
+                            ),
                         )
                     )
                 for sid, x, pos in chain_set_specs:
+                    is_flex = (
+                        x.track == "flex_auto" or flex_shape(x.track) is not None
+                    )
                     parts.append(
                         batch_df.filter(F.col("sid") == sid).select(
-                            F.lit("c" + x.action).alias("kind"),
+                            F.lit(
+                                ("cf" if is_flex else "c") + x.action
+                            ).alias("kind"),
                             F.lit(x.name).alias("bit_name"),
-                            xbit_key_expr(x.track).alias("bit_key"),
+                            (
+                                F.lit("")
+                                if is_flex
+                                else xbit_key_expr(x.track)
+                            ).alias("bit_key"),
                             ts_seconds_d(F.col("ts")).alias("ts_d"),
                             F.col("event_key"),
                             F.lit(pos * 2 + 1).cast("long").alias("seq"),
@@ -1042,6 +1140,11 @@ class StreamingSaganEngine:
                             F.concat_ws(
                                 "#", F.col("event_key"), F.col("sid").cast("string")
                             ).alias("ver_id"),
+                            *(
+                                _event_tuple(flex_shape(x.track) or "")
+                                if is_flex
+                                else _blank_tuple
+                            ),
                         )
                     )
                 ev = parts[0]
@@ -1054,7 +1157,7 @@ class StreamingSaganEngine:
                     staged = (
                         sets.filter(
                             F.col("bit_name").isin(list(member_bits))
-                            & F.col("kind").isin("set", "unset")
+                            & F.col("kind").isin("set", "unset", "fset", "funset")
                             & (F.col("batch_id") != f"c_{batch_id}")
                         ).select(
                             F.col("kind"),
@@ -1068,6 +1171,10 @@ class StreamingSaganEngine:
                             F.lit(-1).cast("int").alias("entry"),
                             F.lit(False).alias("want_set"),
                             F.lit("").alias("ver_id"),
+                            F.col("shape"),
+                            F.col("e_src"),
+                            F.col("e_dst"),
+                            F.col("e_user"),
                         )
                     )
                     ev = ev.unionByName(staged)
@@ -1086,7 +1193,9 @@ class StreamingSaganEngine:
                         schema=(
                             "kind string, event_key string, sid long, entry int,"
                             " ok boolean, bit_name string, bit_key string,"
-                            " ts_d double, seq long, expire long"
+                            " ts_d double, seq long, expire long,"
+                            " shape string, e_src string, e_dst string,"
+                            " e_user string"
                         ),
                     )
                     .persist()
@@ -1099,7 +1208,11 @@ class StreamingSaganEngine:
                         col_name, F.coalesce(F.col(col_name), F.lit(False))
                     )
                     flag_cols.append((sid, x.action, col_name))
-                fired = walk_out.filter(F.col("kind").isin("fired_set", "fired_unset"))
+                fired = walk_out.filter(
+                    F.col("kind").isin(
+                        "fired_set", "fired_unset", "fired_fset", "fired_funset"
+                    )
+                )
                 fired_rows = fired.select(
                     "bit_name",
                     "bit_key",
@@ -1107,13 +1220,12 @@ class StreamingSaganEngine:
                     F.col("event_key").alias("set_event_key"),
                     F.col("seq").cast("int").alias("set_seq"),
                     F.col("expire").cast("int").alias("expire"),
-                    F.when(F.col("kind") == "fired_set", "set")
-                    .otherwise("unset")
-                    .alias("kind"),
-                    F.lit("").alias("shape"),
-                    F.lit("").alias("e_src"),
-                    F.lit("").alias("e_dst"),
-                    F.lit("").alias("e_user"),
+                    # fired_set -> set, fired_fset -> fset, ...
+                    F.regexp_replace(F.col("kind"), "^fired_", "").alias("kind"),
+                    F.col("shape"),
+                    F.col("e_src"),
+                    F.col("e_dst"),
+                    F.col("e_user"),
                     F.when(F.col("expire") == 0, F.lit(-1))
                     .otherwise(F.floor(F.col("ts_d") / F.lit(bucket_secs)))
                     .cast("long")

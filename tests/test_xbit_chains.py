@@ -95,6 +95,87 @@ alert any any any -> any any (msg:"chk"; content:"checkme"; parse_src_ip: 1; xbi
     }
 
 
+FLEX_CHAIN_RULES = """\
+alert any any any -> any any (msg:"f1"; content:"stage1"; parse_src_ip: 1; flexbits: set, fb1, 1h; sid:9640001;)
+alert any any any -> any any (msg:"f2"; content:"stage2"; parse_src_ip: 1; flexbits: isset, by_src, fb1; flexbits: set, fb2, 1h; sid:9640002;)
+alert any any any -> any any (msg:"f3"; content:"stage3"; parse_src_ip: 1; flexbits: isset, by_src, fb2; sid:9640003;)
+"""
+
+
+def test_flexbit_chain_set_gated_on_condition(spark):
+    """Flexbit chains (a rule that CHECKS a flexbit AND SETS one) —
+    reference engine path src/processors/engine.c:999-1024 condition
+    gate + :1415-1427 set, flexbit store src/flexbit-mmap.c:106-258."""
+    rows = [
+        # 10.0.0.9: stage2 before stage1 -> no alert AND fb2 not set
+        ("u://f/0", "2026-01-01 00:00:01", "stage2 from 10.0.0.9 x"),
+        ("u://f/1", "2026-01-01 00:00:02", "stage3 from 10.0.0.9 x"),
+        # 10.0.0.1: full chain in order
+        ("u://f/2", "2026-01-01 00:01:00", "stage1 from 10.0.0.1 a"),
+        ("u://f/3", "2026-01-01 00:01:10", "stage2 from 10.0.0.1 b"),
+        ("u://f/4", "2026-01-01 00:01:20", "stage3 from 10.0.0.1 c"),
+        # stage3 before the chain set -> no alert
+        ("u://f/5", "2026-01-01 00:01:05", "stage3 from 10.0.0.1 early"),
+        # different src never sees 10.0.0.1's by_src tuples
+        ("u://f/6", "2026-01-01 00:01:30", "stage3 from 10.0.0.2 other"),
+    ]
+    got = _alerts(spark, FLEX_CHAIN_RULES, rows)
+    assert got == {
+        ("u://f/2", 9640001),
+        ("u://f/3", 9640002),
+        ("u://f/4", 9640003),
+    }
+
+
+def test_flexbit_chain_unset_gated_on_condition(spark):
+    rules = """\
+alert any any any -> any any (msg:"arm"; content:"armbit"; parse_src_ip: 1; flexbits: set, fbB, 1h; sid:9650001;)
+alert any any any -> any any (msg:"a1"; content:"stage1"; parse_src_ip: 1; flexbits: set, fbA, 1h; sid:9650002;)
+alert any any any -> any any (msg:"dis"; content:"disarm"; parse_src_ip: 1; flexbits: isset, by_src, fbA; flexbits: unset, by_src, fbB; sid:9650003;)
+alert any any any -> any any (msg:"chk"; content:"checkme"; parse_src_ip: 1; flexbits: isset, by_src, fbB; sid:9650004;)
+"""
+    rows = [
+        ("u://g/0", "2026-01-01 00:00:01", "armbit from 10.0.0.1 x"),
+        # disarm BEFORE fbA set: condition fails, fbB must survive
+        ("u://g/1", "2026-01-01 00:00:05", "disarm from 10.0.0.1 x"),
+        ("u://g/2", "2026-01-01 00:00:10", "checkme from 10.0.0.1 x"),
+        ("u://g/3", "2026-01-01 00:00:20", "stage1 from 10.0.0.1 x"),
+        ("u://g/4", "2026-01-01 00:00:30", "disarm from 10.0.0.1 x"),
+        ("u://g/5", "2026-01-01 00:00:40", "checkme from 10.0.0.1 x"),
+    ]
+    got = _alerts(spark, rules, rows)
+    assert got == {
+        ("u://g/0", 9650001),
+        ("u://g/2", 9650004),  # fbB still set (disarm was not armed)
+        ("u://g/3", 9650002),
+        ("u://g/4", 9650003),  # disarm passes once fbA set
+        # u://g/5 absent: fbB tuple cleared by the gated unset
+    }
+
+
+def test_mixed_chain_plain_condition_flexbit_set(spark):
+    """A chain rule checking a PLAIN xbit and setting a FLEXBIT — both
+    forms coexist inside one component walk."""
+    rules = """\
+alert any any any -> any any (msg:"s1"; content:"stage1"; parse_src_ip: 1; xbits: set, name bA, track ip_src, expire 1h; sid:9660001;)
+alert any any any -> any any (msg:"mx"; content:"stage2"; parse_src_ip: 1; xbits: isset, name bA, track ip_src; flexbits: set, fbX, 1h; sid:9660002;)
+alert any any any -> any any (msg:"fc"; content:"stage3"; parse_src_ip: 1; flexbits: isset, by_src, fbX; sid:9660003;)
+"""
+    rows = [
+        ("u://h/0", "2026-01-01 00:00:01", "stage2 from 10.0.0.9 x"),  # ungated
+        ("u://h/1", "2026-01-01 00:00:02", "stage3 from 10.0.0.9 x"),
+        ("u://h/2", "2026-01-01 00:01:00", "stage1 from 10.0.0.1 a"),
+        ("u://h/3", "2026-01-01 00:01:10", "stage2 from 10.0.0.1 b"),
+        ("u://h/4", "2026-01-01 00:01:20", "stage3 from 10.0.0.1 c"),
+    ]
+    got = _alerts(spark, rules, rows)
+    assert got == {
+        ("u://h/2", 9660001),
+        ("u://h/3", 9660002),
+        ("u://h/4", 9660003),
+    }
+
+
 def test_chain_rule_with_after_threshold_rejected(spark):
     rules = parse_rules(
         'alert any any any -> any any (msg:"bad"; content:"x"; parse_src_ip: 1; '
@@ -144,6 +225,66 @@ def test_chain_streaming_equals_batch_across_chunks(spark, tmp_path):
     input_dir.mkdir()
     out = str(tmp_path / "sc_sinks")
     ckpt = str(tmp_path / "sc_ckpt")
+    seng = StreamingSaganEngine(rules, watermark="0 seconds", enable_xbits=True)
+
+    def frame_factory():
+        return SaganSparkEngine.frame_from_pages(
+            pages_stream_frame(spark, str(input_dir))
+        )
+
+    pq.write_table(tbl.slice(0, 4), str(input_dir / "c1.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+    pq.write_table(tbl.slice(4), str(input_dir / "c2.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+
+    got_df = (
+        spark.read.parquet(f"{out}/alerts_eve")
+        .select("url", "alert_signature_id")
+        .toPandas()
+    )
+    got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
+    assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
+
+
+def test_flexbit_chain_streaming_equals_batch_across_chunks(spark, tmp_path):
+    """Flexbit chains through the two-query streaming pipeline: the
+    verdict-gated flexbit set fired in chunk 1 must persist its TUPLE
+    in the staged store and satisfy a chunk-2 by_src check after a
+    restart — batch == streaming on the same rows."""
+    import pyarrow.parquet as pq
+
+    from sagan_spark.streaming import StreamingSaganEngine, pages_stream_frame
+
+    rows = [
+        ("u://fs/0", "2026-01-01 00:00:01", "stage2 from 10.0.0.9 x"),
+        ("u://fs/1", "2026-01-01 00:00:02", "stage3 from 10.0.0.9 x"),
+        ("u://fs/2", "2026-01-01 00:01:00", "stage1 from 10.0.0.1 a"),
+        ("u://fs/3", "2026-01-01 00:01:10", "stage2 from 10.0.0.1 b"),
+        # --- chunk boundary ---
+        ("u://fs/4", "2026-01-01 00:01:20", "stage3 from 10.0.0.1 c"),
+        ("u://fs/5", "2026-01-01 00:01:30", "stage3 from 10.0.0.9 late"),
+        ("u://fs/6", "2026-01-01 00:01:40", "stage3 from 10.0.0.2 other"),
+    ]
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array(
+                [pd.Timestamp(r[1]) for r in rows], type=pa.timestamp("us")
+            ),
+            "html": [b"" for _ in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en" for _ in rows],
+        }
+    )
+    rules = parse_rules(FLEX_CHAIN_RULES)
+
+    want = _alerts(spark, FLEX_CHAIN_RULES, rows)
+    assert ("u://fs/4", 9640003) in want  # sanity: chain completes
+
+    input_dir = tmp_path / "fsc_in"
+    input_dir.mkdir()
+    out = str(tmp_path / "fsc_sinks")
+    ckpt = str(tmp_path / "fsc_ckpt")
     seng = StreamingSaganEngine(rules, watermark="0 seconds", enable_xbits=True)
 
     def frame_factory():
