@@ -2,11 +2,16 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample are Arrow-batched
-`mapInPandas` stages.  The decode kernels themselves are STUBBED
-(`decode_stub=True` uses a deterministic fake; `False` raises
-NotImplementedError — the image/audio libs are not in this container),
-but the Spark-side plumbing — schema, batch shape, partition-preserving
-iterator — is real and tested.
+`mapInPandas` stages.  The decode/feature KERNELS are pluggable
+callables (``kernel=`` on :func:`decode_metadata` /
+:func:`extract_features`): pass a real libjpeg/ffmpeg/CLIP kernel in
+production; the default is a deterministic fake (``decode_stub=True``)
+so tests pin exact values, and ``decode_stub=False`` without a kernel
+raises NotImplementedError at CONSTRUCTION (the media libs are not in
+this container).  The Spark-side plumbing — schema, batch shape,
+partition-preserving iterator — is identical for every kernel, and the
+non-stub branch is exercised in tests by a pure-numpy PPM parser
+(tests/test_multimodal.py).
 
 Scale notes: mapInPandas streams Arrow record batches; binary payloads
 never materialize on the driver, and per-batch memory is bounded by
@@ -16,11 +21,27 @@ spark.sql.execution.arrow.maxRecordsPerBatch.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: decode kernel contract: bytes -> {"width": int, "height": int,
+#: "n_frames": int}  (any missing key defaults to 0)
+DecodeKernel = Callable[[bytes], dict]
+#: feature kernel contract: bytes -> sequence of float (the embedding)
+FeatureKernel = Callable[[bytes], "list[float]"]
+
+
+def _fake_decode(b: bytes) -> dict:
+    """Deterministic fake dimensions from a content digest."""
+    digest = int.from_bytes(hashlib.sha256(b).digest()[:4], "big")
+    return {
+        "width": digest % 1920 + 1,
+        "height": digest % 1080 + 1,
+        "n_frames": digest % 300 + 1,
+    }
 
 MEDIA_META_SCHEMA = (
     "id long, media_type string, n_bytes long, content_sha string, "
@@ -39,38 +60,56 @@ def attach_binary(docs: DataFrame, text_col: str = "text",
     )
 
 
-def decode_metadata(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+def decode_metadata(
+    media: DataFrame,
+    decode_stub: bool = True,
+    kernel: DecodeKernel | None = None,
+) -> DataFrame:
     """Decode stage: binary payload -> typed metadata struct.
 
-    With decode_stub=True the "decoder" derives deterministic fake
-    dimensions from a content digest (so tests pin exact values);
-    decode_stub=False marks where a real libjpeg/ffmpeg kernel plugs in.
-    """
+    ``kernel`` is the pluggable decoder (bytes -> dims dict, see
+    DecodeKernel) — pass a libjpeg/ffmpeg-backed callable in
+    production.  Without one, ``decode_stub=True`` (default) uses the
+    deterministic fake so tests pin exact values, and
+    ``decode_stub=False`` raises NotImplementedError HERE, at
+    construction, not mid-job inside a task."""
+    if kernel is None:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media decode requires image/audio libs not present "
+                "in this container; pass kernel=<bytes -> dims dict>"
+            )
+        kernel = _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image/audio libs not present "
-                    "in this container; plug the kernel in here"
-                )
-            rows = {
-                "id": pdf["id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                "content_sha": pdf["payload"].map(
-                    lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else ""
-                ),
-            }
-            digest = pdf["payload"].map(
-                lambda b: int.from_bytes(
-                    hashlib.sha256(bytes(b)).digest()[:4], "big"
-                ) if b is not None else 0
+            n_bytes, shas, ws, hs, fs = [], [], [], [], []
+            for b in pdf["payload"]:
+                if b is None:
+                    n_bytes.append(0)
+                    shas.append("")
+                    ws.append(0)
+                    hs.append(0)
+                    fs.append(0)
+                    continue
+                raw = bytes(b)
+                n_bytes.append(len(raw))
+                shas.append(hashlib.sha256(raw).hexdigest())
+                dims = kernel(raw)
+                ws.append(int(dims.get("width", 0)))
+                hs.append(int(dims.get("height", 0)))
+                fs.append(int(dims.get("n_frames", 0)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes,
+                    "content_sha": shas,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_frames": pd.array(fs, dtype="int32"),
+                }
             )
-            rows["width"] = (digest % 1920).astype("int32") + 1
-            rows["height"] = (digest % 1080).astype("int32") + 1
-            rows["n_frames"] = (digest % 300).astype("int32") + 1
-            yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
 
@@ -107,37 +146,50 @@ def resize_plan(meta: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFram
     )
 
 
-def extract_features(media: DataFrame, dim: int = 64,
-                     decode_stub: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    dim: int = 64,
+    decode_stub: bool = True,
+    kernel: FeatureKernel | None = None,
+) -> DataFrame:
     """Feature-extraction stage: binary payload -> embedding vector.
 
-    The real kernel (CLIP/audio fingerprint/...) is stubbed; the stub
-    derives a deterministic unit-norm vector from the payload digest so
-    downstream composition is REAL and testable: the output feeds the
-    similarity/dedup ops unchanged (array<double> `embedding` + id) —
-    multimodal -> embeddings -> ANN/near-dup is the actual 100 TB
-    pipeline shape.  Arrow-batched mapInPandas; payloads never touch
+    ``kernel`` is the pluggable extractor (bytes -> float sequence, see
+    FeatureKernel) — pass a CLIP/audio-fingerprint callable in
+    production; its output length wins over ``dim``.  Without one,
+    ``decode_stub=True`` (default) derives a deterministic unit-norm
+    vector from the payload digest so downstream composition is REAL
+    and testable: the output feeds the similarity/dedup ops unchanged
+    (array<double> `embedding` + id) — multimodal -> embeddings ->
+    ANN/near-dup is the actual 100 TB pipeline shape.
+    ``decode_stub=False`` without a kernel raises NotImplementedError
+    at construction.  Arrow-batched mapInPandas; payloads never touch
     the driver."""
     import numpy as np
+
+    if kernel is None:
+        if not decode_stub:
+            raise NotImplementedError(
+                "real feature extraction requires model/media libs not "
+                "present in this container; pass kernel=<bytes -> floats>"
+            )
+
+        def kernel(raw: bytes) -> list[float]:
+            seed = int.from_bytes(hashlib.sha256(raw).digest()[:4], "big")
+            v = np.random.RandomState(seed).randn(dim)
+            v /= max(float(np.linalg.norm(v)), 1e-12)
+            return [float(x) for x in v]
 
     out_schema = "id long, embedding array<double>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real feature extraction requires model/media libs not "
-                    "present in this container; plug the kernel in here"
-                )
             embs = []
             for b in pdf["payload"]:
                 if b is None:
                     embs.append([0.0] * dim)
                     continue
-                seed = int.from_bytes(hashlib.sha256(bytes(b)).digest()[:4], "big")
-                v = np.random.RandomState(seed).randn(dim)
-                v /= max(float(np.linalg.norm(v)), 1e-12)
-                embs.append([float(x) for x in v])
+                embs.append([float(x) for x in kernel(bytes(b))])
             yield pd.DataFrame({"id": pdf["id"], "embedding": embs})
 
     return media.mapInPandas(batches, schema=out_schema)

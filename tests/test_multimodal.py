@@ -87,8 +87,67 @@ def test_features_compose_with_similarity(spark, docs):
     assert all(r.neighbor_id != r.query_id for r in out)
 
 
-def test_unstubbed_kernels_raise(spark, docs):
-    with pytest.raises(Exception, match="NotImplementedError|media"):
-        decode_metadata(attach_binary(docs), decode_stub=False).collect()
-    with pytest.raises(Exception, match="NotImplementedError|model|media"):
-        extract_features(attach_binary(docs), decode_stub=False).collect()
+def test_unstubbed_kernels_raise_at_construction(spark, docs):
+    # fail fast on the driver, not mid-job inside a task
+    with pytest.raises(NotImplementedError, match="media"):
+        decode_metadata(attach_binary(docs), decode_stub=False)
+    with pytest.raises(NotImplementedError, match="model|media"):
+        extract_features(attach_binary(docs), decode_stub=False)
+
+
+# --- pluggable REAL kernels: a pure-numpy PPM (P6) parser ------------------
+# exercises the non-stub code path end-to-end — same plumbing, schema,
+# and batch shape as a production libjpeg/CLIP kernel would see
+
+
+def _ppm_bytes(w: int, h: int) -> bytes:
+    header = f"P6\n{w} {h}\n255\n".encode()
+    # deterministic pixel data: (x + y) mod 256 per channel
+    px = bytes(((x + y + c) % 256) for y in range(h) for x in range(w) for c in range(3))
+    return header + px
+
+
+def _ppm_feature(raw: bytes) -> list:
+    """Mean RGB of the pixel block, normalized to [0, 1] (driver-side
+    expected-value twin)."""
+    parts = raw.split(b"\n", 3)
+    px = np.frombuffer(parts[3], dtype=np.uint8).reshape(-1, 3)
+    return [float(x) / 255.0 for x in px.mean(axis=0)]
+
+
+@pytest.fixture(scope="module")
+def ppm_media(spark):
+    rows = [(i, _ppm_bytes(4 + i, 3 + i), "image/x-portable-pixmap") for i in range(5)]
+    return spark.createDataFrame(rows, "id long, payload binary, media_type string")
+
+
+def test_real_decode_kernel_via_plugin(spark, ppm_media):
+    # kernel nested so cloudpickle ships it by VALUE (test modules are
+    # not importable on executors) — a production kernel would live in
+    # an importable package instead
+    def ppm_decode(raw: bytes) -> dict:
+        assert raw[:2] == b"P6"
+        parts = raw.split(maxsplit=4)
+        return {"width": int(parts[1]), "height": int(parts[2]), "n_frames": 1}
+
+    meta = {r.id: (r.width, r.height, r.n_frames, r.n_bytes)
+            for r in decode_metadata(ppm_media, kernel=ppm_decode).collect()}
+    for i in range(5):
+        w, h = 4 + i, 3 + i
+        assert meta[i] == (w, h, 1, len(_ppm_bytes(w, h)))
+
+
+def test_real_feature_kernel_via_plugin(spark, ppm_media):
+    def ppm_feature(raw: bytes) -> list:
+        import numpy as _np
+
+        parts = raw.split(b"\n", 3)
+        px = _np.frombuffer(parts[3], dtype=_np.uint8).reshape(-1, 3)
+        return [float(x) / 255.0 for x in px.mean(axis=0)]
+
+    embs = {r.id: r.embedding
+            for r in extract_features(ppm_media, kernel=ppm_feature).collect()}
+    for i in range(5):
+        want = _ppm_feature(_ppm_bytes(4 + i, 3 + i))
+        assert np.allclose(embs[i], want)
+        assert len(embs[i]) == 3  # kernel's own output length wins over dim
