@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -98,12 +99,27 @@ def run_engine_bench(spark) -> dict:
     # recomputed, only the per-process fixed cost is gone — the regime a
     # 100 TB / long-running job sits in.
     cold_dt, n_routed = one_run()
-    spark.catalog.clearCache()
-    steady_dt, n_routed2 = one_run()
-    assert n_routed == n_routed2
+    # steady-state measured THREE times (cache cleared between runs) so
+    # the artifact carries its own noise bound: this host neighbor-steals
+    # (2-3x swings on identical trees, BASELINE.md), and r2's recorded
+    # steady > cold was exactly such a window.  Median is the headline;
+    # min/max and the max/min ratio expose the spread.
+    steady_runs: list[float] = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        dt, n_routed2 = one_run()
+        assert n_routed == n_routed2
+        steady_runs.append(dt)
+    steady_dt = statistics.median(steady_runs)
     return {
         "engine_sec": round(cold_dt, 3),
         "engine_steady_sec": round(steady_dt, 3),
+        "engine_steady_runs": [round(x, 3) for x in steady_runs],
+        "engine_steady_min_max": [
+            round(min(steady_runs), 3),
+            round(max(steady_runs), 3),
+        ],
+        "engine_noise_bound": round(max(steady_runs) / min(steady_runs), 2),
         "engine_events": n_events,
         "engine_routed_rows": n_routed,
         "events_per_sec": round(n_events / cold_dt, 1),
@@ -122,15 +138,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).count()
-        times[name] = round(time.monotonic() - t0, 3)
-        # ops may persist() scratch frames (shingle reuse); drop them so
-        # one query's cache never skews the next measurement
-        spark.catalog.clearCache()
+    # 3 runs per query, interleaved round-robin across the suite so one
+    # noise window cannot inflate a single query's every sample; the
+    # headline number is the median, spread fields carry min/max
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _rep in range(3):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            runs[name].append(time.monotonic() - t0)
+            # ops may persist() scratch frames (shingle reuse); drop them
+            # so one query's cache never skews the next measurement
+            spark.catalog.clearCache()
+    times = {n: round(statistics.median(r), 3) for n, r in runs.items()}
+    spread = {
+        n: [round(min(r), 3), round(max(r), 3)] for n, r in runs.items()
+    }
 
     engine_stats = run_engine_bench(spark)
     total = round(sum(times.values()) + engine_stats["engine_sec"], 3)
@@ -141,6 +165,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {**times, "engine_pipeline": engine_stats["engine_sec"]},
+        "runs_per_query": 3,
+        "query_spread_min_max": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **engine_stats,
         "cpus": CPUS,
