@@ -1182,15 +1182,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN — spherical-kmeans centroid lists +
-    n_probe rerank.  Pinned against a pure-Python twin in
-    tests/test_dedup_ops.py; rows-only at the SQL gate (the k-means
-    family is not DuckDB-expressible)."""
-    from sagan_spark.ops.similarity import ivf_topk
+    """IVF (inverted-file) ANN — centroid lists + n_probe rerank, run
+    with a deterministic pretrained codebook (fixed_centroids) so the
+    DuckDB oracle replays assignment/probe/rerank with the SAME
+    centroid literals.  The k-means TRAINING path stays pinned by its
+    pure-Python twin in tests/test_dedup_ops.py."""
+    from sagan_spark.ops.similarity import fixed_centroids, ivf_topk
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    out = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, dim=64)
+    out = ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, dim=64,
+        centroids=fixed_centroids(16, 64),
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"), "rank"
     )
@@ -1492,8 +1496,80 @@ def oracle_sql() -> dict[str, str]:
     # same pattern strings on both contract sides (RE2-compatible)
     from sagan_spark.ops.psl import registered_domain_sql
     from sagan_spark.ops.sampling import frac_to_hex8
+    from sagan_spark.ops.similarity import _hyperplanes, fixed_centroids
     from sagan_spark.ops.urltools import HOST_RE
     from sagan_spark.ops.webclean import GOPHER_STOPWORDS
+
+    # --- ANN oracles: the SAME hyperplane/centroid literals the Spark
+    # ops compile in (deterministic driver-side constants), so DuckDB
+    # replays bucket assignment / probe selection exactly -------------
+    def _arr(vals) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+    def _bucket_sql(planes) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(embedding, {_arr(p)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    _lsh_tables = [_hyperplanes(64, 6, t) for t in range(3)]
+    _lsh_cands = " UNION ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id"
+        f" FROM t{t} q JOIN t{t} c ON q.bucket = c.bucket"
+        f" AND q.vec_id < 5 AND c.vec_id <> q.vec_id"
+        for t in range(len(_lsh_tables))
+    )
+    _ann_lsh_sql = (
+        "WITH "
+        + ", ".join(
+            f"t{t} AS (SELECT vec_id, embedding, {_bucket_sql(pl)} AS bucket"
+            f" FROM embeddings)"
+            for t, pl in enumerate(_lsh_tables)
+        )
+        + f", cand AS ({_lsh_cands})"
+        " SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM ("
+        " SELECT cand.query_id, cand.neighbor_id,"
+        "  list_cosine_similarity(qe.embedding, ce.embedding) AS cosine,"
+        "  row_number() OVER (PARTITION BY cand.query_id ORDER BY"
+        "  list_cosine_similarity(qe.embedding, ce.embedding) DESC,"
+        "  cand.neighbor_id) AS rank"
+        " FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id"
+        " JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)"
+        " WHERE rank <= 5"
+    )
+
+    _cent_rows = ", ".join(
+        f"({i}, {_arr(c)})" for i, c in enumerate(fixed_centroids(16, 64))
+    )
+    _ann_ivf_sql = (
+        f"WITH cents(i, cv) AS (VALUES {_cent_rows}),"
+        # corpus assignment: FIRST index of the max dot (ties -> lowest i,
+        # the Spark side's array_position(array_max) rule)
+        " assign AS (SELECT vec_id, i AS centroid FROM ("
+        "  SELECT e.vec_id, c.i, row_number() OVER (PARTITION BY e.vec_id"
+        "   ORDER BY list_dot_product(e.embedding, c.cv) DESC, c.i ASC) AS rn"
+        "  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),"
+        # per-query probe lists: top n_probe by dot, ties -> HIGHER i
+        # (the Spark side's reverse(array_sort(struct(d, i))) order)
+        " probe AS (SELECT query_id, centroid FROM ("
+        "  SELECT q.vec_id AS query_id, c.i AS centroid,"
+        "   row_number() OVER (PARTITION BY q.vec_id"
+        "    ORDER BY list_dot_product(q.embedding, c.cv) DESC, c.i DESC) AS rn"
+        "  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE rn <= 4),"
+        " cand AS (SELECT p.query_id, a.vec_id AS neighbor_id"
+        "  FROM probe p JOIN assign a ON a.centroid = p.centroid"
+        "  WHERE a.vec_id <> p.query_id)"
+        " SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM ("
+        " SELECT cand.query_id, cand.neighbor_id,"
+        "  list_cosine_similarity(qe.embedding, ce.embedding) AS cosine,"
+        "  row_number() OVER (PARTITION BY cand.query_id ORDER BY"
+        "  list_cosine_similarity(qe.embedding, ce.embedding) DESC,"
+        "  cand.neighbor_id) AS rank"
+        " FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id"
+        " JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)"
+        " WHERE rank <= 5"
+    )
 
     # synthetic url + host/domain (the op's exact algorithm: the PSL
     # longest-match CASE generated from the SAME vendored tables the
@@ -2036,6 +2112,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)"
             " WHERE rank <= 5"
         ),
+        "ann_lsh_topk": _ann_lsh_sql,
+        "ann_ivf_topk": _ann_ivf_sql,
         "text_langid": (
             "SELECT pred_lang, count(*) AS n FROM ("
             "SELECT CASE WHEN best <= 0 THEN 'und'"

@@ -104,10 +104,24 @@ def _centroid_dots(vec_col, centroids: list[list[float]]):
     ])
 
 
+def fixed_centroids(n_centroids: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit centroids — the 'pretrained
+    codebook' form of IVF (production IVF ships centroids trained
+    offline; injecting them also lets the correctness oracle replay the
+    assignment with the same literals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_centroids, dim)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c.tolist()
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
              sample_n: int = 256, iters: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other standard ANN
     scale path beside hyperplane LSH.
 
@@ -120,14 +134,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     it; recall is tunable via n_probe.  Deterministic given the corpus
     (fixed sample, fixed seed) — pinned against a pure-Python twin in
     tests."""
-    # TakeOrdered head of the corpus: deterministic for any id domain
-    # (an id-value threshold like `vec_id < sample_n` breaks on corpora
-    # whose ids don't start near 0)
-    sample = [
-        row[0]
-        for row in corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
-    ]
-    cent = _train_centroids(sample, n_centroids, iters)
+    if centroids is not None:
+        # pretrained codebook injected by the caller (fixed_centroids or
+        # an offline training job) — skip the sample/train step
+        cent = centroids
+    else:
+        # TakeOrdered head of the corpus: deterministic for any id domain
+        # (an id-value threshold like `vec_id < sample_n` breaks on
+        # corpora whose ids don't start near 0)
+        sample = [
+            row[0]
+            for row in corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+        ]
+        cent = _train_centroids(sample, n_centroids, iters)
 
     dots = _centroid_dots(F.col(vec_col), cent)
     centroid_id = F.expr(
