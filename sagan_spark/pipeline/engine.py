@@ -221,6 +221,32 @@ class SaganSparkEngine:
             any_cheap = any_cheap | F.col(name)
         cand = df.filter(any_cheap)
 
+        # ---- offload gate (reference src/offload.c, engine.c:772-786):
+        # for rules carrying `offload:`, POST the event to the remote
+        # classifier and AND its verdict into the rule's cheap column —
+        # the reference runs this after the prefilters and before
+        # content/parse, "last, because it might be the most CPU
+        # consuming".  Only rows whose cheap predicate passed cross the
+        # Arrow boundary (everyone else ships NULL -> False).
+        offload_rules = [(i, r) for i, r in enumerate(self.rules) if r.offload]
+        if offload_rules:
+            from sagan_spark.pipeline.offload import make_offload_udf, offload_payload
+
+            payload = offload_payload()
+            for i, r in offload_rules:
+                off_udf = make_offload_udf(
+                    r.offload,
+                    self.config.offload_poster,
+                    barrier=not frame.isStreaming,
+                )
+                cand = cand.withColumn(
+                    f"_c{i}",
+                    F.col(f"_c{i}")
+                    & F.coalesce(
+                        off_udf(F.when(F.col(f"_c{i}"), payload)), F.lit(False)
+                    ),
+                )
+
         # ---- phase 2: extraction on candidates only ----
         if comp.needs_parse_ip:
             parse_ip_udf = make_parse_ip_udf(

@@ -65,6 +65,13 @@ class EngineConfig:
     # skew: sample the correlation key histogram and give hot
     # (sid, track-key) groups dedicated shuffle slots (pipeline/skew.py)
     hot_key_isolation: bool = False
+    # offload gate (reference src/offload.c): callable
+    # (location, [payload, ...]) -> [bool, ...] evaluated Arrow-batched
+    # on candidate rows of rules carrying `offload:`.  None = use the
+    # urllib default (one POST per payload, response must contain
+    # "true", connection failure = False — the reference's libcurl
+    # behavior).  Tests/offline runs inject a fake.
+    offload_poster: object = None
 
 
 @dataclass

@@ -312,6 +312,12 @@ class RuleIR:
     # K5: e-mail target for this rule (reference src/rules.c:2735);
     # carried as routing metadata — SMTP delivery is out of core scope
     email: str = ""
+    # offload: remote HTTP classifier gate (reference src/rules.c:3709-3725
+    # option parse, src/offload.c Offload(), engine call engine.c:772-786):
+    # POST "host|facility|priority|level|tag|date|time|program|message" to
+    # this location; the rule continues only if the response contains
+    # "true".  Empty = no offload.
+    offload: str = ""
 
     # flexbits_pause/xbits_pause/_upause (reference src/rules.c:984-1032):
     # per-rule delays before bit set/unset take effect.  Parsed so real

@@ -196,15 +196,17 @@ def _value_to_seconds(v: str) -> int:
 
 
 # options with no match semantics we deliberately accept and ignore
-# (normalize is a liblognorm hint; offload needs a remote HTTP
-# evaluator — out of scope per SURVEY §2.8).  NOTE: `metadata` is NOT
-# here — it has a dedicated branch that captures it for the EVE alert
-# record, and `flowbits` is not either: it aliases to flexbits (the
-# pre-rename spelling Sagan's own published rules use, identical
-# grammar — doc/source/blogs/sagan-flowbits.rst; the current C parser
-# silently DROPS it, rules.c:1382 matches only "flexbits", which
-# over-alerts on those rulesets — we evaluate the intended gate).
-_IGNORABLE_OPTIONS = {"normalize", "offload"}
+# (normalize is a liblognorm hint; rulebases load via
+# functions/lognorm.load_rulebase).  NOTE: `metadata` is NOT here — it
+# has a dedicated branch that captures it for the EVE alert record;
+# `offload` is not either — it compiles to the remote-classifier gate
+# (EngineConfig.offload_poster); and `flowbits` is not either: it
+# aliases to flexbits (the pre-rename spelling Sagan's own published
+# rules use, identical grammar — doc/source/blogs/sagan-flowbits.rst;
+# the current C parser silently DROPS it, rules.c:1382 matches only
+# "flexbits", which over-alerts on those rulesets — we evaluate the
+# intended gate).
+_IGNORABLE_OPTIONS = {"normalize"}
 
 
 #: one-time-warning latch for the flowbits->flexbits reinterpretation
@@ -537,6 +539,15 @@ def parse_rule(
             if not prog:
                 raise ValueError("external option with no program")
             ir.external_program = prog
+        elif key == "offload":
+            # remote HTTP classifier gate (reference src/rules.c:3709-3725
+            # aborts when the location is missing)
+            loc = _unquote(val)
+            if not loc:
+                raise ValueError(
+                    "offload option with no location (reference rules.c:3718 aborts)"
+                )
+            ir.offload = loc
         elif key == "email":
             ir.email = _unquote(val)  # reference src/rules.c:2735
         elif key == "flexbits_pause":
