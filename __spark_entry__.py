@@ -1502,13 +1502,25 @@ def oracle_sql() -> dict[str, str]:
 
     # --- ANN oracles: the SAME hyperplane/centroid literals the Spark
     # ops compile in (deterministic driver-side constants), so DuckDB
-    # replays bucket assignment / probe selection exactly -------------
+    # replays bucket assignment / probe selection exactly.  Dots and
+    # cosines use the SEQUENTIAL list_sum(list_transform(list_zip))
+    # form: it is bit-identical to Spark's F.aggregate left fold, where
+    # DuckDB's vectorized list_dot_product/list_cosine_similarity
+    # differ at ~1e-8 and can straddle a round(...,5) boundary --------
     def _arr(vals) -> str:
         return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
 
+    def _sqdot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+
+    def _sqcos(a: str, b: str) -> str:
+        return (
+            f"({_sqdot(a, b)} / (sqrt({_sqdot(a, a)}) * sqrt({_sqdot(b, b)})))"
+        )
+
     def _bucket_sql(planes) -> str:
         return " + ".join(
-            f"(CASE WHEN list_dot_product(embedding, {_arr(p)}) >= 0"
+            f"(CASE WHEN {_sqdot('embedding', _arr(p))} >= 0"
             f" THEN {1 << i} ELSE 0 END)"
             for i, p in enumerate(planes)
         )
@@ -1530,9 +1542,9 @@ def oracle_sql() -> dict[str, str]:
         + f", cand AS ({_lsh_cands})"
         " SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM ("
         " SELECT cand.query_id, cand.neighbor_id,"
-        "  list_cosine_similarity(qe.embedding, ce.embedding) AS cosine,"
+        "  " + _sqcos("qe.embedding", "ce.embedding") + " AS cosine,"
         "  row_number() OVER (PARTITION BY cand.query_id ORDER BY"
-        "  list_cosine_similarity(qe.embedding, ce.embedding) DESC,"
+        "  " + _sqcos("qe.embedding", "ce.embedding") + " DESC,"
         "  cand.neighbor_id) AS rank"
         " FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id"
         " JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)"
@@ -1548,23 +1560,23 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side's array_position(array_max) rule)
         " assign AS (SELECT vec_id, i AS centroid FROM ("
         "  SELECT e.vec_id, c.i, row_number() OVER (PARTITION BY e.vec_id"
-        "   ORDER BY list_dot_product(e.embedding, c.cv) DESC, c.i ASC) AS rn"
+        "   ORDER BY " + _sqdot("e.embedding", "c.cv") + " DESC, c.i ASC) AS rn"
         "  FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),"
         # per-query probe lists: top n_probe by dot, ties -> HIGHER i
         # (the Spark side's reverse(array_sort(struct(d, i))) order)
         " probe AS (SELECT query_id, centroid FROM ("
         "  SELECT q.vec_id AS query_id, c.i AS centroid,"
         "   row_number() OVER (PARTITION BY q.vec_id"
-        "    ORDER BY list_dot_product(q.embedding, c.cv) DESC, c.i DESC) AS rn"
+        "    ORDER BY " + _sqdot("q.embedding", "c.cv") + " DESC, c.i DESC) AS rn"
         "  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE rn <= 4),"
         " cand AS (SELECT p.query_id, a.vec_id AS neighbor_id"
         "  FROM probe p JOIN assign a ON a.centroid = p.centroid"
         "  WHERE a.vec_id <> p.query_id)"
         " SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM ("
         " SELECT cand.query_id, cand.neighbor_id,"
-        "  list_cosine_similarity(qe.embedding, ce.embedding) AS cosine,"
+        "  " + _sqcos("qe.embedding", "ce.embedding") + " AS cosine,"
         "  row_number() OVER (PARTITION BY cand.query_id ORDER BY"
-        "  list_cosine_similarity(qe.embedding, ce.embedding) DESC,"
+        "  " + _sqcos("qe.embedding", "ce.embedding") + " DESC,"
         "  cand.neighbor_id) AS rank"
         " FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id"
         " JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)"
@@ -2098,17 +2110,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding_cosine": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
-            " round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine"
+            " round(" + _sqcos("a.embedding", "b.embedding") + ", 5) AS cosine"
             " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
             " WHERE a.vec_id < 200 AND b.vec_id < 200"
-            " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
+            " AND " + _sqcos("a.embedding", "b.embedding") + " >= 0.3"
         ),
         "ann_cosine_topk": (
             "SELECT query_id, neighbor_id, round(cosine, 5) AS cosine, rank FROM ("
             "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
-            " list_cosine_similarity(q.embedding, c.embedding) AS cosine,"
+            " " + _sqcos("q.embedding", "c.embedding") + " AS cosine,"
             " row_number() OVER (PARTITION BY q.vec_id ORDER BY"
-            " list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank"
+            " " + _sqcos("q.embedding", "c.embedding") + " DESC, c.vec_id) AS rank"
             " FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)"
             " WHERE rank <= 5"
         ),
