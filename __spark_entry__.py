@@ -1927,13 +1927,18 @@ def oracle_sql() -> dict[str, str]:
         # the anchor; reset check first, then the N < count check which
         # also slides the anchor on every alerting event)
         "a1_threshold_engine": (
+            # partition by the DERIVED KEY, not user_id: the engine's
+            # by_src machine merges any user_ids that map to one IP
+            # (the formula wraps at 62500), and the walk must replay
+            # the merged stream exactly as the engine does
             "WITH RECURSIVE ord AS ("
-            " SELECT '10.' || CAST(user_id % 250 AS VARCHAR) || '.' ||"
-            "  CAST((user_id // 250) % 250 AS VARCHAR) || '.1' AS key,"
-            "  CAST(floor(epoch(ts)) AS BIGINT) AS t,"
-            "  row_number() OVER (PARTITION BY user_id"
-            "   ORDER BY ts, CAST(event_id AS VARCHAR)) AS rn"
-            " FROM events),"
+            " SELECT key, t, row_number() OVER (PARTITION BY key"
+            "   ORDER BY ts, ek) AS rn FROM ("
+            "  SELECT '10.' || CAST(user_id % 250 AS VARCHAR) || '.' ||"
+            "   CAST((user_id // 250) % 250 AS VARCHAR) || '.1' AS key,"
+            "   CAST(floor(epoch(ts)) AS BIGINT) AS t, ts,"
+            "   CAST(event_id AS VARCHAR) AS ek"
+            "  FROM events)),"
             " walk AS ("
             "  SELECT key, rn, t,"
             "   1 AS tcnt, t AS tut, false AS tsup,"

@@ -73,9 +73,6 @@ LOGNORM_PATTERNS = {
     "LNSPACE": r"\s+",
 }
 
-_CAPTURE_RE = re.compile(r"%([^%]*)%")
-
-
 def _sanitize(name: str) -> str:
     """Regex-group-safe field name (src-ip -> src_ip)."""
     out = re.sub(r"\W", "_", name)
@@ -105,8 +102,12 @@ class Rulebase:
 
 def _translate_pattern(pattern: str, rb: Rulebase, where: str) -> str:
     """One rulebase pattern body -> a grok pattern string.  Literal
-    text is regex-escaped; captures become %{NAME:field} tokens."""
+    text is regex-escaped; captures become %{NAME:field} tokens.
+    Distinct field names that sanitize to the same group name ('src-ip'
+    vs 'src_ip') are a loader error HERE, with the line number — not a
+    cryptic re.error deep inside the grok compile."""
     out: list[str] = []
+    sanitized: dict[str, str] = {}
     pos = 0
     while True:
         start = pattern.find("%", pos)
@@ -140,7 +141,17 @@ def _translate_pattern(pattern: str, rb: Rulebase, where: str) -> str:
         if name == "-":  # discard capture
             out.append("%{" + grok_name + "}")
         else:
-            out.append("%{" + grok_name + ":" + _sanitize(name) + "}")
+            clean = _sanitize(name)
+            prev = sanitized.get(clean)
+            if prev is not None:
+                # regex group names must be unique within one pattern —
+                # covers both a literal repeat and a sanitize collision
+                raise ValueError(
+                    f"{where}: fields {prev!r} and {name!r} both need "
+                    f"group {clean!r} — a rule can bind each field once"
+                )
+            sanitized[clean] = name
+            out.append("%{" + grok_name + ":" + clean + "}")
     return "".join(out)
 
 

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sagan_spark.functions.extract import (
-    _SCRUB_TABLE,
     _V4_MAPPED_BASE,
     DEFAULT_SAGAN_PORT,
     MAX_PARSE_IP,
@@ -110,6 +109,8 @@ def _proto_scan(low: bytes) -> int:
                 break
             pos = low.rfind(pat, 0, pos)
     return val
+
+
 # v6-shaped whole tokens (see header): hex/dot/colon runs only.  The
 # '::' test must allow COLONS in the leading run — '2001:db8::1'
 # carries its '::' mid-token, after a single-colon group.
@@ -118,19 +119,6 @@ _V6_COLON6_RE_B = re.compile(rb"(?:^|(?<= ))(?:[0-9a-fA-F.]*:){6}")
 
 _LO_BASE = _V4_MAPPED_BASE - _BIAS  # v4-mapped lo-half bias constant
 _HI_V4 = -_BIAS  # v4-mapped 128-bit ints never touch the hi half
-
-
-def _needs_walk(b2: bytes) -> bool:
-    """True when a scrubbed ASCII row carries a tier-2 marker ('#'
-    forms or a v6-shaped token).  Plain memchr substring/count gates
-    keep the regexes off marker-free rows — the common case runs zero
-    regex here.  Long digit ports need no marker: tier 1's colon
-    branch falls back to the spec _atoi, exact at any length."""
-    if b"#" in b2:
-        return True
-    if b"::" in b2 and _V6_DCOLON_RE_B.search(b2):
-        return True
-    return b2.count(b":") >= 6 and _V6_COLON6_RE_B.search(b2) is not None
 
 
 def _v4_int_b(tok: bytes) -> int | None:
@@ -288,8 +276,10 @@ def parse_ip_batch(
     ips_arr = np.empty(n, dtype=object)
     proto_arr = np.zeros(n, dtype=np.int32)
 
-    # localize hot names; the marker checks are _needs_walk's body
-    # inlined (a call per row costs as much as the checks themselves)
+    # localize hot names; the tier-2 marker checks are inlined (a
+    # function call per row costs as much as the checks themselves):
+    # memchr substring/count gates keep the regexes off marker-free
+    # rows — the common case runs zero regex here
     table = _SCRUB_BYTES_TABLE
     dcolon = _V6_DCOLON_RE_B.search
     colon6 = _V6_COLON6_RE_B.search

@@ -491,7 +491,11 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
     row_number() window funneled every copy into ONE task and sorted
     there.  The join back re-shuffles on the paragraph key; the firsts
     side is unique per key, so AQE skew-join splits a hot left
-    partition freely.  Whitespace-only paragraphs (regex \\s* — spaces,
+    partition freely.  DELIBERATE TRADE: the self-join scans and
+    explodes the corpus TWICE (the window form read it once) — two
+    embarrassingly-parallel scans of (id, text) columns are bounded and
+    cheap at any scale, a single hot-key sort partition is not; the
+    plan-shape test pins both sides of this choice.  Whitespace-only paragraphs (regex \\s* — spaces,
     tabs, newlines, same class the tokenizers here use) are always kept
     — dropping "empty" separators would silently reflow unrelated text —
     and each carries a UNIQUE per-row join key ('b:'-prefixed, disjoint

@@ -183,13 +183,29 @@ def extract_features(
     out_schema = "id long, embedding array<double>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL payloads take a zero vector of the KERNEL'S dimensionality
+        # (a custom kernel's output length wins over `dim`); a ragged
+        # embedding column would silently truncate in the zip-based
+        # cosine ops downstream.  (A partition containing ONLY nulls
+        # cannot observe the kernel and falls back to `dim` — pass dim
+        # matching your kernel when null payloads are possible.)
+        out_dim: int | None = None
+        pending_null: list[int] = []
         for pdf in it:
-            embs = []
+            embs: list = []
             for b in pdf["payload"]:
                 if b is None:
-                    embs.append([0.0] * dim)
+                    pending_null.append(len(embs))
+                    embs.append(None)
                     continue
-                embs.append([float(x) for x in kernel(bytes(b))])
+                v = [float(x) for x in kernel(bytes(b))]
+                if out_dim is None:
+                    out_dim = len(v)
+                embs.append(v)
+            zero = [0.0] * (out_dim if out_dim is not None else dim)
+            for k in pending_null:
+                embs[k] = zero
+            pending_null.clear()
             yield pd.DataFrame({"id": pdf["id"], "embedding": embs})
 
     return media.mapInPandas(batches, schema=out_schema)

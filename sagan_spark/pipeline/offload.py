@@ -25,6 +25,11 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: per-executor-process verdict cache: location -> {payload: verdict}.
+#: Guarantees one POST per payload per process and consistent verdicts
+#: across all plan consumers of the gate column (see make_offload_udf).
+_verdict_cache: dict = {}
+
 
 def offload_payload() -> Column:
     """The reference's snprintf payload (offload.c:62) from the
@@ -35,8 +40,10 @@ def offload_payload() -> Column:
         F.coalesce(F.col("priority"), F.lit("")),
         F.coalesce(F.col("level"), F.lit("")),
         F.coalesce(F.col("tag"), F.lit("")),
-        F.date_format(F.col("ts"), "yyyy-MM-dd"),
-        F.date_format(F.col("ts"), "HH:mm:ss"),
+        # coalesced: format_string renders a NULL ts as the literal
+        # token 'null', which the reference never sends
+        F.coalesce(F.date_format(F.col("ts"), "yyyy-MM-dd"), F.lit("")),
+        F.coalesce(F.date_format(F.col("ts"), "HH:mm:ss"), F.lit("")),
         F.coalesce(F.col("program"), F.lit("")),
         F.coalesce(F.col("message"), F.lit("")),
     ]
@@ -72,18 +79,37 @@ def make_offload_udf(location: str, poster=None, barrier: bool = True):
 
     ``barrier=True`` (batch) flags the UDF nondeterministic — which it
     genuinely is (a remote classifier) — so CollapseProject cannot
-    inline it into every consumer and POST the same event repeatedly;
-    streaming passes False (stateful operators reject nondeterminism;
-    micro-batch plans evaluate the gate column once anyway)."""
+    inline it into every consumer and POST the same event repeatedly.
+    Streaming passes False (stateful operators reject the flag), so a
+    micro-batch plan MAY inline the gate column into several consumers;
+    the per-process verdict cache below keeps that safe: each payload
+    is POSTed at most once per executor process and every consumer sees
+    the SAME verdict (no flapping between the routing filter and the
+    assembled alert).  The cache is a documented divergence from the
+    reference, which POSTs once per event occurrence."""
     post = poster if poster is not None else urllib_poster
+    cache_max = 65536
 
     @F.pandas_udf("boolean")
     def offload_udf(payloads: pd.Series) -> pd.Series:
+        cache = _verdict_cache.setdefault(location, {})
+        fresh: list = []
+        seen: set = set()
+        for p in payloads:
+            if p is not None and p not in cache and p not in seen:
+                seen.add(p)
+                fresh.append(p)
+        local: dict = {}
+        if fresh:
+            local = dict(zip(fresh, (bool(v) for v in post(location, fresh))))
+            if len(cache) + len(local) > cache_max:
+                cache.clear()  # bounded; a re-POST beats unbounded RAM
+            cache.update(local)
         out = pd.Series(False, index=payloads.index, dtype=bool)
-        mask = payloads.notna()
-        if mask.any():
-            verdicts = post(location, payloads[mask].tolist())
-            out[mask] = pd.array(list(verdicts), dtype=bool)
+        for i, p in payloads.items():
+            if p is None:
+                continue
+            out.at[i] = local[p] if p in local else cache.get(p, False)
         return out
 
     return offload_udf.asNondeterministic() if barrier else offload_udf

@@ -118,31 +118,38 @@ _INTERVAL_UNIT_SECS = {
 
 
 def _interval_secs(interval: str) -> float:
-    """Parse a Spark CalendarInterval delay string ('10 minutes',
-    '1 Week', '500 milliseconds') to seconds, with the same
-    case-insensitive singular/plural unit rules Spark applies — so a
-    watermark Spark accepts never crashes the sweep mid-stream.
-    Raises ValueError on anything Spark would also reject."""
+    """Parse a Spark CalendarInterval delay string to seconds with the
+    same grammar Spark's withWatermark accepts: case-insensitive
+    singular/plural units, an optional leading 'interval' keyword, and
+    MULTI-UNIT forms ('1 hour 30 minutes') — so a watermark Spark
+    accepts never crashes the sweep mid-stream.  Raises ValueError on
+    anything Spark would also reject."""
     parts = interval.strip().split()
-    if len(parts) != 2:
+    if parts and parts[0].lower() == "interval":
+        parts = parts[1:]
+    if not parts or len(parts) % 2 != 0:
         raise ValueError(
-            f"watermark {interval!r}: expected '<n> <unit>' "
-            f"(units: {sorted(_INTERVAL_UNIT_SECS)})"
+            f"watermark {interval!r}: expected '[interval] <n> <unit> "
+            f"[<n> <unit> ...]' (units: {sorted(_INTERVAL_UNIT_SECS)})"
         )
-    n_str, unit = parts
-    try:
-        n = float(n_str)
-    except ValueError:
-        raise ValueError(f"watermark {interval!r}: bad number {n_str!r}") from None
-    key = unit.lower()
-    if key.endswith("s") and key[:-1] in _INTERVAL_UNIT_SECS:
-        key = key[:-1]
-    if key not in _INTERVAL_UNIT_SECS:
-        raise ValueError(
-            f"watermark {interval!r}: unknown unit {unit!r} "
-            f"(units: {sorted(_INTERVAL_UNIT_SECS)})"
-        )
-    return n * _INTERVAL_UNIT_SECS[key]
+    total = 0.0
+    for n_str, unit in zip(parts[::2], parts[1::2]):
+        try:
+            n = float(n_str)
+        except ValueError:
+            raise ValueError(
+                f"watermark {interval!r}: bad number {n_str!r}"
+            ) from None
+        key = unit.lower()
+        if key.endswith("s") and key[:-1] in _INTERVAL_UNIT_SECS:
+            key = key[:-1]
+        if key not in _INTERVAL_UNIT_SECS:
+            raise ValueError(
+                f"watermark {interval!r}: unknown unit {unit!r} "
+                f"(units: {sorted(_INTERVAL_UNIT_SECS)})"
+            )
+        total += n * _INTERVAL_UNIT_SECS[key]
+    return total
 
 
 def _fs_for(spark: SparkSession, path_str: str):

@@ -159,3 +159,7 @@ def test_paragraph_dedup_no_window_no_per_key_sort(spark):
     assert "CASE WHEN RLIKE(para" in opt and "b:" in opt, (
         "blank-conditional unique join key missing"
     )
+    # the documented trade: the firsts self-join re-explodes the corpus
+    # — exactly TWO explodes (more would mean an accidental extra scan)
+    n_explode = opt.count("posexplode")
+    assert n_explode == 2, f"expected the documented 2 explodes, saw {n_explode}"

@@ -557,3 +557,22 @@ def test_watermark_secs_parse():
             parse_rules(UNSET_RULES), watermark=wm, enable_xbits=True
         )
         assert eng._watermark_secs() == secs
+
+
+def test_interval_secs_accepts_spark_spellings():
+    """Every withWatermark spelling must parse (a valid watermark must
+    never crash the staged-store sweep mid-stream)."""
+    from sagan_spark.streaming.engine import _interval_secs
+
+    assert _interval_secs("10 minutes") == 600
+    assert _interval_secs("1 Week") == 604800
+    assert _interval_secs("500 milliseconds") == 0.5
+    assert _interval_secs("1 hour 30 minutes") == 5400
+    assert _interval_secs("interval 10 minutes") == 600
+    assert _interval_secs("INTERVAL 2 Hours 15 seconds") == 7215
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _interval_secs("10 fortnights")
+    with _pytest.raises(ValueError):
+        _interval_secs("minutes 10")
