@@ -94,6 +94,58 @@ def _shuffle_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
+def advance_corr_machines(
+    spec: dict, a_state: dict, t_state: dict, sid, t: int, a_key, t_key
+) -> tuple[bool, bool]:
+    """Advance the after/threshold state machines for ONE event of
+    ``sid`` at epoch-second ``t`` and return (suppressed_after,
+    suppressed_threshold) — the exact reference semantics
+    (after.c:51-229, threshold.c:54-234; after gates threshold updates,
+    engine.c:1377-1389).  Shared by the apply_after_threshold replay and
+    the chain walk (a chain rule's counters run inside the walk because
+    its verdict-gated set is suppressed by the same machine instance
+    that gates the alert, engine.c:1402-1427)."""
+    suppressed = False
+    sup_thr = False
+    after_spec = spec["after"]
+    if after_spec is not None:
+        a_count, a_secs = after_spec
+        k = (sid, a_key)
+        st = a_state.get(k)
+        if st is None:
+            a_state[k] = [1, t]
+            suppressed = True  # after.c:78 default true until count > N
+        else:
+            st[0] += 1
+            oldtime = t - st[1]
+            flag = True
+            if oldtime > a_secs:  # gap reset (after.c:132-137)
+                st[0], st[1] = 1, t
+                flag = True
+            if a_count < st[0]:  # exceeded: alert + slide (after.c:140-144)
+                st[1] = t
+                flag = False
+            suppressed = flag
+
+    thr_spec = spec["threshold"]
+    if thr_spec is not None and not suppressed:  # engine.c:1386 gate
+        ttype, t_count, t_secs = thr_spec
+        k = (sid, t_key)
+        st = t_state.get(k)
+        if st is None:
+            t_state[k] = [1, t]
+        else:
+            st[0] += 1
+            oldtime = t - st[1]
+            if ttype == "suppress":  # utime slides (threshold.c:126-130)
+                st[1] = t
+            if oldtime > t_secs:  # window reset (threshold.c:141-146)
+                st[0], st[1] = 1, t
+            if t_count < st[0]:  # (threshold.c:148-150)
+                sup_thr = True
+    return suppressed, sup_thr
+
+
 def corr_group_key(specs: dict[int, dict]) -> F.Column:
     """Colocation key for the after/threshold shuffle: one shuffle key
     per (sid, track-key) when one machine is active.  A rule carrying
@@ -203,46 +255,9 @@ def apply_after_threshold(
                 spec = specs.get(sid)
                 if spec is None:
                     continue
-                t = int(ts[i])
-                suppressed = False
-                sup_thr = False
-                after_spec = spec["after"]
-                if after_spec is not None:
-                    a_count, a_secs = after_spec
-                    k = (sid, a_keys[i])
-                    st = a_state.get(k)
-                    if st is None:
-                        a_state[k] = [1, t]
-                        suppressed = True  # after.c:78 default true until count > N
-                    else:
-                        st[0] += 1
-                        oldtime = t - st[1]
-                        flag = True
-                        if oldtime > a_secs:  # gap reset (after.c:132-137)
-                            st[0], st[1] = 1, t
-                            flag = True
-                        if a_count < st[0]:  # exceeded: alert + slide (after.c:140-144)
-                            st[1] = t
-                            flag = False
-                        suppressed = flag
-
-                thr_spec = spec["threshold"]
-                if thr_spec is not None and not suppressed:  # engine.c:1386 gate
-                    ttype, t_count, t_secs = thr_spec
-                    k = (sid, t_keys[i])
-                    st = t_state.get(k)
-                    if st is None:
-                        t_state[k] = [1, t]
-                    else:
-                        st[0] += 1
-                        oldtime = t - st[1]
-                        if ttype == "suppress":  # utime slides (threshold.c:126-130)
-                            st[1] = t
-                        if oldtime > t_secs:  # window reset (threshold.c:141-146)
-                            st[0], st[1] = 1, t
-                        if t_count < st[0]:  # (threshold.c:148-150)
-                            sup_thr = True
-
+                suppressed, sup_thr = advance_corr_machines(
+                    spec, a_state, t_state, sid, int(ts[i]), a_keys[i], t_keys[i]
+                )
                 if suppressed or sup_thr:
                     out_key.append(keys[i])
                     out_sid.append(sid)
@@ -362,21 +377,18 @@ def chain_components(rules: list[RuleIR]) -> tuple[list[RuleIR], dict[str, str]]
     id).  Plain xbits AND flexbits are supported (a flexbit touched by a
     chain rule takes the flat-tuple-store funnel form inside the
     component walk — reference engine.c:999-1024 condition vs
-    :1415-1427 set, flexbit store src/flexbit-mmap.c:106-258); the one
-    unsupported combination is after/threshold ON a chain rule (its
-    counters would have to run inside the walk)."""
+    :1415-1427 set, flexbit store src/flexbit-mmap.c:106-258).  A chain
+    rule carrying after/threshold runs its counters INSIDE the walk
+    (advance_corr_machines): the reference advances After2/Threshold2
+    only for condition-passing events (engine.c:1370-1389) and the same
+    machine verdict gates both the alert and the set
+    (engine.c:1402-1427)."""
     cond_rules = [
         r for r in rules if any(x.action in ("isset", "isnotset") for x in r.xbits)
     ]
     chain_rules = [
         r for r in cond_rules if any(x.action in ("set", "unset") for x in r.xbits)
     ]
-    for r in chain_rules:
-        if r.after or r.threshold:
-            raise NotImplementedError(
-                f"sid {r.sid}: set/unset gated on BOTH a condition and "
-                "after/threshold would need the counters inside the walk"
-            )
     parent: dict[str, str] = {}
 
     def find(b: str) -> str:
@@ -436,6 +448,34 @@ def apply_xbits(
     # one component per task is still strictly more parallel).
     chain_rules, chain_members = chain_components(rules)
     chain_sids = {r.sid for r in chain_rules}
+
+    # chain rules carrying after/threshold: their counters advance
+    # inside the walk, on condition-PASSING events only, and the same
+    # machine verdict gates the alert AND the set (reference
+    # engine.c:1370-1389 counters inside routing, :1402-1427 gated set).
+    # Their set events carry (csid, a_key, t_key) so the walk can key
+    # the machines; the three columns exist only when such a rule is
+    # present — the common no-chain-corr plan is unchanged.
+    chain_corr_specs = _corr_spec_map(chain_rules)
+    has_chain_corr = bool(chain_corr_specs)
+
+    def _corr_cols_null():
+        if not has_chain_corr:
+            return []
+        return [
+            F.lit(None).cast("long").alias("csid"),
+            _null_s.alias("a_key"),
+            _null_s.alias("t_key"),
+        ]
+
+    def _corr_cols_for(r: RuleIR):
+        if not has_chain_corr or r.sid not in chain_corr_specs:
+            return _corr_cols_null()
+        return [
+            F.lit(r.sid).alias("csid"),
+            F.col("track_after").alias("a_key"),
+            F.col("track_threshold").alias("t_key"),
+        ]
 
     # flexbit SETs record (src, dst, username); which key shapes the
     # store needs is decided by the CONDITIONS that probe the bit — one
@@ -513,6 +553,7 @@ def apply_xbits(
                         F.lit(False).alias("want_set"),
                         F.lit(flex_shape(x.track) or "").alias("shape"),
                         *_tuple_cols(),
+                        *_corr_cols_for(r),
                     )
                 )
                 spark_events.append(ev)
@@ -533,6 +574,7 @@ def apply_xbits(
                     F.lit(False).alias("want_set"),
                     F.lit("").alias("shape"),
                     *_no_tuple_cols(),
+                    *_corr_cols_for(r),
                 )
             )
             spark_events.append(ev)
@@ -562,6 +604,7 @@ def apply_xbits(
                         F.lit(False).alias("want_set"),
                         F.lit(shape).alias("shape"),
                         *_tuple_cols(),
+                        *_corr_cols_null(),
                     )
                 )
                 spark_events.append(ev)
@@ -589,6 +632,7 @@ def apply_xbits(
                         F.lit(False).alias("want_set"),
                         F.lit("").alias("shape"),
                         *_no_tuple_cols(),
+                        *_corr_cols_null(),
                     )
                 )
                 spark_events.append(ev)
@@ -614,6 +658,7 @@ def apply_xbits(
                         F.lit(x.action == "isset").alias("want_set"),
                         F.lit(s).alias("shape"),
                         *_tuple_cols(),
+                        *_corr_cols_null(),
                     )
                 )
                 spark_events.append(ev)
@@ -636,6 +681,7 @@ def apply_xbits(
                     F.lit(x.action == "isset").alias("want_set"),
                     F.lit("").alias("shape"),
                     *_no_tuple_cols(),
+                    *_corr_cols_null(),
                 )
             )
             spark_events.append(ev)
@@ -647,12 +693,16 @@ def apply_xbits(
     for e in spark_events[1:]:
         events = events.unionByName(e)
 
-    out_struct = T.StructType(
-        [
-            T.StructField("hit_id", T.StringType()),
-            T.StructField("ok", T.BooleanType()),
+    out_fields = [
+        T.StructField("hit_id", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+    if has_chain_corr:
+        out_fields += [
+            T.StructField("suppressed_after", T.BooleanType()),
+            T.StructField("suppressed_threshold", T.BooleanType()),
         ]
-    )
+    out_struct = T.StructType(out_fields)
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # (bit_name, bit_key) -> (set_ts, expire); carried across batches
@@ -663,10 +713,23 @@ def apply_xbits(
         # chain gating: hit_id -> AND of that rule's check verdicts so
         # far (its cset/cunset events sort after all its checks)
         ver: dict = {}
+        # chain after/threshold machines (advance_corr_machines) — keyed
+        # (sid, track-key); corr_flags caches one verdict per hit so a
+        # multi-set rule advances its counters exactly once per event
+        a_state: dict = {}
+        t_state: dict = {}
+        corr_flags: dict = {}
         for pdf in batches:
             out_ids: list[str] = []
-            out_ok: list[bool] = []
+            out_ok: list[bool | None] = []
+            out_sa: list[bool | None] = []
+            out_st: list[bool | None] = []
+            if has_chain_corr:
+                csids = pdf["csid"].to_numpy()
+                a_keys = pdf["a_key"].to_numpy()
+                t_keys = pdf["t_key"].to_numpy()
             it = zip(
+                range(len(pdf)),
                 pdf["bit_name"].to_numpy(),
                 pdf["bit_key"].to_numpy(),
                 pdf["ts_d"].to_numpy(),
@@ -679,16 +742,49 @@ def apply_xbits(
                 pdf["e_dst"].to_numpy(),
                 pdf["e_user"].to_numpy(),
             )
-            for name, key, ts_d, kind, expire, hit_id, want_set, shape, esrc, edst, euser in it:
+
+            def _corr_gate(i, hit_id, ts_d) -> bool:
+                """after/threshold gate for a chain set event whose
+                condition verdict held: advance the machines once per
+                hit (first set event), emit the flag row, and allow the
+                set only when neither machine suppresses
+                (engine.c:1402-1427)."""
+                if not has_chain_corr:
+                    return True
+                cs = csids[i]
+                if cs is None or pd.isna(cs):
+                    return True
+                fl = corr_flags.get(hit_id)
+                if fl is None:
+                    spec = chain_corr_specs.get(int(cs))
+                    if spec is None:
+                        return True
+                    fl = advance_corr_machines(
+                        spec,
+                        a_state,
+                        t_state,
+                        int(cs),
+                        int(ts_d),
+                        a_keys[i],
+                        t_keys[i],
+                    )
+                    corr_flags[hit_id] = fl
+                    out_ids.append(hit_id)
+                    out_ok.append(None)
+                    out_sa.append(fl[0])
+                    out_st.append(fl[1])
+                return not (fl[0] or fl[1])
+
+            for i, name, key, ts_d, kind, expire, hit_id, want_set, shape, esrc, edst, euser in it:
                 if kind == "set":
                     state[(name, key)] = (ts_d, expire)
                 elif kind == "unset":
                     state.pop((name, key), None)
                 elif kind == "cset":
-                    if ver.get(hit_id, False):
+                    if ver.get(hit_id, False) and _corr_gate(i, hit_id, ts_d):
                         state[(name, key)] = (ts_d, expire)
                 elif kind == "cunset":
-                    if ver.get(hit_id, False):
+                    if ver.get(hit_id, False) and _corr_gate(i, hit_id, ts_d):
                         state.pop((name, key), None)
                 elif kind == "check":
                     st = state.get((name, key))
@@ -699,6 +795,8 @@ def apply_xbits(
                     ver[hit_id] = ver.get(hit_id, True) and ok
                     out_ids.append(hit_id)
                     out_ok.append(ok)
+                    out_sa.append(None)
+                    out_st.append(None)
                 elif kind == "fset":
                     fstate.setdefault(name, {})[(esrc, edst, euser)] = (ts_d, expire)
                 elif kind == "funset":
@@ -713,14 +811,15 @@ def apply_xbits(
                             del store[tup]
                 elif kind == "cfset":
                     # flexbit chain set: fires only when the rule's own
-                    # condition verdict held (engine.c:1415-1427)
-                    if ver.get(hit_id, False):
+                    # condition verdict held (engine.c:1415-1427) AND
+                    # its after/threshold machines allowed the event
+                    if ver.get(hit_id, False) and _corr_gate(i, hit_id, ts_d):
                         fstate.setdefault(name, {})[(esrc, edst, euser)] = (
                             ts_d,
                             expire,
                         )
                 elif kind == "cfunset":
-                    if ver.get(hit_id, False):
+                    if ver.get(hit_id, False) and _corr_gate(i, hit_id, ts_d):
                         store = fstate.get(name)
                         if store:
                             dead = [
@@ -743,7 +842,13 @@ def apply_xbits(
                     ver[hit_id] = ver.get(hit_id, True) and ok
                     out_ids.append(hit_id)
                     out_ok.append(ok)
-            yield pd.DataFrame({"hit_id": out_ids, "ok": pd.array(out_ok, dtype="boolean")})
+                    out_sa.append(None)
+                    out_st.append(None)
+            out = {"hit_id": out_ids, "ok": pd.array(out_ok, dtype="boolean")}
+            if has_chain_corr:
+                out["suppressed_after"] = pd.array(out_sa, dtype="boolean")
+                out["suppressed_threshold"] = pd.array(out_st, dtype="boolean")
+            yield pd.DataFrame(out)
 
     if chain_members:
         # all events of a chain component colocate (the gated set and
@@ -773,7 +878,20 @@ def apply_xbits(
     multi_cond = any(
         sum(1 for x in r.xbits if x.action in ("isset", "isnotset")) > 1 for r in cond_rules
     )
-    if multi_cond:
+    if has_chain_corr:
+        # a chain-corr hit carries a flag row besides its check rows:
+        # min(ok) skips the flag row's null; max(flag) skips the check
+        # rows' nulls
+        agg = verdicts.groupBy("hit_id").agg(
+            F.min("ok").alias("xbit_ok"),
+            F.coalesce(F.max("suppressed_after"), F.lit(False)).alias(
+                "chain_sup_after"
+            ),
+            F.coalesce(F.max("suppressed_threshold"), F.lit(False)).alias(
+                "chain_sup_thr"
+            ),
+        )
+    elif multi_cond:
         agg = verdicts.groupBy("hit_id").agg(F.min("ok").alias("xbit_ok"))
     else:
         agg = verdicts.withColumnRenamed("ok", "xbit_ok")
@@ -790,4 +908,14 @@ def apply_xbits(
             F.coalesce(F.col("xbit_ok"), F.lit(False))
         ),
     )
+    if has_chain_corr:
+        # chain-corr sids' alert gating comes from the walk's machines;
+        # the engine reads these instead of re-running
+        # apply_after_threshold for them (one machine instance gates
+        # both the alert and the set, engine.c:1402-1427)
+        joined = joined.withColumn(
+            "chain_sup_after", F.coalesce(F.col("chain_sup_after"), F.lit(False))
+        ).withColumn(
+            "chain_sup_thr", F.coalesce(F.col("chain_sup_thr"), F.lit(False))
+        )
     return joined.drop("hit_id")

@@ -31,7 +31,11 @@ from sagan_spark.functions.udfs import (
     json_flatten_udf_stream,
     make_parse_ip_udf,
 )
-from sagan_spark.pipeline.correlate import apply_after_threshold, apply_xbits
+from sagan_spark.pipeline.correlate import (
+    apply_after_threshold,
+    apply_xbits,
+    chain_components,
+)
 from sagan_spark.rules.compiler import EngineConfig, EventCols, RuleCompiler
 from sagan_spark.rules.ir import RuleIR
 
@@ -390,14 +394,40 @@ class SaganSparkEngine:
         stage_b = stage_b.persist()
         stage_b.count()
         stage_b_ok = stage_b.filter(F.col("xbit_ok"))
+        # chain rules (condition + set) with after/threshold: their
+        # counters already ran inside the walk — one machine instance
+        # gates both the alert and the set (engine.c:1370-1427) — so
+        # they are excluded here and their flags read from the walk
+        chain_rules, _ = chain_components(self.rules)
+        chain_corr_sids = [r.sid for r in chain_rules if r.after or r.threshold]
         stage_b_ok = apply_after_threshold(
-            stage_b_ok, [r for r in self.rules if r.sid in cond_sids]
+            stage_b_ok,
+            [r for r in self.rules if r.sid in cond_sids],
+            exclude_sids=chain_corr_sids,
         )
         stage_b_no = (
             stage_b.filter(~F.col("xbit_ok"))
             .withColumn("suppressed_after", F.lit(False))
             .withColumn("suppressed_threshold", F.lit(False))
         )
+        if chain_corr_sids:
+            in_chain = F.col("sid").isin(chain_corr_sids)
+            stage_b_ok = (
+                stage_b_ok.withColumn(
+                    "suppressed_after",
+                    F.when(in_chain, F.col("chain_sup_after")).otherwise(
+                        F.col("suppressed_after")
+                    ),
+                )
+                .withColumn(
+                    "suppressed_threshold",
+                    F.when(in_chain, F.col("chain_sup_thr")).otherwise(
+                        F.col("suppressed_threshold")
+                    ),
+                )
+                .drop("chain_sup_after", "chain_sup_thr")
+            )
+            stage_b_no = stage_b_no.drop("chain_sup_after", "chain_sup_thr")
         all_hits = stage_a.unionByName(stage_b_ok).unionByName(stage_b_no)
         return EngineResult(hits=self._with_noalert(all_hits))
 

@@ -230,7 +230,24 @@ def _sweep_dead_buckets(
     return removed
 
 
-def _chain_walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+_CHAIN_WALK_COLS = [
+    "kind", "event_key", "sid", "entry", "ok",
+    "bit_name", "bit_key", "ts_d", "seq", "expire",
+    "shape", "e_src", "e_dst", "e_user",
+    "suppressed_after", "suppressed_threshold",
+]
+
+_CHAIN_WALK_SCHEMA = (
+    "kind string, event_key string, sid long, entry int,"
+    " ok boolean, bit_name string, bit_key string,"
+    " ts_d double, seq long, expire long,"
+    " shape string, e_src string, e_dst string,"
+    " e_user string, suppressed_after boolean,"
+    " suppressed_threshold boolean"
+)
+
+
+def _make_chain_walk(chain_corr_specs: dict[int, dict], max_corr_secs: int):
     """Stage-B component walk for chained xbits: ordered replay of
     staged sets + this batch's checks and verdict-gated chain
     set/unsets (mirror of the batch apply_xbits walk).  Plain xbits use
@@ -240,103 +257,185 @@ def _chain_walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (`ok` = bit active, the isnotset negation happens in the verdict
     expression); gated sets that actually fired come back as
     'fired_set'/'fired_unset'/'fired_fset'/'fired_funset' rows for the
-    staged store."""
-    from sagan_spark.pipeline.correlate import _flex_tuple_match
+    staged store.
 
-    state: dict = {}
-    fstate: dict = {}
-    ver: dict = {}
+    ``chain_corr_specs``: after/threshold specs of CHAIN rules — their
+    counters run inside the walk on condition-passing events only, and
+    the machine verdict gates both the set and the alert
+    (engine.c:1370-1427).  Machine state is seeded from the previous
+    micro-batch's snapshot ('cseed' rows, sorted first) and the
+    surviving state comes back as 'cstate' rows (machine in bit_name,
+    key in bit_key, count in seq, utime in expire); per-hit flags come
+    back as 'cflags' rows.  Keys silent longer than ``max_corr_secs``
+    gap-reset to fresh state and are dropped from the snapshot (the
+    same survive-or-evict rule as _make_seeded_replay)."""
+    from sagan_spark.pipeline.correlate import (
+        _flex_tuple_match,
+        advance_corr_machines,
+    )
 
-    def _funset(name, shape, esrc, edst, euser) -> None:
-        store = fstate.get(name)
-        if store:
-            dead = [
-                t for t in store if _flex_tuple_match(shape, t, esrc, edst, euser)
-            ]
-            for t in dead:
-                del store[t]
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict = {}
+        fstate: dict = {}
+        ver: dict = {}
+        a_state: dict = {}
+        t_state: dict = {}
+        corr_flags: dict = {}
+        max_t = [None]
 
-    for pdf in batches:
-        out: list[tuple] = []
-        it = zip(
-            pdf["kind"], pdf["bit_name"], pdf["bit_key"], pdf["ts_d"],
-            pdf["event_key"], pdf["seq"], pdf["expire"], pdf["sid"],
-            pdf["entry"], pdf["want_set"], pdf["ver_id"],
-            pdf["shape"], pdf["e_src"], pdf["e_dst"], pdf["e_user"],
-        )
-        for (
-            kind, name, key, ts_d, ek, seq, expire, sid, entry, want_set,
-            ver_id, shape, esrc, edst, euser,
-        ) in it:
-            if kind == "set":
-                state[(name, key)] = (ts_d, expire)
-            elif kind == "unset":
-                state.pop((name, key), None)
-            elif kind == "fset":
-                fstate.setdefault(name, {})[(esrc, edst, euser)] = (ts_d, expire)
-            elif kind == "funset":
-                _funset(name, shape, esrc, edst, euser)
-            elif kind == "cset":
-                if ver.get(ver_id, False):
+        def _funset(name, shape, esrc, edst, euser) -> None:
+            store = fstate.get(name)
+            if store:
+                dead = [
+                    t for t in store if _flex_tuple_match(shape, t, esrc, edst, euser)
+                ]
+                for t in dead:
+                    del store[t]
+
+        for pdf in batches:
+            out: list[tuple] = []
+            has_keys = "a_key" in pdf.columns
+            it = zip(
+                pdf["kind"], pdf["bit_name"], pdf["bit_key"], pdf["ts_d"],
+                pdf["event_key"], pdf["seq"], pdf["expire"], pdf["sid"],
+                pdf["entry"], pdf["want_set"], pdf["ver_id"],
+                pdf["shape"], pdf["e_src"], pdf["e_dst"], pdf["e_user"],
+                pdf["a_key"] if has_keys else pdf["kind"],
+                pdf["t_key"] if has_keys else pdf["kind"],
+            )
+
+            def _corr_gate(sid, ver_id, ts_d, a_key, t_key) -> bool:
+                """after/threshold gate for a chain set whose condition
+                verdict held: advance the machines once per hit, emit
+                the 'cflags' row, allow the set only when neither
+                machine suppresses (engine.c:1402-1427)."""
+                if not chain_corr_specs or sid is None or pd.isna(sid):
+                    return True
+                spec = chain_corr_specs.get(int(sid))
+                if spec is None:
+                    return True
+                fl = corr_flags.get(ver_id)
+                if fl is None:
+                    t = int(ts_d)
+                    if max_t[0] is None or t > max_t[0]:
+                        max_t[0] = t
+                    fl = advance_corr_machines(
+                        spec, a_state, t_state, int(sid), t, a_key, t_key
+                    )
+                    corr_flags[ver_id] = fl
+                    out.append(
+                        ("cflags", ver_id.rsplit("#", 1)[0], int(sid), -1,
+                         None, "", "", ts_d, 0, 0, "", "", "", "",
+                         fl[0], fl[1])
+                    )
+                return not (fl[0] or fl[1])
+
+            for (
+                kind, name, key, ts_d, ek, seq, expire, sid, entry, want_set,
+                ver_id, shape, esrc, edst, euser, a_key, t_key,
+            ) in it:
+                if kind == "set":
                     state[(name, key)] = (ts_d, expire)
-                    out.append(
-                        ("fired_set", ek, None, -1, False, name, key,
-                         ts_d, seq, expire, "", "", "", "")
-                    )
-            elif kind == "cunset":
-                if ver.get(ver_id, False):
+                elif kind == "unset":
                     state.pop((name, key), None)
-                    out.append(
-                        ("fired_unset", ek, None, -1, False, name, key,
-                         ts_d, seq, expire, "", "", "", "")
-                    )
-            elif kind == "cfset":
-                if ver.get(ver_id, False):
-                    fstate.setdefault(name, {})[(esrc, edst, euser)] = (
-                        ts_d,
-                        expire,
-                    )
-                    out.append(
-                        ("fired_fset", ek, None, -1, False, name, key,
-                         ts_d, seq, expire, shape, esrc, edst, euser)
-                    )
-            elif kind == "cfunset":
-                if ver.get(ver_id, False):
+                elif kind == "fset":
+                    fstate.setdefault(name, {})[(esrc, edst, euser)] = (ts_d, expire)
+                elif kind == "funset":
                     _funset(name, shape, esrc, edst, euser)
-                    out.append(
-                        ("fired_funset", ek, None, -1, False, name, key,
-                         ts_d, seq, expire, shape, esrc, edst, euser)
+                elif kind == "cseed":
+                    # previous micro-batch's machine snapshot: shape
+                    # carries the machine id, seq the count, expire the
+                    # utime (ts_d sorts these before every event)
+                    mstate = a_state if shape == "a" else t_state
+                    mstate[(int(sid), key)] = [int(seq), int(expire)]
+                elif kind == "cset":
+                    if ver.get(ver_id, False) and _corr_gate(
+                        sid, ver_id, ts_d, a_key, t_key
+                    ):
+                        state[(name, key)] = (ts_d, expire)
+                        out.append(
+                            ("fired_set", ek, None, -1, False, name, key,
+                             ts_d, seq, expire, "", "", "", "", None, None)
+                        )
+                elif kind == "cunset":
+                    if ver.get(ver_id, False) and _corr_gate(
+                        sid, ver_id, ts_d, a_key, t_key
+                    ):
+                        state.pop((name, key), None)
+                        out.append(
+                            ("fired_unset", ek, None, -1, False, name, key,
+                             ts_d, seq, expire, "", "", "", "", None, None)
+                        )
+                elif kind == "cfset":
+                    if ver.get(ver_id, False) and _corr_gate(
+                        sid, ver_id, ts_d, a_key, t_key
+                    ):
+                        fstate.setdefault(name, {})[(esrc, edst, euser)] = (
+                            ts_d,
+                            expire,
+                        )
+                        out.append(
+                            ("fired_fset", ek, None, -1, False, name, key,
+                             ts_d, seq, expire, shape, esrc, edst, euser,
+                             None, None)
+                        )
+                elif kind == "cfunset":
+                    if ver.get(ver_id, False) and _corr_gate(
+                        sid, ver_id, ts_d, a_key, t_key
+                    ):
+                        _funset(name, shape, esrc, edst, euser)
+                        out.append(
+                            ("fired_funset", ek, None, -1, False, name, key,
+                             ts_d, seq, expire, shape, esrc, edst, euser,
+                             None, None)
+                        )
+                elif kind == "fcheck":
+                    store = fstate.get(name, {})
+                    active = any(
+                        (exp == 0 or (ts_d - set_ts) < exp)
+                        and _flex_tuple_match(shape, t, esrc, edst, euser)
+                        for t, (set_ts, exp) in store.items()
                     )
-            elif kind == "fcheck":
-                store = fstate.get(name, {})
-                active = any(
-                    (exp == 0 or (ts_d - set_ts) < exp)
-                    and _flex_tuple_match(shape, t, esrc, edst, euser)
-                    for t, (set_ts, exp) in store.items()
-                )
-                cond_ok = bool(active) == bool(want_set)
-                ver[ver_id] = ver.get(ver_id, True) and cond_ok
-                out.append(
-                    ("v", ek, int(sid), int(entry), bool(active), name, key,
-                     ts_d, seq, expire, "", "", "", "")
-                )
-            else:  # check
-                st = state.get((name, key))
-                active = st is not None and (st[1] == 0 or (ts_d - st[0]) < st[1])
-                cond_ok = bool(active) == bool(want_set)
-                ver[ver_id] = ver.get(ver_id, True) and cond_ok
-                out.append(
-                    ("v", ek, int(sid), int(entry), bool(active), name, key,
-                     ts_d, seq, expire, "", "", "", "")
-                )
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "kind", "event_key", "sid", "entry", "ok",
-                "bit_name", "bit_key", "ts_d", "seq", "expire",
-                "shape", "e_src", "e_dst", "e_user",
-            ],
-        )
+                    cond_ok = bool(active) == bool(want_set)
+                    ver[ver_id] = ver.get(ver_id, True) and cond_ok
+                    out.append(
+                        ("v", ek, int(sid), int(entry), bool(active), name, key,
+                         ts_d, seq, expire, "", "", "", "", None, None)
+                    )
+                else:  # check
+                    st = state.get((name, key))
+                    active = st is not None and (st[1] == 0 or (ts_d - st[0]) < st[1])
+                    cond_ok = bool(active) == bool(want_set)
+                    ver[ver_id] = ver.get(ver_id, True) and cond_ok
+                    out.append(
+                        ("v", ek, int(sid), int(entry), bool(active), name, key,
+                         ts_d, seq, expire, "", "", "", "", None, None)
+                    )
+            yield pd.DataFrame(out, columns=_CHAIN_WALK_COLS)
+
+        if chain_corr_specs:
+            # surviving machine state -> 'cstate' snapshot rows
+            # (survive-or-evict: keys silent past max_corr_secs replay
+            # as fresh next batch and are dropped here)
+            cutoff = (max_t[0] - max_corr_secs) if max_t[0] is not None else None
+            rows = []
+            for machine, mstate in (("a", a_state), ("t", t_state)):
+                for (sid, mkey), (cnt, utime) in mstate.items():
+                    if cutoff is not None and utime < cutoff:
+                        continue
+                    rows.append(
+                        ("cstate", "", int(sid), -1, None, machine,
+                         mkey, 0.0, int(cnt), int(utime), "", "", "", "",
+                         None, None)
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=_CHAIN_WALK_COLS)
+
+    return walk
+
+
+# default walk (no chain-rule after/threshold): same replay, no machines
+_chain_walk = _make_chain_walk({}, 0)
 
 
 _CORR_B_OUT_SCHEMA = (
@@ -902,6 +1001,27 @@ class StreamingSaganEngine:
             if x.action in ("set", "unset")
         ]
         member_bits = set(chain_bit_comp)
+        # chain rules carrying after/threshold: counters run INSIDE the
+        # walk (condition-passing events only, one machine instance
+        # gating both set and alert — engine.c:1370-1427), state seeded
+        # across micro-batches from a snapshot store
+        chain_corr_specs = _corr_spec_map(chain_rules_b)
+        max_corr_secs = max(
+            (
+                max(
+                    v["after"][1] if v["after"] else 0,
+                    v["threshold"][2] if v["threshold"] else 0,
+                )
+                for v in chain_corr_specs.values()
+            ),
+            default=0,
+        )
+        # route a rule's machine seeds to its component's walk partition
+        chain_route_bit = {
+            r.sid: r.xbits[0].name
+            for r in chain_rules_b
+            if r.sid in chain_corr_specs
+        }
 
         hits = self.engine.match_hits(frame, passthrough=EVENT_COLS).filter(
             F.col("sid").isin(self.cond_sids)
@@ -1078,6 +1198,7 @@ class StreamingSaganEngine:
             walk_out = None
             if member_entries:
                 _null_l = F.lit(None).cast("long")
+                _null_str = F.lit(None).cast("string")
                 _blank_tuple = [
                     F.lit("").alias("shape"),
                     F.lit("").alias("e_src"),
@@ -1120,6 +1241,8 @@ class StreamingSaganEngine:
                                 if s is not None
                                 else _blank_tuple
                             ),
+                            _null_str.alias("a_key"),
+                            _null_str.alias("t_key"),
                         )
                     )
                 for sid, x, pos in chain_set_specs:
@@ -1152,6 +1275,16 @@ class StreamingSaganEngine:
                                 if is_flex
                                 else _blank_tuple
                             ),
+                            (
+                                F.col("track_after")
+                                if sid in chain_corr_specs
+                                else _null_str
+                            ).alias("a_key"),
+                            (
+                                F.col("track_threshold")
+                                if sid in chain_corr_specs
+                                else _null_str
+                            ).alias("t_key"),
                         )
                     )
                 ev = parts[0]
@@ -1182,9 +1315,49 @@ class StreamingSaganEngine:
                             F.col("e_src"),
                             F.col("e_dst"),
                             F.col("e_user"),
+                            _null_str.alias("a_key"),
+                            _null_str.alias("t_key"),
                         )
                     )
                     ev = ev.unionByName(staged)
+                chain_state_path = f"{base_path}/chain_corr_state"
+                if chain_corr_specs:
+                    # seed the walk's machines from the previous
+                    # micro-batch's snapshot, routed to the owning
+                    # rule's component partition via its first bit
+                    prev_cs = _read_prev_corr_state(
+                        spark, chain_state_path, batch_id
+                    )
+                    if prev_cs is not None:
+                        route_expr = F.lit(None).cast("string")
+                        for csid, rbit in chain_route_bit.items():
+                            route_expr = F.when(
+                                F.col("sid") == csid, F.lit(rbit)
+                            ).otherwise(route_expr)
+                        seeds = (
+                            prev_cs.filter(
+                                F.col("sid").isin(list(chain_corr_specs))
+                            ).select(
+                                F.lit("cseed").alias("kind"),
+                                route_expr.alias("bit_name"),
+                                F.col("mkey").alias("bit_key"),
+                                F.lit(float("-1e18")).alias("ts_d"),
+                                F.lit("").alias("event_key"),
+                                F.col("cnt").cast("long").alias("seq"),
+                                F.col("utime").cast("long").alias("expire"),
+                                F.col("sid"),
+                                F.lit(-1).cast("int").alias("entry"),
+                                F.lit(False).alias("want_set"),
+                                F.lit("").alias("ver_id"),
+                                F.col("machine").alias("shape"),
+                                F.lit("").alias("e_src"),
+                                F.lit("").alias("e_dst"),
+                                F.lit("").alias("e_user"),
+                                _null_str.alias("a_key"),
+                                _null_str.alias("t_key"),
+                            )
+                        )
+                        ev = ev.unionByName(seeds)
                 comp_expr = F.lit("")
                 for bit, comp in chain_bit_comp.items():
                     comp_expr = F.when(
@@ -1196,14 +1369,8 @@ class StreamingSaganEngine:
                     .repartition(n_comps, "comp")
                     .sortWithinPartitions("ts_d", "event_key", "seq")
                     .mapInPandas(
-                        _chain_walk,
-                        schema=(
-                            "kind string, event_key string, sid long, entry int,"
-                            " ok boolean, bit_name string, bit_key string,"
-                            " ts_d double, seq long, expire long,"
-                            " shape string, e_src string, e_dst string,"
-                            " e_user string"
-                        ),
+                        _make_chain_walk(chain_corr_specs, max_corr_secs),
+                        schema=_CHAIN_WALK_SCHEMA,
                     )
                     .persist()
                 )
@@ -1245,6 +1412,24 @@ class StreamingSaganEngine:
                     extra_partition="set_bucket",
                     writer_id="c",
                 )
+                if chain_corr_specs:
+                    # persist the walk's machine snapshot for the next
+                    # micro-batch (idempotent: a replayed batch N
+                    # re-reads N-1's snapshot and rewrites its own)
+                    _idempotent_write(
+                        walk_out.filter(F.col("kind") == "cstate").select(
+                            "sid",
+                            F.lit("").alias("corr_group"),
+                            F.col("bit_name").alias("machine"),
+                            F.col("bit_key").alias("mkey"),
+                            F.col("seq").alias("cnt"),
+                            F.col("expire").alias("utime"),
+                        ),
+                        chain_state_path,
+                        batch_id,
+                        writer_id="s",
+                    )
+                    _prune_old_corr_snapshots(spark, chain_state_path, batch_id)
 
             verdict = F.lit(True)
             for sid, action, col_name in flag_cols:
@@ -1252,13 +1437,31 @@ class StreamingSaganEngine:
                 verdict = verdict & F.when(F.col("sid") == sid, ok).otherwise(F.lit(True))
 
             routed = batch_df.filter(verdict).drop(*[c for _, _, c in flag_cols])
+            if walk_out is not None and chain_corr_specs:
+                # chain rules' after/threshold verdicts come from the
+                # walk's machines: drop suppressed hits from the alert
+                # path (their gated sets never fired either —
+                # engine.c:1402-1427)
+                chain_sup = (
+                    walk_out.filter(
+                        (F.col("kind") == "cflags")
+                        & (
+                            F.col("suppressed_after")
+                            | F.col("suppressed_threshold")
+                        )
+                    ).select("sid", "event_key")
+                )
+                routed = routed.join(chain_sup, ["sid", "event_key"], "left_anti")
 
             # after/threshold ON condition rules: counters advance only
             # on condition-PASSING rows (engine.c:1373-1389), replayed
             # per (sid, track-key) with state seeded from the previous
             # micro-batch's snapshot (idempotent batch-id partitions —
-            # a replayed batch N re-reads N-1's snapshot)
-            corr_specs_b = _corr_spec_map(cond_rules)
+            # a replayed batch N re-reads N-1's snapshot).  Chain rules'
+            # machines already ran inside the walk — excluded here.
+            corr_specs_b = _corr_spec_map(
+                [r for r in cond_rules if r.sid not in chain_corr_specs]
+            )
             if corr_specs_b:
                 corr_sids_b = list(corr_specs_b)
                 # rows arrive with False placeholder flags (set before

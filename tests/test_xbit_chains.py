@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
-import pytest
 
 from sagan_spark.pipeline.engine import SaganSparkEngine
 from sagan_spark.rules.parser import parse_rules
@@ -176,16 +175,74 @@ alert any any any -> any any (msg:"fc"; content:"stage3"; parse_src_ip: 1; flexb
     }
 
 
-def test_chain_rule_with_after_threshold_rejected(spark):
-    rules = parse_rules(
-        'alert any any any -> any any (msg:"bad"; content:"x"; parse_src_ip: 1; '
-        "xbits: isset, name a, track ip_src; xbits: set, name b, track ip_src; "
-        "after: track by_src, count 2, seconds 60; sid:9620001;)"
-    )
-    with pytest.raises(NotImplementedError):
-        SaganSparkEngine(rules).run(
-            _frame(spark, [("u://e/0", "2026-01-01 00:00:01", "x from 10.0.0.1")])
-        )
+CHAIN_AFTER_RULES = """\
+alert any any any -> any any (msg:"s1"; content:"stage1"; parse_src_ip: 1; xbits: set, name bitA, track ip_src, expire 1h; sid:9620001;)
+alert any any any -> any any (msg:"s2"; content:"stage2"; parse_src_ip: 1; xbits: isset, name bitA, track ip_src; xbits: set, name bitB, track ip_src, expire 1h; after: track by_src, count 2, seconds 600; sid:9620002;)
+alert any any any -> any any (msg:"s3"; content:"stage3"; parse_src_ip: 1; xbits: isset, name bitB, track ip_src; sid:9620003;)
+"""
+
+
+def test_chain_rule_with_after_counters_inside_walk(spark):
+    """after ON a chain rule: counters advance only on condition-PASSING
+    events (reference engine.c:1370-1389 — After2 runs inside routing,
+    which includes the xbit condition), and the SAME machine verdict
+    gates both the alert and the verdict-gated set
+    (engine.c:1402-1427)."""
+    rows = [
+        # 10.0.0.9: two stage2 with bitA UNSET — condition fails, so the
+        # after counter must NOT advance (routing failed)
+        ("u://e/0", "2026-01-01 00:00:01", "stage2 from 10.0.0.9 x"),
+        ("u://e/1", "2026-01-01 00:00:02", "stage2 from 10.0.0.9 x"),
+        ("u://e/2", "2026-01-01 00:00:10", "stage1 from 10.0.0.9 x"),
+        # first PASSING stage2: count 1 <= 2 -> suppressed (if the two
+        # failed-condition events above had counted, this would alert)
+        ("u://e/3", "2026-01-01 00:00:20", "stage2 from 10.0.0.9 x"),
+        ("u://e/4", "2026-01-01 00:00:30", "stage3 from 10.0.0.9 x"),
+        # 10.0.0.1: full ladder — 3rd passing stage2 exceeds count 2
+        ("u://e/5", "2026-01-01 00:01:00", "stage1 from 10.0.0.1 a"),
+        ("u://e/6", "2026-01-01 00:01:10", "stage2 from 10.0.0.1 b"),
+        # suppressed set must NOT have fired: stage3 here stays silent
+        ("u://e/7", "2026-01-01 00:01:15", "stage3 from 10.0.0.1 c"),
+        ("u://e/8", "2026-01-01 00:01:20", "stage2 from 10.0.0.1 d"),
+        ("u://e/9", "2026-01-01 00:01:30", "stage2 from 10.0.0.1 e"),
+        ("u://e/10", "2026-01-01 00:01:40", "stage3 from 10.0.0.1 f"),
+    ]
+    got = _alerts(spark, CHAIN_AFTER_RULES, rows)
+    assert got == {
+        ("u://e/2", 9620001),
+        ("u://e/5", 9620001),
+        ("u://e/9", 9620002),  # 3rd condition-passing stage2 for 10.0.0.1
+        ("u://e/10", 9620003),  # bitB set by u://e/9
+    }
+
+
+def test_chain_rule_with_threshold_gates_the_set(spark):
+    """threshold limit ON a chain rule: a threshold-suppressed event
+    must not re-fire the verdict-gated set (engine.c:1402-1427 — the
+    set block is inside the thresh/after-clear branch)."""
+    rules = """\
+alert any any any -> any any (msg:"s1"; content:"stage1"; parse_src_ip: 1; xbits: set, name bitA, track ip_src, expire 1h; sid:9625001;)
+alert any any any -> any any (msg:"s2"; content:"stage2"; parse_src_ip: 1; xbits: isset, name bitA, track ip_src; xbits: set, name bitB, track ip_src, expire 30; threshold: type limit, track by_src, count 1, seconds 600; sid:9625002;)
+alert any any any -> any any (msg:"s3"; content:"stage3"; parse_src_ip: 1; xbits: isset, name bitB, track ip_src; sid:9625003;)
+"""
+    rows = [
+        ("u://t/0", "2026-01-01 00:00:00", "stage1 from 10.0.0.1 a"),
+        # 1st passing stage2: alerts, sets bitB (expire 30s)
+        ("u://t/1", "2026-01-01 00:00:10", "stage2 from 10.0.0.1 b"),
+        ("u://t/2", "2026-01-01 00:00:20", "stage3 from 10.0.0.1 c"),
+        # 2nd stage2 inside the window: threshold-suppressed -> bitB NOT
+        # re-set; bitB from :10 expires at :40
+        ("u://t/3", "2026-01-01 00:01:10", "stage2 from 10.0.0.1 d"),
+        ("u://t/4", "2026-01-01 00:01:20", "stage3 from 10.0.0.1 e"),
+    ]
+    got = _alerts(spark, rules, rows)
+    assert got == {
+        ("u://t/0", 9625001),
+        ("u://t/1", 9625002),
+        ("u://t/2", 9625003),
+        # u://t/3 absent: threshold suppressed; u://t/4 absent: bitB
+        # expired and the suppressed event did not refresh it
+    }
 
 
 def test_chain_streaming_equals_batch_across_chunks(spark, tmp_path):
@@ -336,3 +393,70 @@ alert any any any -> any any (msg:"fc"; content:"avcheck"; parse_src_ip: 1; flex
         ("u://m/6", 9630003),  # chain bitB from u://m/2
         # u://m/5 absent: reverse-direction unset cleared the tuple
     }
+
+
+def test_chain_after_streaming_equals_batch_across_chunks(spark, tmp_path):
+    """after ON a chain rule through the two-query streaming pipeline:
+    the walk's counter state must SEED across micro-batches (a counter
+    built in chunk 1 carries into chunk 2), and suppressed events must
+    neither alert nor fire the gated set — batch == streaming."""
+    import pyarrow.parquet as pq
+
+    from sagan_spark.streaming import StreamingSaganEngine, pages_stream_frame
+
+    rows = [
+        # chunk 1: arm bitA, then two condition-passing stage2 events
+        # (count 1 and 2 — both after-suppressed, no bitB)
+        ("u://ca/0", "2026-01-01 00:00:01", "stage1 from 10.0.0.1 a"),
+        ("u://ca/1", "2026-01-01 00:00:10", "stage2 from 10.0.0.1 b"),
+        ("u://ca/2", "2026-01-01 00:00:20", "stage2 from 10.0.0.1 c"),
+        ("u://ca/3", "2026-01-01 00:00:25", "stage3 from 10.0.0.1 d"),
+        # failed-condition noise in another src: must not count
+        ("u://ca/4", "2026-01-01 00:00:30", "stage2 from 10.0.0.9 x"),
+        # --- chunk boundary ---
+        # chunk 2: 3rd passing stage2 exceeds count 2 ONLY if the
+        # counter seeded across the restart -> alert + set bitB
+        ("u://ca/5", "2026-01-01 00:01:00", "stage2 from 10.0.0.1 e"),
+        ("u://ca/6", "2026-01-01 00:01:10", "stage3 from 10.0.0.1 f"),
+        ("u://ca/7", "2026-01-01 00:01:20", "stage3 from 10.0.0.9 y"),
+    ]
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array(
+                [pd.Timestamp(r[1]) for r in rows], type=pa.timestamp("us")
+            ),
+            "html": [b"" for _ in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en" for _ in rows],
+        }
+    )
+    rules = parse_rules(CHAIN_AFTER_RULES)
+
+    want = _alerts(spark, CHAIN_AFTER_RULES, rows)
+    assert ("u://ca/5", 9620002) in want  # sanity: counter crossed chunks
+    assert ("u://ca/6", 9620003) in want
+
+    input_dir = tmp_path / "ca_in"
+    input_dir.mkdir()
+    out = str(tmp_path / "ca_sinks")
+    ckpt = str(tmp_path / "ca_ckpt")
+    seng = StreamingSaganEngine(rules, watermark="0 seconds", enable_xbits=True)
+
+    def frame_factory():
+        return SaganSparkEngine.frame_from_pages(
+            pages_stream_frame(spark, str(input_dir))
+        )
+
+    pq.write_table(tbl.slice(0, 5), str(input_dir / "c1.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+    pq.write_table(tbl.slice(5), str(input_dir / "c2.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+
+    got_df = (
+        spark.read.parquet(f"{out}/alerts_eve")
+        .select("url", "alert_signature_id")
+        .toPandas()
+    )
+    got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
+    assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
