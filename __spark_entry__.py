@@ -1492,6 +1492,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _langid_sql() -> str:
+    """text_langid oracle generated from the SAME marker dict the Spark
+    op uses (sagan_spark.ops.textstats.LANG_MARKERS) — one source of
+    truth for words, divisors (padded-marker length), and the
+    first-wins tie-break order."""
+    from sagan_spark.ops.textstats import LANG_MARKERS
+
+    scores = ", ".join(
+        " + ".join(
+            f"(length(p) - length(replace(p, ' {m} ', ''))) / {len(m) + 2}.0"
+            for m in markers
+        )
+        + f" AS s_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    cols = ", ".join(f"s_{lang}" for lang in langs)
+    return (
+        "SELECT pred_lang, count(*) AS n FROM ("
+        "SELECT CASE WHEN best <= 0 THEN 'und' " + case + " ELSE 'und' END"
+        " AS pred_lang FROM ("
+        f"SELECT {best} AS best, {cols} FROM ("
+        f"SELECT {scores}"
+        " FROM (SELECT ' ' || text || ' ' AS p FROM documents)))) GROUP BY 1"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # same pattern strings on both contract sides (RE2-compatible)
     from sagan_spark.ops.psl import registered_domain_sql
@@ -2131,28 +2160,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": _ann_lsh_sql,
         "ann_ivf_topk": _ann_ivf_sql,
-        "text_langid": (
-            "SELECT pred_lang, count(*) AS n FROM ("
-            "SELECT CASE WHEN best <= 0 THEN 'und'"
-            " WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'"
-            " WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es'"
-            " ELSE 'und' END AS pred_lang FROM ("
-            "SELECT greatest(s_en, s_de, s_fr, s_es) AS best, s_en, s_de, s_fr, s_es FROM ("
-            "SELECT"
-            " (length(p) - length(replace(p, ' the ', ''))) / 5.0"
-            " + (length(p) - length(replace(p, ' and ', ''))) / 5.0"
-            " + (length(p) - length(replace(p, ' of ', ''))) / 4.0 AS s_en,"
-            " (length(p) - length(replace(p, ' der ', ''))) / 5.0"
-            " + (length(p) - length(replace(p, ' und ', ''))) / 5.0"
-            " + (length(p) - length(replace(p, ' die ', ''))) / 5.0 AS s_de,"
-            " (length(p) - length(replace(p, ' le ', ''))) / 4.0"
-            " + (length(p) - length(replace(p, ' et ', ''))) / 4.0"
-            " + (length(p) - length(replace(p, ' les ', ''))) / 5.0 AS s_fr,"
-            " (length(p) - length(replace(p, ' el ', ''))) / 4.0"
-            " + (length(p) - length(replace(p, ' y ', ''))) / 3.0"
-            " + (length(p) - length(replace(p, ' los ', ''))) / 5.0 AS s_es"
-            " FROM (SELECT ' ' || text || ' ' AS p FROM documents)))) GROUP BY 1"
-        ),
+        "text_langid": _langid_sql(),
         "text_quality": (
             "SELECT doc_id, n_chars, n_words, round(avg_word_len, 6) AS avg_word_len,"
             " round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,"

@@ -10,12 +10,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# tiny n-gram/stopword marker sets per language (heuristic lang-id)
+# high-frequency function-word marker sets per language (heuristic
+# lang-id; the classic stopword-profile approach — Cavnar & Trenkle
+# 1994 n-gram ranking, collapsed to whole-word markers so the score
+# stays pure whole-stage codegen AND ANSI-SQL-mirrorable).  Word lists
+# are the usual public stopword sets (Snowball-family).  Tie-break is
+# first-wins in this insertion order.
 LANG_MARKERS = {
-    "en": ["the", "and", "of"],
-    "de": ["der", "und", "die"],
-    "fr": ["le", "et", "les"],
-    "es": ["el", "y", "los"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was",
+           "for", "with", "as", "on", "at", "by"],
+    "de": ["der", "und", "die", "das", "ist", "nicht", "von", "mit",
+           "den", "auf", "dem", "ein", "eine", "zu", "sich"],
+    "fr": ["le", "et", "les", "des", "est", "dans", "que", "qui",
+           "une", "pour", "pas", "sur", "par", "avec", "plus"],
+    "es": ["el", "y", "los", "las", "que", "en", "un", "una", "por",
+           "con", "para", "es", "del", "se", "no"],
+    "it": ["il", "di", "che", "la", "per", "con", "non", "una",
+           "sono", "della", "anche", "come"],
+    "pt": ["de", "que", "uma", "os", "das", "dos", "com", "para",
+           "por", "mais", "como", "foi"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "voor",
+           "met", "zijn", "ook", "maar"],
 }
 
 
