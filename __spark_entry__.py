@@ -783,6 +783,58 @@ def q_a1_threshold_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a4_chain_after_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """after ON a CHAIN rule through the REAL engine path: sid 7610002
+    checks bitA (set by 'view' events), carries ``after: count 2``, and
+    sets bitB — its counters run INSIDE the component walk on
+    condition-passing events only, and one machine verdict gates both
+    the alert and the gated set (reference engine.c:1370-1389 counters
+    inside routing, :1402-1427 set+alert only when the gates clear).
+    sid 7610003 observes bitB, so a suppressed set that wrongly fired
+    would surface as extra s3 alerts.  Oracle: window pass-filter +
+    recursive-CTE replay of after.c over the passing rows."""
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+
+    ev = _ev(spark, sf_dir)
+    msg = F.format_string(
+        "corr probe from 10.%d.%d.1 seq",
+        (F.col("user_id") % 250).cast("int"),
+        (F.floor(F.col("user_id") / 250) % 250).cast("int"),
+    )
+    frame = ev.select(
+        F.col("event_id").cast("string").alias("event_key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.concat(F.lit("user-"), F.col("user_id")).alias("host"),
+        F.col("event_type").alias("program"),
+        F.lit("").alias("facility"),
+        F.lit("").alias("level"),
+        F.lit("").alias("tag"),
+        msg.alias("message"),
+    )
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"chain arm"; program: view; '
+        'content:"corr probe"; parse_src_ip: 1; '
+        "xbits: set, name bitA, track ip_src; "
+        "classtype: misc-attack; sid:7610001; rev:1;)\n"
+        'alert any any any -> any any (msg:"chain escalate"; program: click; '
+        'content:"corr probe"; parse_src_ip: 1; '
+        "xbits: isset, name bitA, track ip_src; "
+        "xbits: set, name bitB, track ip_src; "
+        "after: track by_src, count 2, seconds 172800; "
+        "classtype: misc-attack; sid:7610002; rev:1;)\n"
+        'alert any any any -> any any (msg:"chain observe"; program: error; '
+        'content:"corr probe"; parse_src_ip: 1; '
+        "xbits: isset, name bitB, track ip_src; "
+        "classtype: misc-attack; sid:7610003; rev:1;)"
+    )
+    alerts = SaganSparkEngine(rules).run(frame).alerts()
+    return alerts.groupBy("sid", "src_ip").agg(
+        F.count(F.lit(1)).cast("long").alias("n_alerts")
+    )
+
+
 def q_k6_external_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: per-rule ``external`` routing — alerts of rules carrying
     ``external: /path`` stream to that program, one process per
@@ -1445,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_lineage_rollup": q_a11_lineage_rollup,
         "j3_bluedot": q_j3_bluedot,
         "a1_threshold_engine": q_a1_threshold_engine,
+        "a4_chain_after_engine": q_a4_chain_after_engine,
         "k6_external_route": q_k6_external_route,
         "f7_json_pcre": q_f7_json_pcre,
         "f8_json_meta_content": q_f8_json_meta_content,
@@ -1994,6 +2047,60 @@ def oracle_sql() -> dict[str, str]:
             " SELECT CAST(7600002 AS BIGINT), key,"
             "  CAST(count(*) AS BIGINT)"
             " FROM walk WHERE NOT asup GROUP BY key"
+        ),
+        "a4_chain_after_engine": (
+            # replay order (ts, event_key) matches the walk's
+            # sortWithinPartitions(ts_d, event_key, seq); bits are
+            # permanent (expire 0) so 'bitA live' reduces to 'a prior
+            # view row exists for this key', and bitB to 'a prior
+            # UNSUPPRESSED passing click row exists' — the after
+            # machine (after.c:51-229) replays as a recursive CTE over
+            # the condition-PASSING click rows only (engine.c:1370-1389)
+            "WITH RECURSIVE base AS ("
+            " SELECT '10.' || CAST(user_id % 250 AS VARCHAR) || '.' ||"
+            "  CAST((user_id // 250) % 250 AS VARCHAR) || '.1' AS key,"
+            "  CAST(floor(epoch(ts)) AS BIGINT) AS t, ts,"
+            "  CAST(event_id AS VARCHAR) AS ek, event_type"
+            " FROM events),"
+            " pass AS ("
+            "  SELECT key, t, ts, ek FROM ("
+            "   SELECT b.*, sum(CASE WHEN event_type = 'view' THEN 1"
+            "    ELSE 0 END) OVER (PARTITION BY key ORDER BY ts, ek"
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            "    AS prior_views FROM base b)"
+            "  WHERE event_type = 'click'"
+            "   AND coalesce(prior_views, 0) > 0),"
+            " ord AS (SELECT key, t, ts, ek, row_number() OVER ("
+            "  PARTITION BY key ORDER BY ts, ek) AS rn FROM pass),"
+            " walk AS ("
+            "  SELECT key, rn, t, ts, ek,"
+            "   1 AS acnt, t AS aut, true AS asup"
+            "  FROM ord WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT o.key, o.rn, o.t, o.ts, o.ek,"
+            "   CASE WHEN o.t - w.aut > 172800 THEN 1 ELSE w.acnt + 1 END,"
+            "   CASE WHEN (CASE WHEN o.t - w.aut > 172800 THEN 1"
+            "              ELSE w.acnt + 1 END) > 2 THEN o.t"
+            "        WHEN o.t - w.aut > 172800 THEN o.t"
+            "        ELSE w.aut END,"
+            "   NOT ((CASE WHEN o.t - w.aut > 172800 THEN 1"
+            "         ELSE w.acnt + 1 END) > 2)"
+            "  FROM walk w JOIN ord o ON o.key = w.key AND o.rn = w.rn + 1),"
+            " s2alert AS (SELECT key, ts, ek FROM walk WHERE NOT asup),"
+            " s3 AS ("
+            "  SELECT b.key, b.ek FROM base b"
+            "  WHERE b.event_type = 'error' AND EXISTS ("
+            "   SELECT 1 FROM s2alert s WHERE s.key = b.key"
+            "    AND (s.ts < b.ts OR (s.ts = b.ts AND s.ek < b.ek))))"
+            " SELECT CAST(7610001 AS BIGINT) AS sid, key AS src_ip,"
+            "  CAST(count(*) AS BIGINT) AS n_alerts"
+            " FROM base WHERE event_type = 'view' GROUP BY key"
+            " UNION ALL"
+            " SELECT CAST(7610002 AS BIGINT), key,"
+            "  CAST(count(*) AS BIGINT) FROM s2alert GROUP BY key"
+            " UNION ALL"
+            " SELECT CAST(7610003 AS BIGINT), key,"
+            "  CAST(count(*) AS BIGINT) FROM s3 GROUP BY key"
         ),
         "k6_external_route": (
             "SELECT CAST(7500011 AS BIGINT) AS sid, 'error' AS program,"
