@@ -1252,6 +1252,33 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible-text extraction over a BYTE column
+    (ops/htmltext.py): documents are wrapped in a deterministic markup
+    scaffold (script/style/comment/entity traps included), UTF-8
+    encoded to binary — the pages table's ``html: binary`` shape — and
+    the declared regex-chain spec extracts the text back.  Pure
+    whole-stage codegen; the oracle applies the SAME chain
+    (html_text_sql, one source of truth) to the same scaffold."""
+    from sagan_spark.ops.htmltext import extract_text
+
+    docs = _docs(spark, sf_dir)
+    scaffold = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit('</title><script type="x">var a = 1 < 2;</script>'),
+        F.lit("<style>p { color: red }</style></head><body><!-- id "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp;lt; &nbsp;done</p></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(scaffold, "UTF-8").alias("html"))
+    return extract_text(pages).select("doc_id", "text_extracted")
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.textstats import lang_id
 
@@ -1522,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "html_extract_text": q_html_extract_text,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -1543,6 +1571,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
     }
+
+
+def _html_extract_sql() -> str:
+    """html_extract_text oracle: the SAME scaffold and the SAME rewrite
+    chain (ops.htmltext.html_text_sql) the Spark query runs — decode
+    (encode(s)) on the Spark side is the identity on valid UTF-8, so
+    the oracle applies the chain to the scaffold string directly."""
+    from sagan_spark.ops.htmltext import html_text_sql
+
+    scaffold = (
+        "'<html><head><title>' || source ||"
+        " '</title><script type=\"x\">var a = 1 < 2;</script>' ||"
+        " '<style>p { color: red }</style></head><body><!-- id ' ||"
+        " CAST(doc_id AS VARCHAR) || ' --><h1>' || source ||"
+        " '</h1><p>' || text || ' &amp;lt; &nbsp;done</p></body></html>'"
+    )
+    return (
+        f"SELECT doc_id, {html_text_sql('(' + scaffold + ')')}"
+        " AS text_extracted FROM documents"
+    )
 
 
 def _langid_sql() -> str:
@@ -2267,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": _ann_lsh_sql,
         "ann_ivf_topk": _ann_ivf_sql,
+        "html_extract_text": _html_extract_sql(),
         "text_langid": _langid_sql(),
         "text_quality": (
             "SELECT doc_id, n_chars, n_words, round(avg_word_len, 6) AS avg_word_len,"

@@ -1,0 +1,94 @@
+"""HTML -> text extraction over the pages table's ``html`` byte column.
+
+The north-star pipeline reads Common-Crawl-style pages whose raw markup
+arrives as ``html: binary``; training-data prep needs the visible text
+(the reference engine normalizes its inputs before matching —
+src/parsers/syslog.c strips transport framing the same way this strips
+markup framing).  The extractor is a DECLARED SPEC — an ordered chain
+of regex/literal rewrites chosen so every step is a built-in JVM
+expression (whole-stage codegen, zero Python) AND expressible verbatim
+in ANSI SQL for the DuckDB oracle:
+
+1. decode the byte column as UTF-8,
+2. drop <script ...>...</script> and <style ...>...</style> blocks
+   (case-insensitive, dot-matches-newline),
+3. drop <!-- comments -->,
+4. replace every remaining tag <...> with one space,
+5. decode the common named entities, ``&amp;`` LAST so ``&amp;lt;``
+   yields the literal ``&lt;`` and not ``<``,
+6. collapse runs of [space tab CR LF FF] to one space and trim.
+
+The patterns avoid constructs where Java regex and RE2 semantics
+diverge (no \\b, no \\s — explicit classes instead), so the Spark
+column expression and the generated SQL compute byte-identical output.
+The same constants drive both sides (html_text_sql), the pure-Python
+twin in tests/test_htmltext.py pins the spec with re.sub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ordered rewrite spec (applied top to bottom)
+SCRIPT_RE = r"(?is)<script(\s[^>]*)?>.*?</script[ \t\r\n\f]*>"
+STYLE_RE = r"(?is)<style(\s[^>]*)?>.*?</style[ \t\r\n\f]*>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+TAG_RE = r"<[^>]*>"
+WS_RE = r"[ \t\r\n\f]+"
+
+# literal entity decodes; &amp; MUST come last
+ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_text_expr(col: F.Column) -> F.Column:
+    """The extraction chain over a STRING html column (pure built-in
+    expressions — stays inside whole-stage codegen)."""
+    out = F.regexp_replace(col, SCRIPT_RE, " ")
+    out = F.regexp_replace(out, STYLE_RE, " ")
+    out = F.regexp_replace(out, COMMENT_RE, " ")
+    out = F.regexp_replace(out, TAG_RE, " ")
+    for ent, ch in ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, WS_RE, " ")
+    return F.trim(out)
+
+
+def extract_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text_extracted",
+) -> DataFrame:
+    """Append ``out_col`` with the extracted visible text of the
+    ``html_col`` BYTE column (UTF-8).  One narrow projection, no
+    shuffle, no Python — the per-url byte-identity invariant is carried
+    by the deterministic spec, not by an execution mode."""
+    return pages.withColumn(
+        out_col, html_text_expr(F.decode(F.col(html_col), "UTF-8"))
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def html_text_sql(expr: str) -> str:
+    """The SAME chain as ``html_text_expr`` in ANSI SQL (DuckDB
+    regexp_replace needs explicit 'g'/'gs' flags where Spark replaces
+    globally by default) — one source of truth for the oracle."""
+    out = f"regexp_replace({expr}, {_sql_quote(SCRIPT_RE)}, ' ', 'g')"
+    out = f"regexp_replace({out}, {_sql_quote(STYLE_RE)}, ' ', 'g')"
+    out = f"regexp_replace({out}, {_sql_quote(COMMENT_RE)}, ' ', 'g')"
+    out = f"regexp_replace({out}, {_sql_quote(TAG_RE)}, ' ', 'g')"
+    for ent, ch in ENTITIES:
+        out = f"replace({out}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    out = f"regexp_replace({out}, {_sql_quote(WS_RE)}, ' ', 'g')"
+    return f"trim({out})"

@@ -1,0 +1,71 @@
+"""HTML -> text extraction spec: the Spark expression chain equals a
+pure-Python re.sub twin of the declared spec on adversarial markup,
+and the binary (UTF-8 byte) input path round-trips."""
+
+from __future__ import annotations
+
+import re
+
+from sagan_spark.ops.htmltext import (
+    COMMENT_RE,
+    ENTITIES,
+    SCRIPT_RE,
+    STYLE_RE,
+    TAG_RE,
+    WS_RE,
+    extract_text,
+)
+
+CASES = [
+    "<html><body><p>plain text</p></body></html>",
+    # script with attributes, markup inside, sloppy close
+    '<script type="text/javascript">if (a < b) { x("</p>"); }</script >after',
+    # style across lines
+    "<style>\np { color: red; }\n</style>kept",
+    # comments hiding tags
+    "a<!-- <script>evil()</script> -->b",
+    # entities, &amp;lt; must yield literal &lt;
+    "x &lt;tag&gt; &amp;lt; &quot;q&quot; &#39;s&#39; &nbsp; &amp; y",
+    # tag soup: attribute values with angle-ish content, unclosed tags
+    '<a href="u?q=1&amp;r=2" title=big>link</a><br><hr/>',
+    # whitespace variety
+    "line1\r\n\tline2\f  line3",
+    # nested-looking script (non-greedy stops at first close)
+    "<script>a</script>mid<script>b</script>end",
+    # case-insensitivity
+    "<SCRIPT>gone</SCRIPT><STYLE>gone</STYLE><B>bold</B>",
+    # empty and markup-only
+    "",
+    "<div><span></span></div>",
+]
+
+
+def py_twin(html: str) -> str:
+    out = re.sub(SCRIPT_RE, " ", html)
+    out = re.sub(STYLE_RE, " ", out)
+    out = re.sub(COMMENT_RE, " ", out)
+    out = re.sub(TAG_RE, " ", out)
+    for ent, ch in ENTITIES:
+        out = out.replace(ent, ch)
+    out = re.sub(WS_RE, " ", out)
+    return out.strip(" ")
+
+
+def test_extract_matches_python_twin_on_adversarial_markup(spark):
+    rows = [(i, c.encode("utf-8")) for i, c in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {
+        r.doc_id: r.text_extracted
+        for r in extract_text(df).select("doc_id", "text_extracted").collect()
+    }
+    want = {i: py_twin(c) for i, c in enumerate(CASES)}
+    assert got == want
+
+
+def test_twin_spot_values():
+    # pin a few absolute outputs so the spec itself (not just
+    # twin-equality) is under test
+    assert py_twin("<p>plain</p>") == "plain"
+    assert py_twin("x &amp;lt; y") == "x &lt; y"
+    assert py_twin("<script>a</script>mid<script>b</script>end") == "mid end"
+    assert py_twin("a<!-- <script>s</script> -->b") == "a b"
