@@ -95,11 +95,27 @@ class SaganSparkEngine:
     # -- canonical frame ------------------------------------------------------
 
     @staticmethod
-    def frame_from_pages(pages: DataFrame) -> DataFrame:
+    def frame_from_pages(
+        pages: DataFrame, extract_from_html: bool = False
+    ) -> DataFrame:
         """Adapt the Common-Crawl-style pages table (url, warc_ts, html,
         text, lang) to the canonical event frame (SURVEY §1.2 mapping:
         text≙syslog_message, url host≙syslog_host, lang≙syslog_program,
-        warc_ts≙event time)."""
+        warc_ts≙event time).
+
+        ``extract_from_html``: rows whose ``text`` is NULL or empty fall
+        back to extracting the visible text from the ``html`` byte
+        column (ops/htmltext.py declared spec) — a crawl that carries
+        only raw markup runs the full pipeline without a separate
+        preprocessing pass.  The extraction chain is WHEN-gated so rows
+        with text never pay for it."""
+        msg = F.col("text")
+        if extract_from_html:
+            from sagan_spark.ops.htmltext import html_text_expr
+
+            msg = F.when(
+                F.col("text").isNotNull() & (F.col("text") != ""), F.col("text")
+            ).otherwise(html_text_expr(F.decode(F.col("html"), "UTF-8")))
         return pages.select(
             F.col("url").alias("event_key"),
             F.col("warc_ts").alias("ts"),
@@ -111,7 +127,7 @@ class SaganSparkEngine:
             F.lit("").alias("level"),
             F.lit("").alias("tag"),
             F.lit("").alias("priority"),
-            F.col("text").alias("message"),
+            msg.alias("message"),
         )
 
     def _event_cols(self, df: DataFrame, with_extraction: bool) -> EventCols:

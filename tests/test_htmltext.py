@@ -69,3 +69,39 @@ def test_twin_spot_values():
     assert py_twin("x &amp;lt; y") == "x &lt; y"
     assert py_twin("<script>a</script>mid<script>b</script>end") == "mid end"
     assert py_twin("a<!-- <script>s</script> -->b") == "a b"
+
+
+def test_frame_from_pages_html_fallback(spark):
+    """Rows with empty/NULL text extract their message from the html
+    byte column; rows with text keep it untouched."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+
+    rows = [
+        ("u://x/0", "2026-01-01 00:00:01", b"", "has text already"),
+        ("u://x/1", "2026-01-01 00:00:02",
+         b"<html><body><p>from &amp; markup</p></body></html>", ""),
+        ("u://x/2", "2026-01-01 00:00:03",
+         b"<script>x</script><b>markup only</b>", None),
+    ]
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array(
+                [pd.Timestamp(r[1]) for r in rows], type=pa.timestamp("us")
+            ),
+            "html": [r[2] for r in rows],
+            "text": pa.array([r[3] for r in rows], type=pa.string()),
+            "lang": ["en" for _ in rows],
+        }
+    )
+    pages = spark.createDataFrame(tbl.to_pandas())
+    frame = SaganSparkEngine.frame_from_pages(pages, extract_from_html=True)
+    got = {r.event_key: r.message for r in frame.select("event_key", "message").collect()}
+    assert got == {
+        "u://x/0": "has text already",
+        "u://x/1": "from & markup",
+        "u://x/2": "markup only",
+    }
