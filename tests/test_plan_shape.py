@@ -118,9 +118,14 @@ def test_corpus_ops_stay_jvm_side(spark):
         repetition_metrics,
     )
 
+    from sagan_spark.ops.htmltext import extract_text
+
     docs = spark.createDataFrame(
         [(1, "some text here", "en", "https://www.a.example.com/x")],
         "doc_id long, text string, lang string, url string",
+    )
+    pages = spark.createDataFrame(
+        [(1, b"<p>x</p>")], "doc_id long, html binary"
     )
     plans = {
         "gopher": gopher_quality_filters(docs),
@@ -130,6 +135,7 @@ def test_corpus_ops_stay_jvm_side(spark):
         "rollup": domain_rollup(docs),
         "blocklist": blocklist_filter(docs, ["example.com"]),
         "para_dedup": dedup_paragraphs(docs),
+        "html_extract": extract_text(pages),
     }
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
