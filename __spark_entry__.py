@@ -1183,7 +1183,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (pandas-UDF bit math — rows-only oracle check)."""
+    """SimHash near-dup (numpy-vectorized pandas-UDF bit math).  Full
+    oracle parity: the DuckDB twin replays the 64-bit FNV+splitmix gram
+    hash with HUGEINT mul-mod emulation (see oracle_sql)."""
     from sagan_spark.ops.dedup import simhash_near_dups
 
     docs = _docs(spark, sf_dir)
@@ -1201,8 +1203,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed embedding dedup — the 100 TB scale path (per-bucket
     candidates instead of crossJoin).  Pinned against a pure-Python
-    twin in tests/test_dedup_ops.py; rows-only at the SQL gate (the
-    hyperplane family is not DuckDB-expressible)."""
+    twin in tests/test_dedup_ops.py AND a full DuckDB oracle (the
+    hyperplane literals are deterministic driver constants frozen into
+    the oracle SQL, same replay pattern as ann_lsh_topk)."""
     from sagan_spark.ops.dedup import embedding_lsh_dups
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
@@ -1711,6 +1714,99 @@ def oracle_sql() -> dict[str, str]:
         " FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id"
         " JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)"
         " WHERE rank <= 5"
+    )
+
+    # --- dedup_embedding_lsh oracle: same frozen-hyperplane replay as
+    # ann_lsh_topk, over the q entry's vec_id < 200 slice (4 planes x
+    # 4 tables; UNION dedups candidate pairs across tables exactly like
+    # the Spark side's dropDuplicates) -------------------------------
+    _elsh_tables = [_hyperplanes(64, 4, t) for t in range(4)]
+    _elsh_cands = " UNION ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM et{t} a JOIN et{t} b"
+        " ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        for t in range(len(_elsh_tables))
+    )
+    _elsh_sql = (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200), "
+        + ", ".join(
+            f"et{t} AS (SELECT vec_id, {_bucket_sql(pl)} AS bucket FROM e)"
+            for t, pl in enumerate(_elsh_tables)
+        )
+        + f", cand AS ({_elsh_cands})"
+        " SELECT id_a, id_b, round(cosine, 5) AS cosine FROM ("
+        " SELECT cand.id_a, cand.id_b, "
+        + _sqcos("ea.embedding", "eb.embedding")
+        + " AS cosine"
+        " FROM cand JOIN e ea ON ea.vec_id = cand.id_a"
+        " JOIN e eb ON eb.vec_id = cand.id_b)"
+        " WHERE cosine >= 0.3"
+    )
+
+    # --- dedup_simhash oracle: full 64-bit gram-hash replay in SQL.
+    # DuckDB BIGINT/UBIGINT multiplication raises on overflow, so each
+    # wrapping u64 multiply is emulated in HUGEINT pieces:
+    #   a*b mod 2^64 = ((a_hi*b mod 2^32) << 32 + a_lo*b) mod 2^64
+    # (a_lo*b <= 2^96 and the shifted term <= 2^64, both inside
+    # HUGEINT range).  Everything else — xor, logical >>, bit_count,
+    # the bit-majority vote, and the pigeonhole block join — maps to
+    # native UBIGINT ops.  Validated bit-for-bit against
+    # ops.dedup.simhash_scalar on every sf0.001/sf0.01 document. ------
+    from sagan_spark.ops.dedup import _FNV_OFFSET, _FNV_PRIME, _MIX1, _MIX2
+
+    _m64 = 1 << 64
+
+    def _mm(a: str, b: int) -> str:
+        return (
+            f"CAST((((({a}) >> 32)::HUGEINT * {b} % 4294967296) * 4294967296"
+            f" + (({a}) & 4294967295)::HUGEINT * {b}) % {_m64} AS UBIGINT)"
+        )
+
+    def _fnv_step(prev: str, cp: str) -> str:
+        # one FNV round; skipped when the codepoint is NULL (a short
+        # gram from a text with fewer than k chars — scalar spec hashes
+        # the whole text as a single gram)
+        return (
+            f"CASE WHEN {cp} IS NULL THEN {prev} ELSE "
+            + _mm(f"xor({prev}, CAST({cp} AS UBIGINT))", _FNV_PRIME)
+            + " END"
+        )
+
+    _sh_k, _sh_maxham = 4, 8
+    _sh_blocks = _sh_maxham + 1
+    _sh_width = 64 // _sh_blocks
+    _sh_mask = (1 << _sh_width) - 1
+    _simhash_sql = (
+        "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),"
+        f" pos AS (SELECT doc_id, text, n, unnest(range(1, greatest(n - {_sh_k - 1}, 1) + 1)) AS i"
+        "  FROM d WHERE n > 0),"
+        " cps AS (SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) AS cp1,"
+        "  CASE WHEN i+1 <= n THEN unicode(substr(text, CAST(i+1 AS INT), 1)) END AS cp2,"
+        "  CASE WHEN i+2 <= n THEN unicode(substr(text, CAST(i+2 AS INT), 1)) END AS cp3,"
+        "  CASE WHEN i+3 <= n THEN unicode(substr(text, CAST(i+3 AS INT), 1)) END AS cp4"
+        "  FROM pos),"
+        f" s1 AS (SELECT doc_id, cp2, cp3, cp4, {_fnv_step(str(_FNV_OFFSET) + '::UBIGINT', 'cp1')} AS h FROM cps),"
+        f" s2 AS (SELECT doc_id, cp3, cp4, {_fnv_step('h', 'cp2')} AS h FROM s1),"
+        f" s3 AS (SELECT doc_id, cp4, {_fnv_step('h', 'cp3')} AS h FROM s2),"
+        f" s4 AS (SELECT doc_id, {_fnv_step('h', 'cp4')} AS h FROM s3),"
+        " f1 AS (SELECT doc_id, xor(h, h >> 30) AS h FROM s4),"
+        f" f2 AS (SELECT doc_id, {_mm('h', _MIX1)} AS h FROM f1),"
+        " f3 AS (SELECT doc_id, xor(h, h >> 27) AS h FROM f2),"
+        f" f4 AS (SELECT doc_id, {_mm('h', _MIX2)} AS h FROM f3),"
+        " gh AS (SELECT DISTINCT doc_id, xor(h, h >> 31) AS g FROM f4),"
+        " cnt AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),"
+        " bits AS (SELECT gh.doc_id, b.b,"
+        "   sum(CASE WHEN (g >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE 0 END) AS c"
+        "  FROM gh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b GROUP BY 1, 2),"
+        " sh AS (SELECT bits.doc_id,"
+        "   CAST(sum(CASE WHEN c * 2 >= cnt.n THEN (CAST(1 AS UBIGINT) << CAST(b AS INT))::HUGEINT ELSE 0 END) AS UBIGINT) AS u"
+        "  FROM bits JOIN cnt ON cnt.doc_id = bits.doc_id GROUP BY 1),"
+        f" bl AS (SELECT doc_id, u, blk.blk, (u >> CAST(blk.blk * {_sh_width} AS INT)) & {_sh_mask} AS block"
+        f"  FROM sh CROSS JOIN (SELECT unnest(range(0, {_sh_blocks})) AS blk) blk)"
+        " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        "  CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming"
+        " FROM bl a JOIN bl b ON a.blk = b.blk AND a.block = b.block"
+        "  AND a.doc_id < b.doc_id"
+        f" WHERE bit_count(xor(a.u, b.u)) <= {_sh_maxham}"
     )
 
     # synthetic url + host/domain (the op's exact algorithm: the PSL
@@ -2376,7 +2472,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM m"
         ),
         # multimodal_features_ann: PRNG stub kernel — rows-only
-        # dedup_simhash, ann_lsh_topk: pandas-UDF / hyperplane ops — rows-only
+        "dedup_simhash": _simhash_sql,
+        "dedup_embedding_lsh": _elsh_sql,
         "webclean_repetition": (
             "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,"
             " round((len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE), 6)"
