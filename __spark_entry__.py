@@ -1422,6 +1422,40 @@ def q_webclean_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filters(_docs(spark, sf_dir))
 
 
+def _benchmark_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic eval set: every 97th document with >=30
+    tokens contributes tokens 6..30 as one benchmark entry — guarantees
+    real 13-gram overlap for the gate while the SAME expression builds
+    the oracle's bench table."""
+    from sagan_spark.ops.decontam import _tokens
+
+    d = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).filter(
+        (F.col("doc_id") % 97 == 0) & (F.size("toks") >= 30)
+    )
+    return d.select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice("toks", 6, 25)).alias("text"),
+    )
+
+
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Brown et al. arXiv:2005.14165 App. C):
+    13-gram overlap vs a deterministic synthetic eval set; broadcast
+    benchmark side, no corpus shuffle before the hit aggregation."""
+    from sagan_spark.ops.decontam import contamination_hits
+
+    docs = _docs(spark, sf_dir)
+    return contamination_hits(docs, _benchmark_from_docs(docs), n=13)
+
+
+def q_dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span fraction (Lee et al. arXiv:2107.06499):
+    13-token windows occurring in >=2 distinct docs corpus-wide."""
+    from sagan_spark.ops.decontam import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), n=13)
+
+
 def _docs_with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a deterministic synthetic url (the testdata table
     carries no url column; the SAME expression runs in the oracle)."""
@@ -1546,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": q_dedup_cluster_canonical,
         "dedup_drop_list": q_dedup_drop_list,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "decontam_hits": q_decontam_hits,
+        "dedup_duplicated_spans": q_dedup_duplicated_spans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1807,6 +1843,61 @@ def oracle_sql() -> dict[str, str]:
         " FROM bl a JOIN bl b ON a.blk = b.blk AND a.block = b.block"
         "  AND a.doc_id < b.doc_id"
         f" WHERE bit_count(xor(a.u, b.u)) <= {_sh_maxham}"
+    )
+
+    # --- decontamination / duplicated-span oracles (ops/decontam.py):
+    # same tokenization, short-item shingle rule, and >=2-distinct-docs
+    # span test, replayed in DuckDB list ops --------------------------
+    _dc_tok = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+
+    def _dc_shingles(src: str, idc: str, n: int) -> str:
+        # distinct (id, md5(shingle)); texts shorter than n tokens
+        # contribute their whole token join (Brown et al. short-item
+        # rule); DuckDB range() is stop-exclusive -> stop = len-(n-2)
+        return (
+            f"SELECT DISTINCT {idc}, md5(sh) AS h FROM ("
+            f" SELECT {idc}, unnest(list_transform(range(1, len(toks) - {n - 2}),"
+            f"  i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS sh"
+            f" FROM {src} WHERE len(toks) >= {n}"
+            f" UNION ALL"
+            f" SELECT {idc}, array_to_string(toks, ' ') AS sh"
+            f" FROM {src} WHERE len(toks) BETWEEN 1 AND {n - 1})"
+        )
+
+    _decontam_sql = (
+        f"WITH dt AS (SELECT doc_id, {_dc_tok} AS toks FROM documents),"
+        " bt AS (SELECT doc_id AS bench_id, toks[6:30] AS toks FROM dt"
+        "  WHERE doc_id % 97 = 0 AND len(toks) >= 30),"
+        f" ds AS ({_dc_shingles('dt', 'doc_id', 13)}),"
+        f" bs AS ({_dc_shingles('bt', 'bench_id', 13)})"
+        " SELECT ds.doc_id, count(DISTINCT ds.h) AS n_hit_shingles,"
+        " count(DISTINCT bs.bench_id) AS n_bench_docs"
+        " FROM ds JOIN bs ON ds.h = bs.h GROUP BY 1"
+    )
+
+    _dspan_n = 13
+    _dspan_sql = (
+        f"WITH dt AS (SELECT doc_id, {_dc_tok} AS toks FROM documents),"
+        " pos AS (SELECT doc_id, md5(sh) AS h FROM ("
+        f" SELECT doc_id, unnest(list_transform(range(1, len(toks) - {_dspan_n - 2}),"
+        f"  i -> array_to_string(toks[i:i+{_dspan_n - 1}], ' '))) AS sh"
+        f" FROM dt WHERE len(toks) >= {_dspan_n})),"
+        " duph AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd"
+        "  FROM pos GROUP BY 1) WHERE nd >= 2),"
+        " tot AS (SELECT doc_id, count(*) AS n_windows FROM pos GROUP BY 1),"
+        " dup AS (SELECT doc_id, count(*) AS n_dup FROM pos"
+        "  WHERE h IN (SELECT h FROM duph) GROUP BY 1)"
+        " SELECT d.doc_id, coalesce(t.n_windows, 0) AS n_windows,"
+        " coalesce(dup.n_dup, 0) AS n_dup_windows,"
+        " round(CASE WHEN coalesce(t.n_windows, 0) > 0"
+        "  THEN coalesce(dup.n_dup, 0) / CAST(t.n_windows AS DOUBLE)"
+        "  ELSE 0.0 END, 6) AS dup_frac"
+        " FROM (SELECT doc_id FROM documents) d"
+        " LEFT JOIN tot t ON t.doc_id = d.doc_id"
+        " LEFT JOIN dup ON dup.doc_id = d.doc_id"
     )
 
     # synthetic url + host/domain (the op's exact algorithm: the PSL
@@ -2474,6 +2565,8 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features_ann: PRNG stub kernel — rows-only
         "dedup_simhash": _simhash_sql,
         "dedup_embedding_lsh": _elsh_sql,
+        "decontam_hits": _decontam_sql,
+        "dedup_duplicated_spans": _dspan_sql,
         "webclean_repetition": (
             "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,"
             " round((len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE), 6)"
