@@ -1836,8 +1836,13 @@ def oracle_sql() -> dict[str, str]:
         " sh AS (SELECT bits.doc_id,"
         "   CAST(sum(CASE WHEN c * 2 >= cnt.n THEN (CAST(1 AS UBIGINT) << CAST(b AS INT))::HUGEINT ELSE 0 END) AS UBIGINT) AS u"
         "  FROM bits JOIN cnt ON cnt.doc_id = bits.doc_id GROUP BY 1),"
+        # empty/NULL-text docs hash to 0 in the Spark UDF and join like
+        # any other value — the oracle must carry them too
+        " shz AS (SELECT * FROM sh UNION ALL"
+        "  SELECT doc_id, CAST(0 AS UBIGINT) AS u FROM documents"
+        "  WHERE text IS NULL OR length(text) = 0),"
         f" bl AS (SELECT doc_id, u, blk.blk, (u >> CAST(blk.blk * {_sh_width} AS INT)) & {_sh_mask} AS block"
-        f"  FROM sh CROSS JOIN (SELECT unnest(range(0, {_sh_blocks})) AS blk) blk)"
+        f"  FROM shz CROSS JOIN (SELECT unnest(range(0, {_sh_blocks})) AS blk) blk)"
         " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,"
         "  CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming"
         " FROM bl a JOIN bl b ON a.blk = b.blk AND a.block = b.block"

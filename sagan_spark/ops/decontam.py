@@ -149,36 +149,43 @@ def duplicated_spans(docs: DataFrame, n: int = 20,
             lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # the tokenize/explode/md5 projection is the op's dominant cost —
+    # compute it ONCE (persist) instead of re-scanning per consumer,
+    # then release via localCheckpoint (same discipline as
+    # dedup.simhash_near_dups)
     pos = docs.select(
         F.col(id_col), F.explode_outer(win).alias("span")
-    ).select(id_col, F.md5("span").alias("h"))
-    # corpus-wide distinct-doc count per span hash; only the h >= 2
+    ).select(id_col, F.md5("span").alias("h")).persist()
+    # corpus-wide distinct-doc count per span hash; only the >= 2
     # survivors ship to the join (the duplicated set is the small one)
     dup_h = (
         pos.groupBy("h")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter((F.col("n_docs") >= 2) & F.col("h").isNotNull())
-        .select("h")
+        .select("h", F.lit(1).alias("is_dup"))
     )
-    flagged = pos.join(dup_h, "h", "left_semi").groupBy(id_col).agg(
-        F.count("*").alias("n_dup_windows")
-    )
-    totals = pos.groupBy(id_col).agg(
-        F.count("h").alias("n_windows")  # count(h) skips the null row
-    )
-    return (
-        totals.join(flagged, id_col, "left")
+    # one pass over pos: the h-join reuses the groupBy's partitioning,
+    # then a single per-doc rollup derives totals AND dup counts
+    out = (
+        pos.join(dup_h, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("h").alias("n_windows"),  # count(h) skips null rows
+            F.coalesce(F.sum("is_dup"), F.lit(0)).alias("n_dup_windows"),
+        )
         .select(
             id_col,
             "n_windows",
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            "n_dup_windows",
             F.round(
                 F.when(
                     F.col("n_windows") > 0,
-                    F.coalesce("n_dup_windows", F.lit(0))
-                    / F.col("n_windows"),
+                    F.col("n_dup_windows") / F.col("n_windows"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("dup_frac"),
         )
+        .localCheckpoint(eager=True)
     )
+    pos.unpersist()
+    return out

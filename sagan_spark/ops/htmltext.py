@@ -31,8 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ordered rewrite spec (applied top to bottom)
-SCRIPT_RE = r"(?is)<script(\s[^>]*)?>.*?</script[ \t\r\n\f]*>"
-STYLE_RE = r"(?is)<style(\s[^>]*)?>.*?</style[ \t\r\n\f]*>"
+SCRIPT_RE = r"(?is)<script([ \t\r\n\f][^>]*)?>.*?</script[ \t\r\n\f]*>"
+STYLE_RE = r"(?is)<style([ \t\r\n\f][^>]*)?>.*?</style[ \t\r\n\f]*>"
 COMMENT_RE = r"(?s)<!--.*?-->"
 TAG_RE = r"<[^>]*>"
 WS_RE = r"[ \t\r\n\f]+"

@@ -281,7 +281,11 @@ def _make_chain_walk(chain_corr_specs: dict[int, dict], max_corr_secs: int):
         a_state: dict = {}
         t_state: dict = {}
         corr_flags: dict = {}
-        max_t = [None]
+        # per-machine-key latest event time: eviction must use each
+        # key's OWN timeline — a partition-global max would let one
+        # key's far-future event evict another key's still-live
+        # machine, losing alerts a batch replay produces
+        key_max: dict = {}
 
         def _funset(name, shape, esrc, edst, euser) -> None:
             store = fstate.get(name)
@@ -317,8 +321,14 @@ def _make_chain_walk(chain_corr_specs: dict[int, dict], max_corr_secs: int):
                 fl = corr_flags.get(ver_id)
                 if fl is None:
                     t = int(ts_d)
-                    if max_t[0] is None or t > max_t[0]:
-                        max_t[0] = t
+                    if spec["after"] is not None:
+                        ka = ("a", int(sid), a_key)
+                        if key_max.get(ka, t) <= t:
+                            key_max[ka] = t
+                    if spec["threshold"] is not None:
+                        kt = ("t", int(sid), t_key)
+                        if key_max.get(kt, t) <= t:
+                            key_max[kt] = t
                     fl = advance_corr_machines(
                         spec, a_state, t_state, int(sid), t, a_key, t_key
                     )
@@ -415,13 +425,17 @@ def _make_chain_walk(chain_corr_specs: dict[int, dict], max_corr_secs: int):
 
         if chain_corr_specs:
             # surviving machine state -> 'cstate' snapshot rows
-            # (survive-or-evict: keys silent past max_corr_secs replay
-            # as fresh next batch and are dropped here)
-            cutoff = (max_t[0] - max_corr_secs) if max_t[0] is not None else None
+            # (survive-or-evict per KEY timeline: a machine whose own
+            # key's latest event is already a full window past utime
+            # would gap-reset on any future event, so dropping it is
+            # replay-equivalent; keys with no events this batch keep
+            # their seeded state — same rule as _make_seeded_replay's
+            # per-group cutoff)
             rows = []
             for machine, mstate in (("a", a_state), ("t", t_state)):
                 for (sid, mkey), (cnt, utime) in mstate.items():
-                    if cutoff is not None and utime < cutoff:
+                    kmax = key_max.get((machine, sid, mkey))
+                    if kmax is not None and utime < kmax - max_corr_secs:
                         continue
                     rows.append(
                         ("cstate", "", int(sid), -1, None, machine,
@@ -432,10 +446,6 @@ def _make_chain_walk(chain_corr_specs: dict[int, dict], max_corr_secs: int):
                 yield pd.DataFrame(rows, columns=_CHAIN_WALK_COLS)
 
     return walk
-
-
-# default walk (no chain-rule after/threshold): same replay, no machines
-_chain_walk = _make_chain_walk({}, 0)
 
 
 _CORR_B_OUT_SCHEMA = (

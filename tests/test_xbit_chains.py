@@ -460,3 +460,71 @@ def test_chain_after_streaming_equals_batch_across_chunks(spark, tmp_path):
     )
     got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
     assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
+
+
+def test_chain_after_snapshot_eviction_is_per_key(spark, tmp_path):
+    """Machine-snapshot eviction must use each key's OWN timeline: one
+    key's far-future event in the same micro-batch must NOT evict
+    another key's still-live after-machine (a partition-global cutoff
+    did exactly that, losing alerts a batch replay produces)."""
+    import pyarrow.parquet as pq
+
+    from sagan_spark.streaming import StreamingSaganEngine, pages_stream_frame
+
+    rows = [
+        # chunk 1: 10.0.0.1 arms bitA and counts two passing stage2
+        # (t=10, t=20; count 2 <= 2 -> suppressed, machine live)
+        ("u://ev/0", "2026-01-01 00:00:01", "stage1 from 10.0.0.1 a"),
+        ("u://ev/1", "2026-01-01 00:00:10", "stage2 from 10.0.0.1 b"),
+        ("u://ev/2", "2026-01-01 00:00:20", "stage2 from 10.0.0.1 c"),
+        # 10.0.0.9's passing stage2 sits 20 min ahead — far past the
+        # 600s window relative to 10.0.0.1's machine, but on a
+        # DIFFERENT key: 10.0.0.1's state must survive the snapshot
+        ("u://ev/3", "2026-01-01 00:00:02", "stage1 from 10.0.0.9 x"),
+        ("u://ev/4", "2026-01-01 00:20:00", "stage2 from 10.0.0.9 y"),
+        # --- chunk boundary ---
+        # chunk 2: 10.0.0.1's 3rd passing stage2 at t=30, inside its
+        # own 600s window: count 3 > 2 -> alert + bitB -> stage3 alert
+        ("u://ev/5", "2026-01-01 00:00:30", "stage2 from 10.0.0.1 d"),
+        ("u://ev/6", "2026-01-01 00:00:40", "stage3 from 10.0.0.1 e"),
+    ]
+    tbl = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array(
+                [pd.Timestamp(r[1]) for r in rows], type=pa.timestamp("us")
+            ),
+            "html": [b"" for _ in rows],
+            "text": [r[2] for r in rows],
+            "lang": ["en" for _ in rows],
+        }
+    )
+    rules = parse_rules(CHAIN_AFTER_RULES)
+
+    want = _alerts(spark, CHAIN_AFTER_RULES, rows)
+    assert ("u://ev/5", 9620002) in want  # sanity: batch alerts on count 3
+    assert ("u://ev/6", 9620003) in want
+
+    input_dir = tmp_path / "ev_in"
+    input_dir.mkdir()
+    out = str(tmp_path / "ev_sinks")
+    ckpt = str(tmp_path / "ev_ckpt")
+    seng = StreamingSaganEngine(rules, watermark="0 seconds", enable_xbits=True)
+
+    def frame_factory():
+        return SaganSparkEngine.frame_from_pages(
+            pages_stream_frame(spark, str(input_dir))
+        )
+
+    pq.write_table(tbl.slice(0, 5), str(input_dir / "c1.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+    pq.write_table(tbl.slice(5), str(input_dir / "c2.parquet"))
+    seng.run_pipeline_with_xbits(frame_factory, out, ckpt, sinks=["alerts_eve"])
+
+    got_df = (
+        spark.read.parquet(f"{out}/alerts_eve")
+        .select("url", "alert_signature_id")
+        .toPandas()
+    )
+    got = {(r.url, r.alert_signature_id) for r in got_df.itertuples()}
+    assert got == want, f"missing={sorted(want-got)} extra={sorted(got-want)}"
