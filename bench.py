@@ -47,6 +47,8 @@ HEADLINE = [
     # at sf0.1 it measures corpus pathology, not engine speed
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "dedup_duplicated_spans",
+    "decontam_hits",
     "ann_cosine_topk",
     "text_quality",
     "text_fingerprint",
