@@ -1151,6 +1151,63 @@ def q_streaming_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_streaming_threshold_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """threshold: type suppress through the REAL streaming path
+    (applyInPandasWithState counters, checkpointed availableNow drain)
+    over the DETERMINISTIC events table — so unlike
+    q_streaming_threshold's generated corpus, a DuckDB recursive-CTE
+    oracle can replay the reference suppress machine
+    (threshold.c:126-150) row by row and the driver gets a hash-green
+    check on the streaming executor path itself."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from sagan_spark.pipeline.engine import SaganSparkEngine
+    from sagan_spark.rules.parser import parse_rules
+    from sagan_spark.streaming import StreamingSaganEngine, pages_stream_frame
+
+    ev = _ev(spark, sf_dir)
+    msg = F.format_string(
+        "corr probe from 10.%d.%d.1 seq",
+        (F.col("user_id") % 250).cast("int"),
+        (F.floor(F.col("user_id") / 250) % 250).cast("int"),
+    )
+    pages = ev.select(
+        F.col("event_id").cast("string").alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.lit("").cast("binary").alias("html"),
+        msg.alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    rules = parse_rules(
+        'alert any any any -> any any (msg:"thr suppress stream"; '
+        'content:"corr probe"; parse_src_ip: 1; threshold: type suppress, '
+        "track by_src, count 2, seconds 172800; classtype: misc-attack; "
+        "sid:8200001; rev:1;)"
+    )
+    work = tempfile.mkdtemp(prefix="sagan_stream_engine_gate_")
+    try:
+        inp = f"{work}/in"
+        # a flat file layout (not a nested dir) so the stream source's
+        # file listing sees it
+        pages.coalesce(1).write.parquet(inp)
+        seng = StreamingSaganEngine(rules, watermark="0 seconds")
+        frame = SaganSparkEngine.frame_from_pages(pages_stream_frame(spark, inp))
+        q = seng.start_sink_query(
+            frame, f"{work}/out", f"{work}/ckpt", sinks=["alerts_eve"]
+        )
+        q.awaitTermination(300)
+        eve = spark.read.parquet(f"{work}/out/alerts_eve")
+        out = eve.groupBy(
+            F.col("alert_signature_id").cast("long").alias("sid"),
+            F.col("src_ip"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_alerts"))
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data ops
 # ---------------------------------------------------------------------------
@@ -1561,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_lineage_rollup": q_a11_lineage_rollup,
         "j3_bluedot": q_j3_bluedot,
         "a1_threshold_engine": q_a1_threshold_engine,
+        "streaming_threshold_engine": q_streaming_threshold_engine,
         "a4_chain_after_engine": q_a4_chain_after_engine,
         "k6_external_route": q_k6_external_route,
         "f7_json_pcre": q_f7_json_pcre,
@@ -2287,6 +2345,31 @@ def oracle_sql() -> dict[str, str]:
             " SELECT CAST(7600002 AS BIGINT), key,"
             "  CAST(count(*) AS BIGINT)"
             " FROM walk WHERE NOT asup GROUP BY key"
+        ),
+        "streaming_threshold_engine": (
+            # reference suppress machine (threshold.c:126-150): utime
+            # slides EVERY event, count resets when the gap since the
+            # previous event exceeds the window, alert while count <= N
+            "WITH RECURSIVE ord AS ("
+            " SELECT key, t, row_number() OVER (PARTITION BY key"
+            "   ORDER BY ts, ek) AS rn FROM ("
+            "  SELECT '10.' || CAST(user_id % 250 AS VARCHAR) || '.' ||"
+            "   CAST((user_id // 250) % 250 AS VARCHAR) || '.1' AS key,"
+            "   CAST(floor(epoch(ts)) AS BIGINT) AS t, ts,"
+            "   CAST(event_id AS VARCHAR) AS ek"
+            "  FROM events)),"
+            " walk AS ("
+            "  SELECT key, rn, t, 1 AS tcnt, false AS tsup"
+            "  FROM ord WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT o.key, o.rn, o.t,"
+            "   CASE WHEN o.t - w.t > 172800 THEN 1 ELSE w.tcnt + 1 END,"
+            "   CASE WHEN o.t - w.t > 172800 THEN false"
+            "        ELSE 2 < w.tcnt + 1 END"
+            "  FROM walk w JOIN ord o ON o.key = w.key AND o.rn = w.rn + 1)"
+            " SELECT CAST(8200001 AS BIGINT) AS sid, key AS src_ip,"
+            "  CAST(count(*) AS BIGINT) AS n_alerts"
+            " FROM walk WHERE NOT tsup GROUP BY key"
         ),
         "a4_chain_after_engine": (
             # replay order (ts, event_key) matches the walk's
