@@ -398,6 +398,8 @@ alert any any any -> any any (msg:"chk thr"; content:"checkme"; parse_src_ip: 1;
 alert any any any -> any any (msg:"chk not"; content:"checkme"; parse_src_ip: 1; xbits: isnotset, name rb, track ip_src; after: track by_src, count 2, seconds 60; sid:9500004;)
 alert any any any -> any any (msg:"chain"; content:"checkme"; parse_src_ip: 1; xbits: isset, name rb, track ip_src; xbits: set, name rb2, track ip_src, expire 90; sid:9500005;)
 alert any any any -> any any (msg:"chk chain"; content:"probe"; parse_src_ip: 1; xbits: isset, name rb2, track ip_src; sid:9500006;)
+alert any any any -> any any (msg:"chain aft"; content:"checkme"; parse_src_ip: 1; xbits: isset, name rb, track ip_src; xbits: set, name rb3, track ip_src, expire 1h; after: track by_src, count 2, seconds 600; sid:9500007;)
+alert any any any -> any any (msg:"chk chain aft"; content:"probe"; parse_src_ip: 1; xbits: isset, name rb3, track ip_src; sid:9500008;)
 """
 
 
@@ -409,8 +411,13 @@ def test_streaming_random_parity_with_cond_correlation(spark, tmp_path, seed):
     t = 0
     rows = []
     for i in range(40):
-        t += rng.randint(1, 12)
-        ip = rng.choice(["10.0.0.1", "10.0.0.2"])
+        # mostly small gaps, occasionally a far-forward jump on ONE
+        # key's timeline — the class of input where a partition-global
+        # eviction cutoff wrongly dropped OTHER keys' live chain
+        # machines (per-key eviction regression coverage, on top of
+        # the targeted test in test_xbit_chains.py)
+        t += rng.randint(700, 900) if rng.random() < 0.1 else rng.randint(1, 12)
+        ip = rng.choice(["10.0.0.1", "10.0.0.2", "10.0.0.3"])
         verb = rng.choice(["setme", "clearme", "checkme", "checkme", "probe"])
         ts = pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=t)
         rows.append((f"u://rp{seed}/{i}", str(ts), f"{verb} from {ip} x"))
