@@ -9,9 +9,16 @@ production; the default is a deterministic fake (``decode_stub=True``)
 so tests pin exact values, and ``decode_stub=False`` without a kernel
 raises NotImplementedError at CONSTRUCTION (the media libs are not in
 this container).  The Spark-side plumbing — schema, batch shape,
-partition-preserving iterator — is identical for every kernel, and the
-non-stub branch is exercised in tests by a pure-numpy PPM parser
-(tests/test_multimodal.py).
+partition-preserving iterator — is identical for every kernel.
+
+REAL built-in kernels for the formats that need no external code ship
+in :mod:`sagan_spark.ops.kernels`: netpbm images (PPM/PGM header parse
++ numpy color-moment/histogram features) and WAV/PCM audio (stdlib
+wave + numpy RMS/ZCR/FFT-band features), with a media_type registry
+(``kernels.builtin_kernels``).  Only compressed formats
+(JPEG/MP3/H.264) remain plug-in-or-stub.  The non-stub branch is
+exercised end-to-end in tests/test_kernels.py and
+tests/test_multimodal.py.
 
 Scale notes: mapInPandas streams Arrow record batches; binary payloads
 never materialize on the driver, and per-batch memory is bounded by
