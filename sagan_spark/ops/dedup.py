@@ -369,8 +369,89 @@ def embedding_cosine_dups(emb: DataFrame, threshold: float = 0.95,
 # ---------------------------------------------------------------------------
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14 §3): every node links each strictly
+    LARGER neighbor to the minimum of its closed neighborhood.  Input
+    and output are distinct directed edge frames ``(hi, lo)`` with
+    ``hi > lo`` (m <= u < v guarantees the output orientation)."""
+    sym = edges.unionByName(
+        edges.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+    ).select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round (SOCC'14 §3): every node links its SMALLER
+    neighbors (and itself) to the minimum of that down-neighborhood.
+    Input/output: distinct ``(hi, lo)`` edges, ``hi > lo``."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    centers = mins.select("hi", F.col("m").alias("lo"))
+    others = (
+        edges.join(mins, "hi")
+        .filter(F.col("lo") != F.col("m"))
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    return centers.unionByName(others).distinct()
+
+
+def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
+                              b_col: str = "doc_b",
+                              max_iter: int = 25) -> DataFrame:
+    """(node, component) by alternating large-star/small-star rounds
+    (Kiveris et al., SOCC'14) — the deep-graph scale path: O(log n)
+    rounds regardless of graph diameter, vs the propagation loop's
+    O(diameter).  Same contract as :func:`connected_components`:
+    component = min reachable node id.
+
+    Each round is two bounded shuffles over the CURRENT edge set, which
+    only ever shrinks toward one star edge per non-root node — no
+    frontier blow-up.  Convergence = the edge set is a fixed point of a
+    full round (stars are fixed points of both operations; the paper
+    proves the alternation reaches them).  Fixed-point detection is two
+    subtract-probes (exact, not a hash heuristic); each round
+    localCheckpoints so the plan stays O(1) per round.
+    """
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        stable = (
+            new_edges.subtract(edges).limit(1).count() == 0
+            and edges.subtract(new_edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if stable:
+            star = edges.select(F.col("hi").alias("node"), F.col("lo").alias("comp"))
+            return nodes.join(star, "node", "left").select(
+                "node", F.coalesce("comp", "node").alias("comp")
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
-                         b_col: str = "doc_b", max_iter: int = 25) -> DataFrame:
+                         b_col: str = "doc_b", max_iter: int = 25,
+                         method: str = "propagation") -> DataFrame:
     """(node, component) for every node in the pair set; component =
     min node id reachable.  Iterative min-label propagation: each round
     joins current labels across the (symmetrized) edge set and keeps
@@ -383,11 +464,16 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     localCheckpoints the label frame: the plan would otherwise double
     per iteration and overwhelm the optimizer at 10+ rounds.
 
-    For adversarially deep graphs (long chains at 100TB) swap the
-    propagation body for the large-star/small-star rounds of Kiveris et
-    al., "Connected Components in MapReduce and Beyond" (SOCC'14) —
-    same (node, component) contract, O(log n) rounds.
+    For adversarially deep graphs (long chains at 100TB) pass
+    ``method="star"``: the large-star/small-star alternation of Kiveris
+    et al., "Connected Components in MapReduce and Beyond" (SOCC'14) —
+    same (node, component) contract, O(log n) rounds independent of
+    diameter (:func:`connected_components_star`).
     """
+    if method == "star":
+        return connected_components_star(pairs, a_col, b_col, max_iter)
+    if method != "propagation":
+        raise ValueError(f"unknown method {method!r}; use 'propagation' or 'star'")
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -434,7 +520,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
 
 def near_dup_clusters(docs: DataFrame, k: int = 8, n_bands: int = 4,
                       threshold: float = 0.5, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      cc_method: str = "propagation") -> DataFrame:
     """Near-duplicate clusters from *verified* pairs: one row per
     cluster, ``(canonical_id, cluster_size)`` — canonical = min doc_id
     (deterministic, join-free tie-break).
@@ -448,7 +535,7 @@ def near_dup_clusters(docs: DataFrame, k: int = 8, n_bands: int = 4,
     their own cluster and never leave the scan.
     """
     pairs = ngram_jaccard_pairs(docs, k, n_bands, threshold, text_col, id_col)
-    comps = connected_components(pairs, "doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b", method=cc_method)
     return (
         comps.groupBy("comp")
         .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
@@ -458,13 +545,14 @@ def near_dup_clusters(docs: DataFrame, k: int = 8, n_bands: int = 4,
 
 def near_dup_drop_list(docs: DataFrame, k: int = 8, n_bands: int = 4,
                        threshold: float = 0.5, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       cc_method: str = "propagation") -> DataFrame:
     """doc_ids to DROP to deduplicate the corpus: every clustered doc
     except its cluster's canonical (min id), clusters built on
     Jaccard-verified pairs (see :func:`near_dup_clusters`).  anti-join
     this against the corpus to materialize the deduplicated table."""
     pairs = ngram_jaccard_pairs(docs, k, n_bands, threshold, text_col, id_col)
-    comps = connected_components(pairs, "doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b", method=cc_method)
     return (
         comps.filter(F.col("node") != F.col("comp"))
         .select(F.col("node").cast("long").alias(id_col))

@@ -172,6 +172,58 @@ def test_connected_components_vs_union_find(spark, edges):
     assert got == _py_components(edges)
 
 
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (10, 11)],                    # chain + pair
+        [(5, 6), (6, 7), (7, 5), (1, 9), (2, 9)],      # cycle + star
+        [(1, 2), (3, 4), (5, 6), (2, 3), (4, 5)],      # long chain via joins
+        [(i, i + 1) for i in range(1, 33)],            # diameter-32 path:
+        # the deep-graph case the star rounds exist for (propagation
+        # would need ~32 rounds; star converges in O(log))
+        [(7, 7), (1, 2), (2, 1)],                      # self-loop + dup edge
+    ],
+)
+def test_connected_components_star_vs_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.comp
+        for r in connected_components(
+            pairs, "doc_a", "doc_b", method="star"
+        ).collect()
+    }
+    want = _py_components([(a, b) for a, b in edges if a != b])
+    # a self-loop-only node is its own component
+    for a, b in edges:
+        if a == b:
+            want.setdefault(a, a)
+    assert got == want
+
+
+def test_connected_components_star_random_graph(spark):
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {
+        r.node: r.comp
+        for r in connected_components(pairs, "doc_a", "doc_b", method="star").collect()
+    }
+    prop = {
+        r.node: r.comp
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert star == prop == _py_components(edges)
+
+
+def test_connected_components_rejects_unknown_method(spark):
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="unknown method"):
+        connected_components(pairs, method="frontier")
+
+
 def test_near_dup_cluster_contract(spark):
     # three exact-duplicate families + singletons; Jaccard(identical)=1
     texts = {
