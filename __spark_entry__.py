@@ -1270,6 +1270,21 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster-then-prune
+    semantic dedup over the embeddings table — centroid assignment,
+    (cent_sim asc, id asc) ordering, and the within-cluster cosine
+    prune, run with the deterministic pretrained codebook
+    (fixed_centroids) so the DuckDB oracle replays every step from the
+    SAME centroid literals.  The k-means TRAINING path stays pinned by
+    the pure-Python twin in tests/test_dedup_ops.py."""
+    from sagan_spark.ops.dedup import semdedup
+    from sagan_spark.ops.similarity import fixed_centroids
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    return semdedup(emb, threshold=0.3, centroids=fixed_centroids(16, 64))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.similarity import brute_force_topk
 
@@ -1643,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_semantic": q_dedup_semantic,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1834,6 +1850,42 @@ def oracle_sql() -> dict[str, str]:
         " FROM cand JOIN e ea ON ea.vec_id = cand.id_a"
         " JOIN e eb ON eb.vec_id = cand.id_b)"
         " WHERE cosine >= 0.3"
+    )
+
+    # --- dedup_semantic (SemDeDup) oracle: frozen-centroid replay of
+    # assignment (first-max, ties -> lowest i), cent_sim with the SAME
+    # division order as the Spark side ((dot / |c|) / |v|), the
+    # (cent_sim asc, id asc) "earlier" rule, and the within-cluster
+    # cosine prune — all sequential-dot forms ------------------------
+    import numpy as np
+
+    _sd_cents = fixed_centroids(16, 64)
+    # same norm computation as ops.dedup.semdedup, so the literal is
+    # bit-identical to the F.lit the Spark side divides by
+    _sd_rows = ", ".join(
+        f"({i}, {_arr(c)}, {float(np.linalg.norm(c)) or 1.0!r})"
+        for i, c in enumerate(_sd_cents)
+    )
+    _semdedup_sql = (
+        f"WITH cents(i, cv, cn) AS (VALUES {_sd_rows}),"
+        " e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),"
+        " sims AS (SELECT e.vec_id, c.i,"
+        "  (" + _sqdot("e.embedding", "c.cv") + " / c.cn) AS cd"
+        "  FROM e CROSS JOIN cents c),"
+        " assign AS (SELECT s.vec_id, s.i AS centroid,"
+        "  (s.cd / sqrt(" + _sqdot("e.embedding", "e.embedding") + ")) AS cent_sim"
+        "  FROM (SELECT vec_id, i, cd, row_number() OVER (PARTITION BY vec_id"
+        "   ORDER BY cd DESC, i ASC) AS rn FROM sims) s"
+        "  JOIN e ON e.vec_id = s.vec_id WHERE s.rn = 1)"
+        " SELECT DISTINCT b.vec_id AS vec_id"
+        " FROM assign a JOIN assign b ON a.centroid = b.centroid"
+        "  AND (a.cent_sim < b.cent_sim"
+        "   OR (a.cent_sim = b.cent_sim AND a.vec_id < b.vec_id))"
+        " JOIN e ea ON ea.vec_id = a.vec_id"
+        " JOIN e eb ON eb.vec_id = b.vec_id"
+        " WHERE (" + _sqdot("ea.embedding", "eb.embedding")
+        + " / (sqrt(" + _sqdot("ea.embedding", "ea.embedding") + ")"
+        " * sqrt(" + _sqdot("eb.embedding", "eb.embedding") + "))) >= 0.3"
     )
 
     # --- dedup_simhash oracle: full 64-bit gram-hash replay in SQL.
@@ -2653,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features_ann: PRNG stub kernel — rows-only
         "dedup_simhash": _simhash_sql,
         "dedup_embedding_lsh": _elsh_sql,
+        "dedup_semantic": _semdedup_sql,
         "decontam_hits": _decontam_sql,
         "dedup_duplicated_spans": _dspan_sql,
         "webclean_repetition": (

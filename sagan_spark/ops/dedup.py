@@ -362,6 +362,87 @@ def embedding_cosine_dups(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+def semdedup(emb: DataFrame, threshold: float = 0.95, n_centroids: int = 16,
+             dim: int = 64, sample_n: int = 256, iters: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    clustering embeddings and pruning within-cluster cosine duplicates.
+    Returns the ids to DROP (one ``id_col`` column); anti-join against
+    the corpus to materialize the deduplicated table.
+
+    The paper's algorithm: k-means-cluster the embeddings; inside each
+    cluster, order items and drop every item whose cosine similarity to
+    ANY earlier item reaches ``threshold`` (the upper-triangular-matrix
+    trick — no transitive closure).  Ordering is ascending similarity
+    to the assigned centroid, so the survivor of each duplicate set is
+    the example LEAST like its centroid — the paper's
+    diversity-preserving keep rule.  Ties break on id (deterministic).
+
+    Scale shape: centroid assignment is one narrow JVM projection over
+    literal centroid arrays (no shuffle, same form as
+    :func:`~sagan_spark.ops.similarity.ivf_topk`); the only wide op is
+    the self-join keyed on centroid, whose per-cluster quadratic cost
+    is the algorithm's stated budget — ``n_centroids`` must grow with
+    the corpus to keep clusters small (the paper uses 50k clusters for
+    LAION).  Inject pretrained ``centroids`` in production (and for the
+    oracle, which replays assignment from the same literals); otherwise
+    spherical k-means trains driver-side on a deterministic
+    ``sample_n``-row sample, pinned by the pure-Python twin in tests.
+    """
+    from sagan_spark.ops.similarity import _dot, _norm, _train_centroids
+
+    import numpy as np
+
+    if centroids is None:
+        sample = [
+            row[0]
+            for row in emb.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+        ]
+        centroids = _train_centroids(sample, n_centroids, iters)
+    cnorms = [float(np.linalg.norm(c)) or 1.0 for c in centroids]
+    # per-centroid cosine numerators (dot / |c|); the common 1/|v|
+    # factor is applied once after the argmax (it cannot change it)
+    cos_arr = F.array(*[
+        _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])) / F.lit(cn)
+        for c, cn in zip(centroids, cnorms)
+    ])
+    assigned = (
+        emb.select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
+        )
+        .withColumn("_cd", cos_arr)
+        .withColumn(
+            "centroid",
+            F.expr("array_position(_cd, array_max(_cd))").cast("int") - 1,
+        )
+        .withColumn("cent_sim", F.array_max("_cd") / F.col("nrm"))
+        .drop("_cd")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        F.col("nrm").alias("n_a"), "centroid", F.col("cent_sim").alias("s_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        F.col("nrm").alias("n_b"), "centroid", F.col("cent_sim").alias("s_b"),
+    )
+    a_earlier = (F.col("s_a") < F.col("s_b")) | (
+        (F.col("s_a") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        a.join(b, "centroid")
+        .filter(a_earlier)
+        .withColumn(
+            "cosine",
+            _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup cluster canonicalization: pairs -> connected components ->
 # one canonical doc per cluster (the step that turns pair detection

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from sagan_spark.ops.dedup import (
     embedding_cosine_dups,
     embedding_lsh_dups,
+    semdedup,
     simhash_near_dups,
     simhash_scalar,
     simhash_udf,
@@ -173,6 +174,73 @@ def test_embedding_lsh_recall_vs_bruteforce(spark, vectors):
     }
     assert lsh <= exact
     assert {(0, 1), (2, 3)} <= lsh
+
+
+def _py_semdedup(vectors, centroids, threshold):
+    """Pure-numpy SemDeDup twin: argmax-cosine assignment (first max
+    wins), (cent_sim asc, id asc) ordering, drop on any earlier
+    within-cluster cosine >= threshold."""
+    from collections import defaultdict
+
+    cents = np.array(centroids, dtype=np.float64)
+    cnorms = np.array([np.linalg.norm(c) or 1.0 for c in cents])
+    by_c = defaultdict(list)
+    for i, v in vectors.items():
+        cd = cents @ np.asarray(v, dtype=np.float64) / cnorms
+        c = int(np.argmax(cd))
+        s = float(cd[c]) / float(np.linalg.norm(v))
+        by_c[c].append((s, i, np.asarray(v, dtype=np.float64)))
+    drop = set()
+    for lst in by_c.values():
+        lst.sort(key=lambda t: (t[0], t[1]))
+        for j in range(len(lst)):
+            for k in range(j):
+                va, vb = lst[k][2], lst[j][2]
+                cos = float(va @ vb) / (
+                    np.linalg.norm(va) * np.linalg.norm(vb)
+                )
+                if cos >= threshold:
+                    drop.add(lst[j][1])
+                    break
+    return drop
+
+
+def test_semdedup_equals_python_twin(spark, vectors):
+    from sagan_spark.ops.similarity import fixed_centroids
+
+    cents = fixed_centroids(8, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id for r in semdedup(df, threshold=0.8, centroids=cents).collect()
+    }
+    assert got == _py_semdedup(vectors, cents, 0.8)
+    # each planted near-dup family loses exactly one member, and the
+    # survivor is the one LESS similar to its centroid (diversity rule)
+    assert len(got & {0, 1}) == 1 and len(got & {2, 3}) == 1
+
+
+def test_semdedup_training_path_equals_twin(spark, vectors):
+    """centroids=None trains spherical k-means driver-side on the
+    deterministic sample; the twin replays via the same (pure-Python)
+    training function."""
+    from sagan_spark.ops.similarity import _train_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id
+        for r in semdedup(
+            df, threshold=0.8, n_centroids=4, dim=16, sample_n=30
+        ).collect()
+    }
+    sample = [[float(x) for x in vectors[i]] for i in sorted(vectors)]
+    cents = _train_centroids(sample, 4, 5)
+    assert got == _py_semdedup(vectors, cents, 0.8)
 
 
 def test_ann_lsh_topk_equals_python_twin(spark, vectors):
