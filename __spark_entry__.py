@@ -1443,6 +1443,18 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(docs, k=8, n_bands=4, threshold=0.3)
 
 
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_cluster_canonical, executed via the
+    SOCC'14 large-star/small-star rounds (``cc_method="star"``) — puts
+    the O(log n) deep-graph CC path under the driver's oracle gate.
+    The recursive-CTE oracle is method-agnostic (component = min
+    reachable id), so both execution strategies must hash-match it."""
+    from sagan_spark.ops.dedup import near_dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    return near_dup_clusters(docs, k=8, n_bands=4, threshold=0.3, cc_method="star")
+
+
 def q_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup drop list: every clustered doc except its cluster's
     min-id canonical."""
@@ -1651,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster_canonical": q_dedup_cluster_canonical,
+        "dedup_cluster_star": q_dedup_cluster_star,
         "dedup_drop_list": q_dedup_drop_list,
         "dedup_paragraphs": q_dedup_paragraphs,
         "decontam_hits": q_decontam_hits,
@@ -2623,6 +2636,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_drop_list": (
             f"{components} SELECT CAST(node AS BIGINT) AS doc_id"
             " FROM comp WHERE node <> comp"
+        ),
+        # same method-agnostic oracle as dedup_cluster_canonical: the
+        # star-rounds execution must produce identical components
+        "dedup_cluster_star": (
+            f"{components} SELECT CAST(comp AS BIGINT) AS canonical_id,"
+            " CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1"
         ),
         "dedup_embedding_cosine": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
