@@ -1572,6 +1572,84 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "url")
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al.
+    arXiv:2107.06499 §4.1): tokens covered by a corpus-duplicated
+    13-token window are dropped and the text re-joined — the editing
+    counterpart of dedup_duplicated_spans' measurement."""
+    from sagan_spark.ops.decontam import remove_duplicated_spans
+
+    return remove_duplicated_spans(_docs(spark, sf_dir), n=13)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: the corpus is split into a
+    'previously admitted' digest set (doc_id % 4 == 0) and a new batch
+    (the rest); novel_docs admits the min-id row per unseen digest."""
+    from sagan_spark.ops.dedup import novel_docs
+
+    docs = _docs(spark, sf_dir)
+    seen = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    return novel_docs(batch, seen)
+
+
+def _docs_with_messy_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deliberately messy synthetic url (mixed-case
+    scheme/host, default and non-default ports, tracking params,
+    fragments, a non-authority mailto form) — the SAME expression runs
+    in the oracle."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    tld = (
+        F.when(did % 3 == 0, F.lit(".co.uk"))
+        .when(did % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".org"))
+    )
+    port = (
+        F.when(did % 5 == 0, F.lit(":443"))
+        .when(did % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    qs = (
+        F.when(did % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(did % 3 == 1, F.lit("?a=1&fbclid=zz"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 7 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.upper("source"), tld, port,
+        F.lit("/p/"), (did % 50).cast("string"), qs, frag,
+    )
+    url = F.when(
+        did % 11 == 0, F.concat(F.lit("mailto:user@"), F.col("source"), F.lit(".com"))
+    ).otherwise(url)
+    return docs.withColumn("url", url)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL per document: lowercased scheme/host, default
+    port dropped, tracking params removed, params sorted, fragment
+    stripped; non-authority URLs pass through."""
+    from sagan_spark.ops.urltools import url_canonicalize
+
+    return _docs_with_messy_url(spark, sf_dir).select(
+        "doc_id", url_canonicalize(F.col("url")).alias("canonical_url")
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup: min-doc_id winner per canonical URL (the
+    messy-url corpus collides on purpose: path is doc_id % 50)."""
+    from sagan_spark.ops.urltools import dedup_by_url
+
+    return dedup_by_url(_docs_with_messy_url(spark, sf_dir))
+
+
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.sampling import deterministic_sample
 
@@ -1691,6 +1769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webclean_gopher": q_webclean_gopher,
         "url_domain_rollup": q_url_domain_rollup,
         "url_blocklist": q_url_blocklist,
+        "url_canonicalize": q_url_canonicalize,
+        "url_dedup": q_url_dedup,
+        "dedup_span_removal": q_dedup_span_removal,
+        "dedup_incremental": q_dedup_incremental,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_yield": q_corpus_prep_yield,
         "sample_deterministic": q_sample_deterministic,
@@ -1753,7 +1835,14 @@ def oracle_sql() -> dict[str, str]:
     from sagan_spark.ops.psl import registered_domain_sql
     from sagan_spark.ops.sampling import frac_to_hex8
     from sagan_spark.ops.similarity import _hyperplanes, fixed_centroids
-    from sagan_spark.ops.urltools import HOST_RE
+    from sagan_spark.ops.urltools import (
+        HOST_RE,
+        PATH_RE,
+        PORT_RE,
+        QUERY_RE,
+        SCHEME_RE,
+        TRACKING_PARAM_RE,
+    )
     from sagan_spark.ops.webclean import GOPHER_STOPWORDS
 
     # --- ANN oracles: the SAME hyperplane/centroid literals the Spark
@@ -2026,6 +2115,69 @@ def oracle_sql() -> dict[str, str]:
         " FROM (SELECT doc_id FROM documents) d"
         " LEFT JOIN tot t ON t.doc_id = d.doc_id"
         " LEFT JOIN dup ON dup.doc_id = d.doc_id"
+    )
+
+    # duplicated-span REMOVAL (ops/decontam.remove_duplicated_spans):
+    # same tokenization and >=2-distinct-docs window test as _dspan_sql,
+    # then covered token positions are dropped and the rest re-joined
+    _rm_sql = (
+        f"WITH dt AS (SELECT doc_id, {_dc_tok} AS toks FROM documents),"
+        " w AS (SELECT doc_id, i, md5(array_to_string(toks[i:i+12], ' ')) AS h"
+        "  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS i"
+        "   FROM dt WHERE len(toks) >= 13)),"
+        " duph AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd"
+        "  FROM w GROUP BY 1) WHERE nd >= 2),"
+        " cov AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id,"
+        "  unnest(range(i, i + 13)) AS p FROM w WHERE h IN (SELECT h FROM duph))),"
+        " pos AS (SELECT doc_id, p, toks[p] AS tok FROM (SELECT doc_id, toks,"
+        "  unnest(range(1, len(toks) + 1)) AS p FROM dt)),"
+        " kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos LEFT JOIN cov"
+        "  ON cov.doc_id = pos.doc_id AND cov.p = pos.p WHERE cov.p IS NULL),"
+        " agg AS (SELECT doc_id, count(*) AS n_kept,"
+        "  string_agg(tok, ' ' ORDER BY p) AS cleaned FROM kept GROUP BY 1)"
+        " SELECT dt.doc_id, len(dt.toks) AS n_tokens,"
+        " len(dt.toks) - coalesce(agg.n_kept, 0) AS n_removed,"
+        " coalesce(agg.cleaned, '') AS cleaned_text"
+        " FROM dt LEFT JOIN agg ON agg.doc_id = dt.doc_id"
+    )
+
+    # URL canonicalization (ops/urltools.url_canonicalize): the SAME
+    # component regexes and tracking-param pattern, replayed in DuckDB
+    _messy_url = (
+        "SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN"
+        " 'mailto:user@' || source || '.com'"
+        " ELSE 'HTTPS://WWW.' || upper(source) ||"
+        " (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'"
+        "   WHEN doc_id % 3 = 1 THEN '.com' ELSE '.org' END) ||"
+        " (CASE WHEN doc_id % 5 = 0 THEN ':443'"
+        "   WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||"
+        " '/p/' || CAST(doc_id % 50 AS VARCHAR) ||"
+        " (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'"
+        "   WHEN doc_id % 3 = 1 THEN '?a=1&fbclid=zz' ELSE '' END) ||"
+        " (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END)"
+        " END AS url FROM documents"
+    )
+    _canon_parts = (
+        "SELECT doc_id, url,"
+        f" coalesce(lower(regexp_extract(url, '{SCHEME_RE}', 1)), '') AS scheme,"
+        f" coalesce(lower(regexp_extract(url, '{HOST_RE}', 1)), '') AS host,"
+        f" coalesce(regexp_extract(url, '{PORT_RE}', 1), '') AS port,"
+        f" coalesce(regexp_extract(url, '{PATH_RE}', 1), '') AS path,"
+        f" coalesce(regexp_extract(url, '{QUERY_RE}', 1), '') AS q"
+        f" FROM ({_messy_url})"
+    )
+    _canon_inner = (
+        "SELECT doc_id, CASE WHEN scheme = '' OR host = '' THEN url ELSE"
+        " scheme || '://' || host ||"
+        " (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')"
+        "   OR (scheme = 'https' AND port = '443'))"
+        "  THEN ':' || port ELSE '' END) ||"
+        " (CASE WHEN path = '' THEN '/' ELSE path END) ||"
+        " (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')"
+        "  ELSE '' END) END AS canonical_url FROM ("
+        "SELECT *, list_sort(list_filter(str_split(q, '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))) AS params"
+        f" FROM ({_canon_parts}))"
     )
 
     # synthetic url + host/domain (the op's exact algorithm: the PSL
@@ -2848,6 +3000,20 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": (
             "SELECT doc_id, url FROM (" + _domain_inner + ")"
             " WHERE domain NOT IN ('src1.com', 'src0.co.uk')"
+        ),
+        "url_canonicalize": "SELECT doc_id, canonical_url FROM (" + _canon_inner + ")",
+        "url_dedup": (
+            "SELECT min(doc_id) AS doc_id, canonical_url FROM ("
+            + _canon_inner + ") GROUP BY canonical_url"
+        ),
+        "dedup_span_removal": _rm_sql,
+        "dedup_incremental": (
+            "WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents"
+            " WHERE doc_id % 4 = 0),"
+            " b AS (SELECT md5(text) AS content_hash, min(doc_id) AS doc_id"
+            " FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1)"
+            " SELECT doc_id, content_hash FROM b WHERE NOT EXISTS"
+            " (SELECT 1 FROM seen WHERE seen.h = b.content_hash)"
         ),
         "webclean_verdict": (
             "SELECT doc_id, reason, reason = 'ok' AS keep FROM ("

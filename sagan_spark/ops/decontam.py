@@ -125,6 +125,90 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     )
 
 
+def remove_duplicated_spans(docs: DataFrame, n: int = 20,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            checkpoint: bool = True) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (Lee et al. arXiv:2107.06499 §4.1):
+    where :func:`duplicated_spans` measures, this edits — every token
+    position covered by an n-token window whose exact span occurs in
+    >= 2 DISTINCT documents is dropped, and the surviving tokens are
+    re-joined.  Deviation from the paper, documented: the paper keeps
+    one copy of each duplicated substring (requires a global occurrence
+    order); this removes ALL copies — the deterministic, order-free
+    hygiene form (their own released dedup tool offers the same mode).
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text) for EVERY
+    input document; docs with < n tokens pass through untouched
+    (n_removed = 0, cleaned_text = normalized token join).
+
+    Scale notes (100 TB posture):
+    - the duplicated-hash set and per-doc start-position lists are the
+      only shuffled data; both combine map-side (countDistinct partial,
+      collect_set of ints).  A boilerplate span repeated 10^9 times is
+      one (hash, count) pair on the wire.
+    - token editing happens INSIDE a higher-order ``filter`` over the
+      already-loaded token array — no positional explode of the corpus,
+      no per-doc sort, no Python.
+    - the corpus is shuffled once: the doc_id join of start-lists back
+      onto the docs (start-lists exist only for docs that contain a
+      duplicated window, so AQE can demote the join to broadcast when
+      duplication is rare).
+    """
+    toks = _tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    win = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.concat_ws(" ", F.slice("toks", i, F.lit(n)))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,h:string>>"))
+    pos = (
+        base.select(F.col(id_col), F.explode(win).alias("w"))
+        .select(id_col, F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+        .persist()
+    )
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = (
+        pos.join(dup_h, "h")
+        .groupBy(id_col)
+        .agg(F.collect_set("i").alias("_starts"))
+    )
+    kept = F.filter(
+        "toks",
+        lambda x, idx: ~F.exists(
+            "_starts", lambda s: (s <= idx + 1) & (idx + 1 < s + n)
+        ),
+    )
+    out = (
+        base.join(starts, id_col, "left")
+        .withColumn(
+            "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
+        )
+        .select(
+            F.col(id_col),
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
+        )
+    )
+    # persist-release discipline (same as duplicated_spans); plan-shape
+    # tests pass checkpoint=False to inspect the pre-checkpoint lineage
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        pos.unpersist()
+    return out
+
+
 def duplicated_spans(docs: DataFrame, n: int = 20,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

@@ -39,6 +39,45 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def novel_docs(new_docs: DataFrame, seen: DataFrame,
+               text_col: str = "text", id_col: str = "doc_id",
+               digest_col: str = "content_hash") -> DataFrame:
+    """Cross-snapshot incremental dedup: the rows of ``new_docs`` that
+    survive dedup against an existing corpus digest table AND against
+    the batch itself.
+
+    Web corpora are built snapshot by snapshot (Common-Crawl style);
+    re-deduplicating the whole corpus per snapshot is O(corpus) — the
+    production shape is an append-only digest table carried between
+    runs and an anti-join of each new batch against it.  ``seen`` is a
+    1-column DataFrame of previously-admitted digests (same md5-of-text
+    digest as :func:`exact_dup_groups`, so the two ops share one seen
+    set).  Within the batch, the min-``id_col`` row per digest wins —
+    a map-side-combining aggregation, never a window, so a digest
+    repeated 10^9 times in one batch combines to a single pair before
+    the shuffle.
+
+    Returns (doc_id, content_hash): the rows to admit; union the
+    content_hash column onto ``seen`` for the next snapshot.
+
+    Scale notes: one digest shuffle for the in-batch winner agg; the
+    seen-side anti-join shuffles on the same digest key (co-partitioned
+    with the agg output, so AQE reuses the exchange; a bucketed/Iceberg
+    seen table keyed on the digest makes the join storage-partitioned).
+    """
+    d = new_docs.select(
+        F.md5(F.col(text_col)).alias(digest_col), F.col(id_col)
+    )
+    first = d.groupBy(digest_col).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return first.join(
+        seen.select(F.col(seen.columns[0]).alias(digest_col)),
+        digest_col,
+        "left_anti",
+    ).select(id_col, digest_col)
+
+
 def shingle_df(docs: DataFrame, k: int = 8, text_col: str = "text",
                id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
     """Character k-gram shingles per document.

@@ -52,6 +52,72 @@ def registered_domain(host: Column) -> Column:
     return registered_domain_col(host)
 
 
+# canonicalization component patterns — RE2-compatible, same strings
+# run in the DuckDB oracle
+SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)"
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+QUERY_RE = r"\?([^#]*)"
+# tracking parameters dropped during canonicalization (public
+# convention: Google/Facebook/Microsoft/Mailchimp click identifiers)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)="
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical URL for exact URL-level dedup (the first dedup pass a
+    Common-Crawl-style snapshot pipeline runs, before any content
+    work): lowercase scheme and host, strip userinfo and fragment,
+    drop default ports (http:80 / https:443), empty path -> '/',
+    query params sorted with empty and tracking params removed.
+    URLs with no scheme://host authority pass through unchanged (no
+    guesswork on relative references).  Pure codegen — regex splits +
+    array higher-order ops, no Python, scan-level."""
+    scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
+    host = url_host(url)
+    port = F.regexp_extract(url, PORT_RE, 1)
+    path = F.regexp_extract(url, PATH_RE, 1)
+    query = F.regexp_extract(url, QUERY_RE, 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+    return F.when((scheme == "") | (host == ""), url).otherwise(canon)
+
+
+def dedup_by_url(docs: DataFrame, url_col: str = "url",
+                 id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup: one winner (min ``id_col``) per canonical
+    URL.  Returns (doc_id, canonical_url).  A single map-side-combining
+    aggregation on the canonical string — a hot URL crawled 10^6 times
+    combines to one pair per map task before the shuffle; no window,
+    no per-key sort."""
+    return (
+        docs.select(
+            F.col(id_col), url_canonicalize(F.col(url_col)).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "canonical_url")
+    )
+
+
 def with_domain(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``host`` and ``domain`` columns — scan-level projection.
     Refuses to clobber existing columns of those names: a curation

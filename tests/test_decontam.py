@@ -135,3 +135,72 @@ def test_duplicated_spans_within_doc_repeat_not_counted(spark):
     docs = spark.createDataFrame([(0, t)], "doc_id int, text string")
     row = duplicated_spans(docs, n=4).collect()[0]
     assert row.n_windows == 9 and row.n_dup_windows == 0
+
+
+def _py_remove_spans(docs, n):
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    wins = {}
+    for did, t in docs:
+        # NULL text: Spark's size()/filter() propagate NULL and
+        # concat_ws yields '' — the op returns (NULL, NULL, '')
+        if t is None:
+            wins[did] = (None, [])
+            continue
+        toks = _toks(t)
+        w = (
+            [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if len(toks) >= n
+            else []
+        )
+        wins[did] = (toks, w)
+        for s in set(w):
+            owners[s].add(did)
+    out = {}
+    for did, (toks, w) in wins.items():
+        if toks is None:
+            out[did] = (None, None, "")
+            continue
+        covered = set()
+        for i, s in enumerate(w):
+            if len(owners[s]) >= 2:
+                covered.update(range(i, i + n))
+        kept = [tok for j, tok in enumerate(toks) if j not in covered]
+        out[did] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_duplicated_spans_matches_twin(spark):
+    from sagan_spark.ops.decontam import remove_duplicated_spans
+
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    for n in (13, 4):
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+            for r in remove_duplicated_spans(docs, n=n).collect()
+        }
+        assert got == _py_remove_spans(DOCS, n), f"n={n}"
+
+
+def test_remove_duplicated_spans_edges(spark):
+    """Every row survives: short docs untouched, a fully-duplicated doc
+    ends empty, overlap of covered windows removes the union."""
+    from sagan_spark.ops.decontam import remove_duplicated_spans
+
+    rows = [
+        (0, "a b c d e f"),        # fully duplicated vs doc 1
+        (1, "a b c d e f"),
+        (2, "x a b c d e f y z"),  # interior copy: ends survive
+        (3, "too short"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in remove_duplicated_spans(docs, n=6).collect()
+    }
+    assert got == _py_remove_spans(rows, 6)
+    assert got[0] == (6, 6, "")
+    assert got[2] == (9, 6, "x y z")
+    assert got[3] == (2, 0, "too short")

@@ -376,3 +376,36 @@ def test_dedup_paragraphs_vs_python(spark):
     assert got[1][2] == 0  # the first claimant drops nothing
     assert got[7] == ("c\n\n\t\n\nd", 3, 0)  # tab para is whitespace, kept
     assert got[8] == (None, 0, 0)  # NULL-text doc present, untouched
+
+
+def test_novel_docs_incremental(spark):
+    """Cross-snapshot incremental dedup: min-id winner per digest
+    within the batch, anti-joined against the carried seen set.  A
+    NULL-text row has a NULL digest, which never matches the seen set
+    (same as Spark's left_anti NULL semantics) and is admitted."""
+    import hashlib
+
+    from sagan_spark.ops.dedup import novel_docs
+
+    batch = [(1, "a"), (2, "b"), (3, "a"), (4, "c"), (5, None), (6, "b")]
+    seen_texts = ["b", "z"]
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    docs = spark.createDataFrame(batch, "doc_id long, text string")
+    seen = spark.createDataFrame(
+        [(md5(t),) for t in seen_texts], "content_hash string"
+    )
+    got = {
+        r.doc_id: r.content_hash for r in novel_docs(docs, seen).collect()
+    }
+    # twin: first per digest, drop digests in seen
+    first = {}
+    for did, t in batch:
+        h = md5(t) if t is not None else None
+        if h not in first or did < first[h][0]:
+            first[h] = (did, h)
+    want = {
+        did: h for did, h in first.values()
+        if h is None or h not in {md5(t) for t in seen_texts}
+    }
+    assert got == want
+    assert set(got) == {1, 4, 5}  # 'b' seen; doc 3 loses to doc 1

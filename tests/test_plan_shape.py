@@ -231,3 +231,53 @@ def test_duplicated_spans_no_window_map_side_partials(spark):
     # still have executed without any Window/SortMergeJoin on strings
     out = duplicated_spans(docs, n=4)
     assert out.count() == 1
+
+
+def test_url_and_incremental_ops_stay_jvm_side(spark):
+    """url_canonicalize / dedup_by_url / novel_docs are scan-level or
+    single-agg ops — no Python node, no Window, and for novel_docs no
+    corpus-side sort-merge requirement is asserted (the seen side is a
+    real table at scale), but the in-batch winner MUST partial-agg
+    map-side."""
+    from sagan_spark.ops.dedup import novel_docs
+    from sagan_spark.ops.urltools import dedup_by_url, url_canonicalize
+
+    docs = spark.createDataFrame(
+        [(1, "t", "https://A.com:443/x?utm_source=1&a=2")],
+        "doc_id long, text string, url string",
+    )
+    seen = spark.createDataFrame([("h",)], "content_hash string")
+    plans = {
+        "canon": docs.select(url_canonicalize(F.col("url"))),
+        "url_dedup": dedup_by_url(docs),
+        "incremental": novel_docs(docs, seen),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"{name}: Python node in plan"
+        assert "Window" not in plan, f"{name}: window in plan"
+    inc = plans["incremental"]._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in inc, "in-batch winner must combine map-side"
+
+
+def test_remove_duplicated_spans_no_window_no_python(spark):
+    """Span REMOVAL edits inside a higher-order array filter: no
+    Python node, no Window, map-side partials on both the dup-hash
+    count and the start-list collect."""
+    from sagan_spark.ops.decontam import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    qe = (
+        remove_duplicated_spans(docs, n=4, checkpoint=False)
+        ._jdf.queryExecution()
+    )
+    plan = qe.executedPlan().toString()
+    assert "EvalPython" not in plan, "Python node in span-removal plan"
+    assert "Window" not in plan, "window in span-removal plan"
+    assert "partial_count(distinct" in plan or "partial_count" in plan, (
+        "dup-hash countDistinct must partial-aggregate map-side"
+    )
+    assert "collect_set" in plan, "start-list collect_set missing"
