@@ -1138,7 +1138,12 @@ def q_streaming_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         seng = StreamingSaganEngine(rules, watermark="0 seconds")
         frame = SaganSparkEngine.frame_from_pages(pages_stream_frame(spark, inp))
         q = seng.start_sink_query(frame, f"{work}/out", f"{work}/ckpt", sinks=["alerts_eve"])
-        q.awaitTermination(180)
+        # availableNow drain: a False return means the query is STILL
+        # running — reading partial output (and rmtree'ing under it in
+        # the finally) would misreport as a correctness failure
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("streaming drain did not finish in 180s")
         eve = spark.read.parquet(f"{work}/out/alerts_eve")
         # grouped result is tiny but still returned as a plan, not via a
         # driver collect/createDataFrame funnel; localCheckpoint detaches
@@ -1197,7 +1202,11 @@ def q_streaming_threshold_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = seng.start_sink_query(
             frame, f"{work}/out", f"{work}/ckpt", sinks=["alerts_eve"]
         )
-        q.awaitTermination(300)
+        # see q_streaming_threshold: never read (or delete) the sink
+        # under a still-running drain
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming drain did not finish in 300s")
         eve = spark.read.parquet(f"{work}/out/alerts_eve")
         out = eve.groupBy(
             F.col("alert_signature_id").cast("long").alias("sid"),
@@ -3002,9 +3011,15 @@ def oracle_sql() -> dict[str, str]:
             " WHERE domain NOT IN ('src1.com', 'src0.co.uk')"
         ),
         "url_canonicalize": "SELECT doc_id, canonical_url FROM (" + _canon_inner + ")",
+        # NULL canonical urls pass through ungrouped (same contract as
+        # dedup_by_url; the messy-url corpus never produces one, but
+        # the semantics stay aligned)
         "url_dedup": (
             "SELECT min(doc_id) AS doc_id, canonical_url FROM ("
-            + _canon_inner + ") GROUP BY canonical_url"
+            + _canon_inner + ") WHERE canonical_url IS NOT NULL"
+            " GROUP BY canonical_url"
+            " UNION ALL SELECT doc_id, canonical_url FROM ("
+            + _canon_inner + ") WHERE canonical_url IS NULL"
         ),
         "dedup_span_removal": _rm_sql,
         "dedup_incremental": (

@@ -167,11 +167,14 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 20,
             ),
         ),
     ).otherwise(F.array().cast("array<struct<i:int,h:string>>"))
-    pos = (
-        base.select(F.col(id_col), F.explode(win).alias("w"))
-        .select(id_col, F.col("w.i").alias("i"), F.col("w.h").alias("h"))
-        .persist()
+    pos = base.select(F.col(id_col), F.explode(win).alias("w")).select(
+        id_col, F.col("w.i").alias("i"), F.col("w.h").alias("h")
     )
+    # cache only on the materializing path — with checkpoint=False
+    # (plan inspection) a persist would leak the corpus-windows-sized
+    # frame in executor storage with no unpersist to release it
+    if checkpoint:
+        pos = pos.persist()
     dup_h = (
         pos.groupBy("h")
         .agg(F.countDistinct(id_col).alias("nd"))

@@ -402,7 +402,7 @@ def embedding_cosine_dups(emb: DataFrame, threshold: float = 0.95,
 
 
 def semdedup(emb: DataFrame, threshold: float = 0.95, n_centroids: int = 16,
-             dim: int = 64, sample_n: int = 256, iters: int = 5,
+             sample_n: int = 256, iters: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              centroids: list[list[float]] | None = None) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by

@@ -26,8 +26,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # host = authority minus userinfo/port; RE2-compatible so the SAME
-# pattern runs in the DuckDB oracle
-HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+# pattern runs in the DuckDB oracle.  The userinfo clause must not
+# cross '?' or '#': an '@' inside the query of a path-less URL
+# ('https://a.com?email=x@b.com') would otherwise pull the host out of
+# the query string.
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
 
 # back-compat alias: the registered-domain tables now live in
 # sagan_spark.ops.psl (vendored from the public suffix list, with
@@ -55,12 +58,15 @@ def registered_domain(host: Column) -> Column:
 # canonicalization component patterns — RE2-compatible, same strings
 # run in the DuckDB oracle
 SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
-PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)"
+PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]+:([0-9]+)"
 PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-QUERY_RE = r"\?([^#]*)"
+# query = first '?' BEFORE any '#': a '?' appearing only inside the
+# fragment is not a query (lazy [^#]*? keeps the scan left-anchored)
+QUERY_RE = r"^[^#]*?\?([^#]*)"
 # tracking parameters dropped during canonicalization (public
-# convention: Google/Facebook/Microsoft/Mailchimp click identifiers)
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)="
+# convention: Google/Facebook/Microsoft/Mailchimp click identifiers);
+# (=|$) also catches the valueless form ('?fbclid')
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid)(=|$)"
 
 
 def url_canonicalize(url: Column) -> Column:
@@ -107,14 +113,22 @@ def dedup_by_url(docs: DataFrame, url_col: str = "url",
     URL.  Returns (doc_id, canonical_url).  A single map-side-combining
     aggregation on the canonical string — a hot URL crawled 10^6 times
     combines to one pair per map task before the shuffle; no window,
-    no per-key sort."""
-    return (
-        docs.select(
-            F.col(id_col), url_canonicalize(F.col(url_col)).alias("canonical_url")
-        )
+    no per-key sort.
+
+    Rows with a NULL url pass through UNGROUPED: a missing-metadata
+    column is not evidence of duplication, and letting groupBy collapse
+    the NULL group would silently drop every other NULL-url document."""
+    c = docs.select(
+        F.col(id_col), url_canonicalize(F.col(url_col)).alias("canonical_url")
+    )
+    winners = (
+        c.filter(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "canonical_url")
+    )
+    return winners.unionByName(
+        c.filter(F.col("canonical_url").isNull()).select(id_col, "canonical_url")
     )
 
 

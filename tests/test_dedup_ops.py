@@ -235,7 +235,7 @@ def test_semdedup_training_path_equals_twin(spark, vectors):
     got = {
         r.vec_id
         for r in semdedup(
-            df, threshold=0.8, n_centroids=4, dim=16, sample_n=30
+            df, threshold=0.8, n_centroids=4, sample_n=30
         ).collect()
     }
     sample = [[float(x) for x in vectors[i]] for i in sorted(vectors)]

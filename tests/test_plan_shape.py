@@ -277,7 +277,7 @@ def test_remove_duplicated_spans_no_window_no_python(spark):
     plan = qe.executedPlan().toString()
     assert "EvalPython" not in plan, "Python node in span-removal plan"
     assert "Window" not in plan, "window in span-removal plan"
-    assert "partial_count(distinct" in plan or "partial_count" in plan, (
+    assert "partial_count(distinct" in plan, (
         "dup-hash countDistinct must partial-aggregate map-side"
     )
     assert "collect_set" in plan, "start-list collect_set missing"
