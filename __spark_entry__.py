@@ -1681,6 +1681,17 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain cap (skew-safe: over-cap domains only,
+    slack-rate pre-filter, bounded rank window) — cap 5 over the
+    synthetic-url corpus (~60 domains, ~8 docs each at sf0.01)."""
+    from sagan_spark.ops.sampling import domain_quota_sample
+
+    return domain_quota_sample(_docs_with_url(spark, sf_dir), 5).select(
+        "doc_id", "domain"
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.webclean import corpus_prep
 
@@ -1787,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
+        "sample_domain_quota": q_sample_domain_quota,
     }
 
 
@@ -2189,6 +2201,12 @@ def oracle_sql() -> dict[str, str]:
         f" FROM ({_canon_parts}))"
     )
 
+    # per-domain quota sample (cap 5) — slack literal is the SAME
+    # Python float the Spark op computes from the cap, so both engines
+    # divide identical doubles
+    _dq_cap = 5
+    _dq_slack = repr(float(_dq_cap + 6 * (_dq_cap ** 0.5) + 16))
+
     # synthetic url + host/domain (the op's exact algorithm: the PSL
     # longest-match CASE generated from the SAME vendored tables the
     # Spark column expression compiles from — ops/psl.py)
@@ -2206,6 +2224,25 @@ def oracle_sql() -> dict[str, str]:
         "   WHEN doc_id % 3 = 1 THEN '.com' ELSE '.org' END) ||"
         "  '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents)))"
     )
+    _dq_sql = (
+        f"WITH u AS ({_domain_inner}),"
+        " sz AS (SELECT domain, count(*) AS n FROM u GROUP BY 1),"
+        f" over_d AS (SELECT * FROM sz WHERE n > {_dq_cap}),"
+        " under_rows AS (SELECT u.doc_id, u.domain FROM u"
+        "  LEFT JOIN over_d o ON o.domain = u.domain WHERE o.domain IS NULL),"
+        " surv AS (SELECT u.doc_id, u.domain,"
+        "  substr(md5('domq|' || CAST(u.doc_id AS VARCHAR)), 1, 8) AS h, o.n"
+        "  FROM u JOIN over_d o ON o.domain = u.domain),"
+        " filt AS (SELECT * FROM surv WHERE h <"
+        f"  (CASE WHEN {_dq_slack} >= n THEN 'g'"
+        f"   ELSE lpad(format('{{:x}}', CAST(floor(({_dq_slack} / n)"
+        "    * 4294967296.0) AS BIGINT)), 8, '0') END)),"
+        " ranked AS (SELECT doc_id, domain, row_number() OVER"
+        "  (PARTITION BY domain ORDER BY h, doc_id) AS rn FROM filt)"
+        " SELECT doc_id, domain FROM under_rows"
+        f" UNION ALL SELECT doc_id, domain FROM ranked WHERE rn <= {_dq_cap}"
+    )
+
     from sagan_spark.ops.webclean import EMAIL_RE, IPV4_RE
 
     shingles = (
@@ -3074,4 +3111,9 @@ def oracle_sql() -> dict[str, str]:
             " doc_id) AS rn FROM documents)"
             " WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 10 ELSE 0 END"
         ),
+        # per-domain quota (ops/sampling.domain_quota_sample, cap 5):
+        # over-cap domains get the slack-rate hex pre-filter (keep-all
+        # sentinel 'g' when slack >= size) then rank <= cap; under-cap
+        # rows pass through untouched
+        "sample_domain_quota": _dq_sql,
     }

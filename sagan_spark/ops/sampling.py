@@ -70,6 +70,92 @@ def train_holdout_split(docs: DataFrame, holdout_frac: float = 0.1,
     )
 
 
+def domain_quota_sample(docs: DataFrame, cap: int, url_col: str = "url",
+                        id_col: str = "doc_id",
+                        salt: str = "domq") -> DataFrame:
+    """At most ``cap`` documents per registered domain, chosen in
+    deterministic hash order — the per-site quota pass a Common-Crawl
+    curation pipeline runs so one hot domain (10^8+ pages) cannot
+    dominate the corpus.
+
+    This is the skew-safe composition the :func:`stratified_sample`
+    docstring prescribes for Zipf-hot strata, packaged as one operator:
+
+    1. per-domain sizes via a map-side-combining count (never a window
+       over the raw corpus), immediately filtered to the OVER-CAP
+       domains — the only ones that need any work.  At web scale that
+       table is orders of magnitude smaller than the domain count
+       (domains with > cap pages), so it broadcasts; under-cap rows
+       take a map-side "keep" verdict and never touch a shuffle.
+    2. over-cap rows pass a scan-level hash-rate pre-filter at rate
+       ``(cap + 6*sqrt(cap) + 16) / size`` — the slack term makes the
+       binomial survivor count fall below ``cap`` with probability
+       < 1e-9 per domain, and survivors are bounded
+       (~cap + O(sqrt(cap))), so
+    3. the exact rank-within-domain window only ever sorts a few
+       thousand rows per domain regardless of corpus size.
+
+    Membership is reproducible across runs and cluster sizes (same
+    md5 key discipline as the other samplers).  Returns the input rows
+    plus a ``domain`` column.
+    """
+    from sagan_spark.ops.urltools import registered_domain, url_host
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    slack = float(cap + 6 * (cap ** 0.5) + 16)
+    d = docs.withColumn(
+        "_sg_domain", registered_domain(url_host(F.col(url_col)))
+    )
+    over = (
+        d.groupBy("_sg_domain")
+        .agg(F.count(F.lit(1)).alias("_sg_n"))
+        .filter(F.col("_sg_n") > cap)
+    )
+    joined = d.join(F.broadcast(over), "_sg_domain", "left")
+    under = joined.filter(F.col("_sg_n").isNull()).drop("_sg_n")
+    h = _hash8(F.col(id_col), salt)
+    # per-domain hex threshold: floor((slack/size) * 2^32) as an 8-char
+    # hex literal — string compare == numeric compare on the top 32
+    # hash bits; floor() on BOTH contract sides (DuckDB CAST rounds,
+    # Spark CAST truncates — floor is the portable spelling).
+    # lower(): Spark's conv() emits UPPERCASE hex, md5() lowercase —
+    # the lexicographic==numeric equivalence needs one case.
+    # Keep-all domains (slack >= size, possible for small caps on a
+    # barely over-cap domain) get the sentinel 'g': 'g' > 'f' so every
+    # hash sorts below it — a 9-char '100000000' would instead sort
+    # BELOW any hash not starting with '0' and drop nearly everything.
+    thresh = F.when(F.lit(slack) >= F.col("_sg_n"), F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(
+                F.conv(
+                    F.floor(
+                        (F.lit(slack) / F.col("_sg_n")) * F.lit(float(1 << 32))
+                    ).cast("string"),
+                    10,
+                    16,
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+    survivors = joined.filter(F.col("_sg_n").isNotNull()).withColumn(
+        "_sg_h", h
+    ).filter(F.col("_sg_h") < thresh)
+    rn = F.row_number().over(
+        Window.partitionBy("_sg_domain").orderBy(
+            F.col("_sg_h").asc(), F.col(id_col).asc()
+        )
+    )
+    capped = (
+        survivors.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "_sg_h", "_sg_n")
+    )
+    return under.unionByName(capped).withColumnRenamed("_sg_domain", "domain")
+
+
 def stratified_sample(docs: DataFrame, quotas: dict[str, int],
                       strata_col: str = "lang", id_col: str = "doc_id",
                       salt: str = "strata") -> DataFrame:

@@ -85,3 +85,59 @@ def test_full_fraction_keeps_every_row(docs_df):
     assert deterministic_sample(docs_df, 1.0).count() == docs_df.count()
     split = train_holdout_split(docs_df, holdout_frac=1.0)
     assert split.filter(split.split == "train").count() == 0
+
+
+def test_domain_quota_sample_vs_python(spark):
+    """Per-domain cap vs a hashlib twin that replays the whole
+    construction: over-cap detection, slack-rate pre-filter threshold
+    (floor + lowercase hex), rank among survivors."""
+    import math
+
+    from sagan_spark.ops.sampling import domain_quota_sample
+
+    # 3 domains: hot (60 docs), warm (12), cold (3); cap 5
+    rows = []
+    for i in range(75):
+        dom = "hot.com" if i < 60 else ("warm.org" if i < 72 else "cold.net")
+        rows.append((i, f"https://www.{dom}/p/{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    cap = 5
+    got = {(r.doc_id, r.domain) for r in domain_quota_sample(docs, cap).collect()}
+
+    # twin
+    slack = float(cap + 6 * math.sqrt(cap) + 16)
+    by_dom = {}
+    for i, url in rows:
+        dom = url.split("://www.")[1].split("/")[0]
+        by_dom.setdefault(dom, []).append(i)
+    want = set()
+    for dom, ids in by_dom.items():
+        if len(ids) <= cap:
+            want.update((i, dom) for i in ids)
+            continue
+        if slack >= len(ids):
+            t = "g"  # keep-all sentinel, > every hex hash
+        else:
+            t = format(int(math.floor((slack / len(ids)) * (1 << 32))), "x").zfill(8)
+        surv = sorted(
+            (( _h8("domq", i), i) for i in ids if _h8("domq", i) < t)
+        )
+        want.update((i, dom) for _, i in surv[:cap])
+    assert got == want
+    # the cap binds on the hot domain and only there
+    per_dom = {}
+    for i, dom in got:
+        per_dom[dom] = per_dom.get(dom, 0) + 1
+    assert per_dom["hot.com"] == cap
+    assert per_dom["warm.org"] == cap
+    assert per_dom["cold.net"] == 3
+
+
+def test_domain_quota_sample_stability(spark):
+    from sagan_spark.ops.sampling import domain_quota_sample
+
+    rows = [(i, f"https://h{i % 4}.example.com/p/{i}") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    a = {r.doc_id for r in domain_quota_sample(docs, 10).collect()}
+    b = {r.doc_id for r in domain_quota_sample(docs.repartition(13), 10).collect()}
+    assert a == b and len(a) == 10  # all hosts share example.com
