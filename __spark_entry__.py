@@ -2254,8 +2254,10 @@ def oracle_sql() -> dict[str, str]:
     sigs = (
         f"WITH sh AS ({shingles}), "
         "sig AS (SELECT doc_id, "
-        " min(md5('b0|' || shingle)) AS sig0, min(md5('b1|' || shingle)) AS sig1,"
-        " min(md5('b2|' || shingle)) AS sig2, min(md5('b3|' || shingle)) AS sig3 "
+        " min(('0x'||substr(md5('b0|' || shingle),1,15))::BIGINT) AS sig0,"
+        " min(('0x'||substr(md5('b1|' || shingle),1,15))::BIGINT) AS sig1,"
+        " min(('0x'||substr(md5('b2|' || shingle),1,15))::BIGINT) AS sig2,"
+        " min(('0x'||substr(md5('b3|' || shingle),1,15))::BIGINT) AS sig3 "
         "FROM sh GROUP BY doc_id), "
         "stacked AS ("
         " SELECT doc_id, 0 AS band, sig0 AS sig FROM sig UNION ALL"
@@ -2280,8 +2282,10 @@ def oracle_sql() -> dict[str, str]:
         return (
             f"WITH RECURSIVE {extra_ctes}sh AS ({sh}), "
             "sig AS (SELECT doc_id, "
-            " min(md5('b0|' || shingle)) AS sig0, min(md5('b1|' || shingle)) AS sig1,"
-            " min(md5('b2|' || shingle)) AS sig2, min(md5('b3|' || shingle)) AS sig3 "
+            " min(('0x'||substr(md5('b0|' || shingle),1,15))::BIGINT) AS sig0,"
+            " min(('0x'||substr(md5('b1|' || shingle),1,15))::BIGINT) AS sig1,"
+            " min(('0x'||substr(md5('b2|' || shingle),1,15))::BIGINT) AS sig2,"
+            " min(('0x'||substr(md5('b3|' || shingle),1,15))::BIGINT) AS sig3 "
             "FROM sh GROUP BY doc_id), "
             "stacked AS ("
             " SELECT doc_id, 0 AS band, sig0 AS sig FROM sig UNION ALL"

@@ -97,15 +97,27 @@ def shingle_df(docs: DataFrame, k: int = 8, text_col: str = "text",
 
 def minhash_band_signatures(shingles: DataFrame, n_bands: int = 4,
                             id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, band, sig): per band, the lexicographic min of
-    md5(band_seed || shingle) — a valid min-hash family (md5 with a
-    per-band seed is a uniform ordering of the shingle universe).
+    """(doc_id, band, sig): per band, the integer min of the first 60
+    bits of md5(band_seed || shingle) — a valid min-hash family (md5
+    with a per-band seed is a uniform ordering of the shingle
+    universe; truncating to a 60-bit prefix preserves that ordering up
+    to astronomically-unlikely prefix ties, which merely pick a
+    different-but-still-uniform min).
 
-    Kept string-typed so the identical construction is expressible in
-    ANSI SQL for the DuckDB oracle.
+    Signatures are BIGINT, not the md5 hex string: the band self-join
+    then shuffles 8-byte longs instead of 32-char strings (~5x
+    narrower exchange at corpus scale) and the groupBy agg state is 4
+    longs per doc.  The identical construction stays ANSI-SQL
+    expressible for the DuckDB oracle as
+    ``('0x' || substr(md5('b0|' || shingle), 1, 15))::BIGINT``.
     """
     bands = [
-        F.min(F.md5(F.concat(F.lit(f"b{b}|"), F.col("shingle")))).alias(f"sig{b}")
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b{b}|"), F.col("shingle"))), 1, 15),
+                16, 10,
+            ).cast("long")
+        ).alias(f"sig{b}")
         for b in range(n_bands)
     ]
     wide = shingles.groupBy(id_col).agg(*bands)
