@@ -1391,6 +1391,27 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs, k=16)
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.textstats import vocab_stats
+
+    docs = _docs(spark, sf_dir)
+    return vocab_stats(docs, top_n=100)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(docs, max_tokens=2048, n_shards=32)
+
+
+def q_pack_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.packing import pack_chunk_stats
+
+    docs = _docs(spark, sf_dir)
+    return pack_chunk_stats(docs, max_tokens=2048, n_shards=32)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload byte length + content digest
     (decode kernels stubbed; batch plumbing real, see ops/multimodal.py)."""
@@ -1778,6 +1799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "vocab_stats": q_vocab_stats,
+        "pack_sequences": q_pack_sequences,
+        "pack_chunk_stats": q_pack_chunk_stats,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
@@ -2270,6 +2294,26 @@ def oracle_sql() -> dict[str, str]:
         " count(*) AS n_shared_bands "
         "FROM stacked a JOIN stacked b ON a.band = b.band AND a.sig = b.sig"
         " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    )
+    # GPT-style sequence packing (ops/packing.py): per-shard hash-shuffle
+    # order, running token sum, fixed 2048-token chunk ids.
+    _pack_cte = (
+        "WITH base AS (SELECT doc_id,"
+        " ('0x'||substr(md5('shard||' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 32"
+        "  AS shard,"
+        " ('0x'||substr(md5('order||' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT"
+        "  AS okey,"
+        " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT"
+        "  AS n_tokens FROM documents),"
+        " cums AS (SELECT doc_id, shard, n_tokens,"
+        " CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY okey, doc_id"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end"
+        " FROM base),"
+        " packed AS (SELECT doc_id, shard, n_tokens,"
+        " tok_end - n_tokens AS tok_start, tok_end,"
+        " CAST(floor((tok_end - n_tokens) / 2048) AS BIGINT) AS chunk_first,"
+        " CAST(floor(greatest(tok_end - 1, tok_end - n_tokens) / 2048) AS BIGINT)"
+        "  AS chunk_last FROM cums)"
     )
     # Jaccard-verified pairs -> symmetric edges -> transitive closure
     # (recursive CTE; UNION dedups so the fixpoint terminates) ->
@@ -2900,6 +2944,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, min(md5(g)) AS fingerprint FROM ("
             "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-15,1)+1),"
             " i -> substr(text, i, 16))) AS g FROM documents) GROUP BY 1"
+        ),
+        "vocab_stats": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM documents),"
+            " pd AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)"
+            " SELECT token, CAST(sum(tf) AS BIGINT) AS term_freq,"
+            " count(*) AS doc_freq FROM pd GROUP BY 1"
+            " ORDER BY term_freq DESC, token ASC LIMIT 100"
+        ),
+        "pack_sequences": f"{_pack_cte} SELECT * FROM packed",
+        "pack_chunk_stats": (
+            f"{_pack_cte}, ex AS (SELECT shard, tok_start, tok_end,"
+            " unnest(range(chunk_first, chunk_last + 1)) AS chunk_id"
+            " FROM packed WHERE n_tokens > 0)"
+            " SELECT shard, chunk_id, count(*) AS n_docs,"
+            " CAST(sum(least(tok_end, (chunk_id + 1) * 2048)"
+            "  - greatest(tok_start, chunk_id * 2048)) AS BIGINT) AS n_tokens"
+            " FROM ex GROUP BY 1, 2"
         ),
         "multimodal_meta": (
             "SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,"

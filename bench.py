@@ -57,6 +57,8 @@ HEADLINE = [
     "webclean_gopher",
     "url_domain_rollup",
     "dedup_paragraphs",
+    "pack_sequences",
+    "vocab_stats",
 ]
 
 

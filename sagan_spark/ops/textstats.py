@@ -115,6 +115,36 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     )
 
 
+def vocab_stats(docs: DataFrame, top_n: int = 100, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary statistics over the BPE-ish token stream:
+    (token, term_freq, doc_freq) for the ``top_n`` tokens by total
+    count (ties broken by token).  The classic two-level word-count:
+    explode -> per-(token, doc) partial count (map-side combinable,
+    absorbs within-doc repetition before the wide exchange) -> per-
+    token rollup.  doc_freq = #docs containing the token, the df side
+    of tf-idf vocabulary building.  Top-n is a TakeOrdered, not a
+    global sort."""
+    from sagan_spark.ops.packing import TOKEN_RE
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("tf").alias("term_freq"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 16, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: lexicographic min of md5 over character
