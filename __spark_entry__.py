@@ -1536,6 +1536,15 @@ def q_webclean_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filters(_docs(spark, sf_dir))
 
 
+def q_webclean_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality-classifier inference, synthetic-weights
+    mode (the no-join codegen path; trained-weights mode is the same
+    plan plus one broadcast join, pinned in tests/test_webclean.py)."""
+    from sagan_spark.ops.webclean import hashed_linear_score
+
+    return hashed_linear_score(_docs(spark, sf_dir), n_buckets=1 << 18)
+
+
 def _benchmark_from_docs(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic eval set: every 97th document with >=30
     tokens contributes tokens 6..30 as one benchmark entry — guarantees
@@ -1811,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webclean_pii": q_webclean_pii,
         "webclean_verdict": q_webclean_verdict,
         "webclean_gopher": q_webclean_gopher,
+        "webclean_classifier": q_webclean_classifier,
         "url_domain_rollup": q_url_domain_rollup,
         "url_blocklist": q_url_blocklist,
         "url_canonicalize": q_url_canonicalize,
@@ -2303,8 +2313,8 @@ def oracle_sql() -> dict[str, str]:
         "  AS shard,"
         " ('0x'||substr(md5('order||' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT"
         "  AS okey,"
-        " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT"
-        "  AS n_tokens FROM documents),"
+        " coalesce(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')),"
+        "  0)::BIGINT AS n_tokens FROM documents),"
         " cums AS (SELECT doc_id, shard, n_tokens,"
         " CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY okey, doc_id"
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end"
@@ -3051,6 +3061,22 @@ def oracle_sql() -> dict[str, str]:
             "   str_split(text, chr(10) || chr(10)),"
             "   (x, i) -> struct_pack(idx := i, para := x))) AS u"
             "  FROM documents))) GROUP BY doc_id) g ON g.doc_id = d.doc_id"
+        ),
+        "webclean_classifier": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM documents),"
+            " b AS (SELECT doc_id,"
+            "  ('0x'||substr(md5(token),1,15))::BIGINT % 262144 AS bucket FROM toks),"
+            " w AS (SELECT doc_id,"
+            "  (('0x'||substr(md5('w|' || CAST(bucket AS VARCHAR)),1,15))::BIGINT"
+            "   % 2001) - 1000 AS w_milli FROM b),"
+            " agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,"
+            "  CAST(sum(w_milli) AS BIGINT) AS w_sum FROM w GROUP BY 1),"
+            " scored AS (SELECT doc_id, n_tokens,"
+            "  round(1.0/(1.0+exp(-(w_sum/(n_tokens*1000.0)))), 6) AS score FROM agg)"
+            " SELECT doc_id, n_tokens, score FROM scored"
+            " UNION ALL SELECT doc_id, CAST(0 AS BIGINT), 0.5 FROM documents"
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM scored)"
         ),
         "webclean_gopher": (
             "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,"

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+from sagan_spark.ops.textstats import TOKEN_RE
 
 
 def _md5_long(col):
@@ -35,8 +35,13 @@ def _md5_long(col):
 
 def bpe_token_count(col):
     """BPE-ish token count: letter runs | digit runs | single other
-    non-space char (the token_counts() regex from ops/textstats.py)."""
-    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0))).cast("long")
+    non-space char (the token_counts() regex from ops/textstats.py).
+    NULL text counts as 0 tokens — a NULL doc must not NULL-poison its
+    shard's running offsets."""
+    return F.coalesce(
+        F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0))).cast("long"),
+        F.lit(0).cast("long"),
+    )
 
 
 def pack_sequences(docs: DataFrame, max_tokens: int = 2048,

@@ -101,13 +101,20 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+# BPE-ish token stream: letter runs | digit runs | single other
+# non-space char.  Shared by token_counts, vocab_stats and
+# ops/packing.py; identical in RE2 (DuckDB) and Java regex for
+# ASCII classes.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_counts(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens
     (letter runs | digit runs | single non-alnum)."""
     t = F.col(text_col)
     ws = word_count(t).cast("long")
-    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).cast("long")
+    bpe = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0))).cast("long")
     return docs.select(
         F.col(id_col),
         ws.alias("ws_tokens"),
@@ -125,8 +132,6 @@ def vocab_stats(docs: DataFrame, top_n: int = 100, text_col: str = "text",
     token rollup.  doc_freq = #docs containing the token, the df side
     of tf-idf vocabulary building.  Top-n is a TakeOrdered, not a
     global sort."""
-    from sagan_spark.ops.packing import TOKEN_RE
-
     toks = docs.select(
         F.col(id_col),
         F.explode(

@@ -330,3 +330,75 @@ def corpus_prep_yield(docs: DataFrame, text_col: str = "text",
             F.sum("_toks").cast("long").alias("n_tokens"),
         )
     )
+
+
+def hashed_linear_score(docs: DataFrame, weights: DataFrame | None = None,
+                        n_buckets: int = 1 << 18, bias: float = 0.0,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """fastText-style linear text-classifier INFERENCE: tokenize
+    (textstats.TOKEN_RE), hash each token into ``n_buckets`` via the
+    60-bit md5 prefix, average the bucket weights, squash with a
+    sigmoid — the hashed bag-of-words quality scorer the CCNet /
+    GPT-3 / LLaMA corpus pipelines run to rank web text against a
+    reference corpus (Wenzek et al. arXiv:1911.00359; Brown et al.
+    arXiv:2005.14165 Appendix A).  Training is out of scope; this is
+    the distributed scoring pass, pluggable weights.
+
+    ``weights``: (bucket: long, weight_milli: long) DataFrame —
+    trained weights scaled by 1000 (broadcast-joined; missing buckets
+    weigh 0).  ``None`` selects deterministic synthetic weights
+    derived expression-side from md5(bucket) — the documented stand-in
+    (no model ships with the repo) that keeps the whole op
+    whole-stage codegen with NO join and lets the DuckDB oracle
+    replay it exactly.
+
+    Numeric determinism: per-token weights are INTEGER milli-units,
+    so the per-doc sum is exact in any aggregation order (no float
+    accumulation drift across engines/partitions); the single
+    float op is the final sigmoid, rounded to 6 decimals.
+    Returns (doc_id, n_tokens, score).
+    """
+    from sagan_spark.ops.packing import _md5_long
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    bucket = F.pmod(_md5_long(F.col("token")), F.lit(n_buckets))
+    if weights is None:
+        w = (F.pmod(_md5_long(F.concat(F.lit("w|"), bucket.cast("string"))),
+                    F.lit(2001)) - 1000).alias("w_milli")
+        scored = toks.select(F.col(id_col), w)
+    else:
+        from pyspark.sql.functions import broadcast
+
+        scored = (
+            toks.select(F.col(id_col), bucket.alias("bucket"))
+            .join(broadcast(weights), "bucket", "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("weight_milli"), F.lit(0)).alias("w_milli"),
+            )
+        )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w_milli").alias("w_sum"),
+    )
+    mean = F.col("w_sum") / (F.col("n_tokens") * 1000.0) + F.lit(bias)
+    out = agg.select(
+        id_col,
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6).alias("score"),
+    )
+    # zero-token docs never appear in the explode: emit them with the
+    # neutral sigmoid(bias) so scoring is total over the corpus
+    neutral = docs.join(agg.select(id_col), id_col, "left_anti").select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-bias))), 6).alias("score"),
+    )
+    return out.unionByName(neutral)

@@ -121,6 +121,22 @@ def test_chunk_stats_conservation(spark):
     assert straddler.chunk_last > straddler.chunk_first
 
 
+def test_pack_null_text_counts_zero(spark):
+    """A NULL document must pack as zero tokens, not NULL-poison the
+    shard's running offsets."""
+    docs = DOCS + [(99, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in pack_sequences(df, max_tokens=256, n_shards=4).collect()}
+    nul = rows[99]
+    assert nul.n_tokens == 0 and nul.tok_start == nul.tok_end
+    assert nul.tok_start is not None
+    # every other doc keeps twin-exact offsets despite the NULL neighbor
+    want = _twin_pack(docs[:-1] + [(99, "")], 256, 4)
+    for doc_id, w in want.items():
+        g = rows[doc_id]
+        assert (g.tok_start, g.tok_end) == (w["tok_start"], w["tok_end"]), doc_id
+
+
 def test_vocab_stats_matches_counter(spark):
     tf = Counter()
     df_ = Counter()

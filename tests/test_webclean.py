@@ -410,3 +410,61 @@ def test_gopher_filters_vs_python(spark):
         "ok", "word_count", "symbol_ratio", "bullet_lines",
         "ellipsis_lines", "alpha_words", "stopwords", "mean_word_length",
     }
+
+
+def test_hashed_linear_score_vs_python(spark):
+    """Synthetic-weights classifier inference == hashlib/math twin."""
+    import hashlib
+    import math
+    import re as _re
+
+    from sagan_spark.ops.webclean import hashed_linear_score
+
+    docs = [
+        (0, "the quick brown fox"),
+        (1, "spam spam spam buy now!!!"),
+        (2, ""),          # zero tokens -> neutral 0.5
+        (3, None),        # NULL text -> neutral 0.5
+        (4, "a solitary sentence with ordinary words."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.score)
+           for r in hashed_linear_score(df, n_buckets=1 << 18).collect()}
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    tok_re = _re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", _re.ASCII)
+    for doc_id, text in docs:
+        toks = tok_re.findall(text) if text else []
+        if not toks:
+            assert got[doc_id] == (0, 0.5), doc_id
+            continue
+        ws = [
+            (md5_long(f"w|{md5_long(t) % (1 << 18)}") % 2001) - 1000
+            for t in toks
+        ]
+        want = round(1.0 / (1.0 + math.exp(-(sum(ws) / (len(ws) * 1000.0)))), 6)
+        assert got[doc_id] == (len(toks), want), doc_id
+
+
+def test_hashed_linear_score_trained_weights(spark):
+    """Trained-weights mode: broadcast join, missing buckets weigh 0,
+    bias shifts the sigmoid."""
+    import math
+
+    from sagan_spark.ops.webclean import hashed_linear_score
+
+    df = spark.createDataFrame([(0, "good good bad")], "doc_id long, text string")
+    import hashlib
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 64
+
+    w = spark.createDataFrame(
+        [(bucket("good"), 1000)], "bucket long, weight_milli long"
+    )
+    r = hashed_linear_score(df, weights=w, n_buckets=64, bias=0.25).collect()[0]
+    # mean = (1000 + 1000 + 0) / (3 * 1000) = 2/3; score = sigmoid(2/3 + .25)
+    assert r.n_tokens == 3
+    assert r.score == round(1.0 / (1.0 + math.exp(-(2.0 / 3.0 + 0.25))), 6)
