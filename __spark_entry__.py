@@ -1857,11 +1857,16 @@ def _html_extract_sql() -> str:
 
 
 def _langid_sql() -> str:
-    """text_langid oracle generated from the SAME marker dict the Spark
-    op uses (sagan_spark.ops.textstats.LANG_MARKERS) — one source of
-    truth for words, divisors (padded-marker length), and the
-    first-wins tie-break order."""
-    from sagan_spark.ops.textstats import LANG_MARKERS
+    """text_langid oracle generated from the SAME dicts the Spark op
+    uses (sagan_spark.ops.textstats.LANG_MARKERS / LANG_SCRIPTS) — one
+    source of truth for marker words, divisors (padded-marker length),
+    script ranges + fraction thresholds, the script-cascade order, and
+    the first-wins marker tie-break order."""
+    from sagan_spark.ops.textstats import (
+        LANG_MARKERS,
+        LANG_SCRIPTS,
+        script_pattern,
+    )
 
     scores = ", ".join(
         " + ".join(
@@ -1871,17 +1876,31 @@ def _langid_sql() -> str:
         + f" AS s_{lang}"
         for lang, markers in LANG_MARKERS.items()
     )
+    scripts = ", ".join(
+        f"len(regexp_extract_all(t, '{script_pattern(ranges)}')) AS c_{lang}"
+        for lang, (ranges, _f) in LANG_SCRIPTS.items()
+    )
+    script_case = " ".join(
+        f"WHEN nc > 0 AND c_{lang} >= {frac} * nc THEN '{lang}'"
+        for lang, (_r, frac) in LANG_SCRIPTS.items()
+    )
     langs = list(LANG_MARKERS)
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
-    cols = ", ".join(f"s_{lang}" for lang in langs)
+    cols = ", ".join(
+        [f"s_{lang}" for lang in langs]
+        + [f"c_{lang}" for lang in LANG_SCRIPTS]
+        + ["nc"]
+    )
     return (
         "SELECT pred_lang, count(*) AS n FROM ("
-        "SELECT CASE WHEN best <= 0 THEN 'und' " + case + " ELSE 'und' END"
+        f"SELECT CASE {script_case}"
+        " WHEN best <= 0 THEN 'und' " + case + " ELSE 'und' END"
         " AS pred_lang FROM ("
         f"SELECT {best} AS best, {cols} FROM ("
-        f"SELECT {scores}"
-        " FROM (SELECT ' ' || text || ' ' AS p FROM documents)))) GROUP BY 1"
+        f"SELECT {scores}, {scripts}, length(t) AS nc"
+        " FROM (SELECT ' ' || text || ' ' AS p, text AS t"
+        " FROM documents)))) GROUP BY 1"
     )
 
 

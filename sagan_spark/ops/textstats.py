@@ -31,7 +31,45 @@ LANG_MARKERS = {
            "por", "mais", "como", "foi"],
     "nl": ["de", "het", "een", "van", "en", "dat", "niet", "voor",
            "met", "zijn", "ook", "maar"],
+    "pl": ["nie", "się", "jest", "ale", "jak", "czy", "tak", "jego",
+           "oraz", "tym", "dla", "przez"],
+    "sv": ["och", "det", "att", "som", "är", "på", "av", "för",
+           "till", "inte", "har", "den"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "çok", "daha", "gibi",
+           "ancak", "kadar", "sonra", "olarak"],
+    "id": ["yang", "dan", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "adalah"],
+    "ro": ["și", "în", "care", "este", "pentru", "mai", "din",
+           "sunt", "cu", "dar", "după", "fost"],
 }
+
+# Non-Latin scripts: detected by code-point-range counting, checked
+# BEFORE the marker argmax (a mostly-Cyrillic document is Russian no
+# matter how many Latin loanwords it carries).  Each entry is
+# (unicode ranges, min fraction of total characters).  Kana is checked
+# first with a LOW threshold: Japanese text mixes kana with CJK
+# ideographs, so any meaningful kana presence outranks the 'zh' CJK
+# count; Chinese text contains no kana.  The same `[\x{lo}-\x{hi}]`
+# class syntax parses identically in Java regex (Spark) and RE2
+# (DuckDB), so the oracle replays the counts exactly
+# (pinned by __spark_entry__._langid_sql).
+LANG_SCRIPTS = {
+    "ja": ([(0x3040, 0x30FF)], 0.05),                       # hiragana+katakana
+    "ko": ([(0xAC00, 0xD7AF), (0x1100, 0x11FF)], 0.25),     # hangul
+    "zh": ([(0x4E00, 0x9FFF), (0x3400, 0x4DBF)], 0.25),     # CJK ideographs
+    "ru": ([(0x0400, 0x04FF)], 0.25),                       # cyrillic
+    "ar": ([(0x0600, 0x06FF), (0x0750, 0x077F)], 0.25),     # arabic
+    "he": ([(0x0590, 0x05FF)], 0.25),                       # hebrew
+    "el": ([(0x0370, 0x03FF)], 0.25),                       # greek
+    "hi": ([(0x0900, 0x097F)], 0.25),                       # devanagari
+    "th": ([(0x0E00, 0x0E7F)], 0.25),                       # thai
+}
+
+
+def script_pattern(ranges: list[tuple[int, int]]) -> str:
+    """One char-class regex over the ranges — same string is valid in
+    Java regex and RE2."""
+    return "[" + "".join(f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in ranges) + "]"
 
 
 def _count_occurrences(col, needle: str):
@@ -48,25 +86,50 @@ def word_count(col):
 
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """Marker-word scoring language-ID: per language, count marker-word
-    occurrences (space-padded to approximate word boundaries); predict
-    the argmax, 'und' (undetermined) when all scores are 0."""
-    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
-    scores = {
-        lang: sum(
+    """Two-stage language-ID, all whole-stage codegen:
+
+    1. **Script cascade** (LANG_SCRIPTS, in dict order): count code
+       points in each script's unicode ranges; the first script whose
+       count clears its minimum fraction of total characters wins —
+       kana first at a low bar so Japanese (kana + CJK ideographs)
+       outranks the Chinese ideograph count.
+    2. **Marker argmax** (LANG_MARKERS): per Latin-script language,
+       count stopword-marker occurrences (space-padded word
+       boundaries); argmax with first-wins tie-break, 'und' when all
+       scores are 0 (Cavnar & Trenkle 1994 profiles collapsed to
+       whole-word markers).
+
+    best_score = the winning script's character count on path 1, the
+    winning marker count on path 2.  NULL text falls through both
+    paths to 'und'."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    cols = {f"scr_{lang}": F.regexp_count(t, F.lit(script_pattern(ranges)))
+            for lang, (ranges, _frac) in LANG_SCRIPTS.items()}
+    cols |= {
+        f"score_{lang}": sum(
             (_count_occurrences(padded, f" {m} ") for m in markers), F.lit(0.0)
-        ).alias(f"score_{lang}")
+        )
         for lang, markers in LANG_MARKERS.items()
     }
-    df = docs.select(F.col(id_col), *scores.values())
+    df = docs.select(F.col(id_col), n_chars.alias("_n_chars"),
+                     *[c.alias(n) for n, c in cols.items()])
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
-    pred = F.when(best <= 0, F.lit("und"))
+    pred, score = None, None
+    for lang, (_ranges, frac) in LANG_SCRIPTS.items():
+        hit = F.col(f"scr_{lang}") >= F.lit(frac) * F.col("_n_chars")
+        hit = hit & (F.col("_n_chars") > 0)
+        pred = F.when(hit, F.lit(lang)) if pred is None else pred.when(hit, F.lit(lang))
+        scr = F.col(f"scr_{lang}").cast("double")
+        score = F.when(hit, scr) if score is None else score.when(hit, scr)
+    pred = pred.when(best <= 0, F.lit("und"))
     for lang in LANG_MARKERS:  # first-wins on ties, fixed lang order
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return df.select(
         id_col,
         pred.otherwise(F.lit("und")).alias("pred_lang"),
-        best.alias("best_score"),
+        score.otherwise(F.coalesce(best, F.lit(0.0))).alias("best_score"),
     )
 
 

@@ -1,13 +1,18 @@
-"""Language-ID marker scoring: obvious snippets per language classify
-correctly, empty/markerless text returns 'und', ties break first-wins
-in LANG_MARKERS order (the oracle SQL mirrors all three properties —
-it is generated from the same dict, __spark_entry__._langid_sql)."""
+"""Language-ID: obvious snippets per language classify correctly
+(marker-word argmax for Latin scripts, unicode-range counting for
+non-Latin scripts), empty/markerless text returns 'und', ties break
+first-wins in LANG_MARKERS order, kana presence outranks the CJK
+ideograph count so Japanese beats Chinese.  The oracle SQL mirrors
+every property — it is generated from the same dicts
+(__spark_entry__._langid_sql).  A pure-Python twin re-implements the
+full cascade from the same LANG_MARKERS/LANG_SCRIPTS constants."""
 
 from __future__ import annotations
 
-from sagan_spark.ops.textstats import LANG_MARKERS, lang_id
+from sagan_spark.ops.textstats import LANG_MARKERS, LANG_SCRIPTS, lang_id
 
 SNIPPETS = {
+    # Latin-script (marker argmax)
     "en": "the cat sat on the mat and most of it was in the sun",
     "de": "der hund und die katze sind nicht mit dem vogel auf der wiese",
     "fr": "le chien et les chats sont dans la maison pour la nuit",
@@ -15,7 +20,46 @@ SNIPPETS = {
     "it": "il cane che corre per la strada non sono una cosa rara",
     "pt": "os gatos que vivem com uma familia para sempre mais felizes",
     "nl": "de hond en het paard zijn niet voor een dag met ons mee",
+    "pl": "to nie jest tak proste ale jak się okazuje czy jego plan jest dobry",
+    "sv": "det är en fin dag och jag har inte tid att gå till staden",
+    "tr": "bu bir deneme metni ve bu metin çok daha iyi ancak kadar uzun",
+    "id": "ini adalah teks sederhana yang ditulis dalam bahasa untuk pengujian dan tidak sulit",
+    "ro": "acesta este un text simplu în limba care este scris pentru testare și mai mult din nou",
+    # non-Latin scripts (range counting)
+    "ru": "Это очень простой текст на русском языке для проверки",
+    "zh": "这是一个简单的中文测试文本用于验证语言识别",
+    "ja": "これは日本語のテストです。言語識別の検証に使います。",
+    "ko": "이것은 한국어 테스트 문장입니다",
+    "ar": "هذا نص بسيط باللغة العربية للاختبار",
+    "he": "זהו טקסט פשוט בעברית לבדיקה",
+    "el": "αυτό είναι ένα απλό κείμενο στα ελληνικά για δοκιμή",
+    "hi": "यह हिंदी में एक सरल परीक्षण पाठ है",
+    "th": "นี่คือข้อความทดสอบภาษาไทยสำหรับการตรวจสอบ",
 }
+
+
+def _twin(text: str) -> str:
+    """Pure-Python re-implementation of the lang_id cascade."""
+    if text is None:
+        return "und"
+    n = len(text)
+    for lang, (ranges, frac) in LANG_SCRIPTS.items():
+        # python re has no \x{..}: expand ranges manually instead
+        cnt = sum(
+            1 for ch in text
+            if any(lo <= ord(ch) <= hi for lo, hi in ranges)
+        )
+        if n > 0 and cnt >= frac * n:
+            return lang
+    padded = f" {text} "
+    scores = {
+        lang: sum(padded.count(f" {m} ") for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = max(scores.values())
+    if best <= 0:
+        return "und"
+    return next(lang for lang in LANG_MARKERS if scores[lang] == best)
 
 
 def test_langid_classifies_obvious_snippets(spark):
@@ -25,6 +69,9 @@ def test_langid_classifies_obvious_snippets(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
     assert got == {lang: lang for lang in SNIPPETS} | {"und": "und"}
+    # the python twin agrees on every snippet
+    for lang, text in SNIPPETS.items():
+        assert _twin(text) == lang, (lang, text)
 
 
 def test_langid_tie_breaks_first_wins(spark):
@@ -35,3 +82,30 @@ def test_langid_tie_breaks_first_wins(spark):
     docs = spark.createDataFrame([("t", "qq le qq el qq")], ["doc_id", "text"])
     got = lang_id(docs).collect()[0]
     assert got.pred_lang == "fr"
+
+
+def test_langid_kana_beats_cjk(spark):
+    # Japanese prose is mostly CJK ideographs with interspersed kana:
+    # the 5% kana bar must fire before the 25% CJK bar
+    text = "日本語の文章は漢字が多いですが、かなも含まれています。"
+    docs = spark.createDataFrame([("j", text)], ["doc_id", "text"])
+    got = lang_id(docs).collect()[0]
+    assert got.pred_lang == "ja"
+    assert _twin(text) == "ja"
+
+
+def test_langid_script_beats_latin_loanwords(spark):
+    # mostly-Cyrillic text with embedded Latin stopwords is still ru
+    text = "Это statement и the вот так текст на русском языке про it"
+    docs = spark.createDataFrame([("r", text)], ["doc_id", "text"])
+    got = lang_id(docs).collect()[0]
+    assert got.pred_lang == "ru"
+    assert _twin(text) == "ru"
+
+
+def test_langid_null_text_is_und(spark):
+    docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    got = lang_id(docs).collect()[0]
+    assert got.pred_lang == "und"
+    assert got.best_score == 0.0
+    assert _twin(None) == "und"
