@@ -1722,6 +1722,18 @@ def q_sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n^alpha temperature mixing over the 20 synthetic sources
+    (alpha .5, expected 150 of 500 docs at sf0.01) — rates land well
+    inside (0,1) so both the hex-threshold and the keep-all sentinel
+    paths stay exercised by unit tests, the gate pins the rate math."""
+    from sagan_spark.ops.sampling import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), budget=150, alpha=0.5).select(
+        "doc_id", "source"
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.webclean import corpus_prep
 
@@ -1833,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
         "sample_domain_quota": q_sample_domain_quota,
+        "sample_temperature": q_sample_temperature,
     }
 
 
@@ -3227,4 +3240,23 @@ def oracle_sql() -> dict[str, str]:
         # sentinel 'g' when slack >= size) then rank <= cap; under-cap
         # rows pass through untouched
         "sample_domain_quota": _dq_sql,
+        # n^alpha temperature mixing (ops/sampling.temperature_mix,
+        # budget 150, alpha 0.5): per-source rate
+        # min(1, budget*n^a/Z/n) rounded to 6 decimals, then the same
+        # md5 hex-threshold discipline as the other samplers
+        "sample_temperature": (
+            "WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n"
+            "  FROM documents GROUP BY 1),"
+            " z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),"
+            " r AS (SELECT source,"
+            "  least(1.0, round(150.0 * pow(n, 0.5) / z.z / n, 6)) AS rate"
+            "  FROM c, z),"
+            " t AS (SELECT source, CASE WHEN rate >= 1.0 THEN 'g'"
+            "  ELSE lpad(lower(hex(CAST(floor(rate * 4294967296.0) AS BIGINT)"
+            "  )), 8, '0') END AS th FROM r)"
+            " SELECT d.doc_id, d.source FROM documents d"
+            " JOIN t ON d.source = t.source"
+            " WHERE substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)"
+            " < t.th"
+        ),
     }

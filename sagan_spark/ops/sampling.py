@@ -175,3 +175,61 @@ def stratified_sample(docs: DataFrame, quotas: dict[str, int],
         .filter(F.col("_rn") <= F.coalesce(quota, F.lit(0)))
         .drop("_rn")
     )
+
+
+def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.5,
+                    source_col: str = "source", id_col: str = "doc_id",
+                    salt: str = "tmix") -> DataFrame:
+    """Temperature-based corpus mixing: re-weight sources by
+    ``n_i ** alpha`` and keep an expected ``budget`` documents total —
+    the mixture-sampling pass multi-source training pipelines run so
+    giant sources don't drown small ones (the p_i ∝ n_i^alpha rule of
+    Brown et al. arXiv:2005.14165 §2.2 / Conneau & Lample
+    arXiv:1901.07291 §3.1).  ``alpha=1`` is proportional sampling,
+    ``alpha=0`` gives every source the same expected count, between
+    flattens the mixture.
+
+    Per-source keep rate ``min(1, budget * n_i^alpha / Z / n_i)`` with
+    ``Z = Σ n_j^alpha``; membership is the same md5-threshold
+    discipline as the other samplers (reproducible across runs,
+    engines, cluster sizes).  The kept count is binomial around the
+    expectation, NOT exact-rank (that's :func:`stratified_sample`) —
+    the tradeoff buys a plan with no window: one map-side-combining
+    count, one scalar aggregate, one broadcast join, then a scan-level
+    filter.  Sources whose rate caps at 1 contribute all their rows,
+    so the realized total can undershoot ``budget``; rates are rounded
+    to 6 decimals before thresholding so both contract engines
+    quantize identically.  Rows with NULL ``source`` are dropped
+    (inner join against the rate table)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    n = F.col("_sg_n").cast("double")
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_sg_n"))
+    z = counts.agg(F.sum(F.pow(n, F.lit(alpha))).alias("_sg_z"))
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.lit(float(budget)) * F.pow(n, F.lit(alpha)) / F.col("_sg_z") / n, 6
+            ),
+        ).alias("_sg_rate"),
+    )
+    # same hex-threshold spelling as domain_quota_sample: floor() on
+    # both contract sides, lower() because conv() emits uppercase,
+    # 'g' sentinel for keep-all (sorts above every hex hash)
+    thresh = F.when(F.col("_sg_rate") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(
+                F.conv(
+                    F.floor(F.col("_sg_rate") * F.lit(float(1 << 32))).cast("string"),
+                    10,
+                    16,
+                )
+            ),
+            8,
+            "0",
+        )
+    )
+    joined = docs.join(F.broadcast(rates), source_col)
+    return joined.filter(_hash8(F.col(id_col), salt) < thresh).drop("_sg_rate")

@@ -141,3 +141,86 @@ def test_domain_quota_sample_stability(spark):
     a = {r.doc_id for r in domain_quota_sample(docs, 10).collect()}
     b = {r.doc_id for r in domain_quota_sample(docs.repartition(13), 10).collect()}
     assert a == b and len(a) == 10  # all hosts share example.com
+
+
+def test_temperature_mix_vs_python(spark):
+    """Membership == the hashlib/math twin computing the same
+    min(1, budget*n^a/Z/n) rates and md5 thresholds."""
+    import math
+
+    from sagan_spark.ops.sampling import temperature_mix
+
+    # skewed source sizes: 200 / 60 / 15 / 2 (the 2-doc source's rate
+    # caps at 1.0 -> exercises the keep-all sentinel path)
+    sizes = {"big": 200, "mid": 60, "small": 15, "tiny": 2}
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", src))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    budget, alpha = 80, 0.5
+    got = {(r.doc_id, r.source)
+           for r in temperature_mix(docs, budget, alpha).collect()}
+
+    z = sum(n ** alpha for n in sizes.values())
+    kept = set()
+    for doc_id, _t, src in rows:
+        rate = min(1.0, round(budget * sizes[src] ** alpha / z / sizes[src], 6))
+        th = "g" if rate >= 1.0 else format(math.floor(rate * (1 << 32)), "08x")
+        if _h8("tmix", doc_id) < th:
+            kept.add((doc_id, src))
+    assert got == kept
+    assert any(s == "tiny" for _d, s in kept)  # capped source kept whole
+    assert sum(1 for _d, s in kept if s == "tiny") == 2
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    """alpha=1 -> one uniform rate (proportional); alpha=0 -> equal
+    expected count per source (rate_i = budget/k/n_i)."""
+    from pyspark.sql import functions as F
+
+    from sagan_spark.ops.sampling import temperature_mix
+
+    sizes = {"a": 120, "b": 30}
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: both sources sampled at budget/total -> per-source kept
+    # counts match a flat deterministic_sample at the same rate
+    got1 = temperature_mix(docs, 50, alpha=1.0).groupBy("source").count().collect()
+    flat = {
+        src: sum(
+            1 for d, s in rows
+            if s == src and _h8("tmix", d) < frac_to_hex8(round(50 / 150, 6))
+        )
+        for src in sizes
+    }
+    assert {r.source: r["count"] for r in got1} == {k: v for k, v in flat.items() if v}
+
+    # alpha=0: expected count per source is budget/k -> the small
+    # source's RATE is 4x the big one's (budget/k/n_i)
+    got0 = temperature_mix(docs, 50, alpha=0.0)
+    rates = {}
+    for src, n in sizes.items():
+        rates[src] = min(1.0, round(50 / 2 / n, 6))
+    import math
+    kept0 = {
+        (d, s) for d, s in rows
+        if _h8("tmix", d)
+        < ("g" if rates[s] >= 1.0 else format(math.floor(rates[s] * (1 << 32)), "08x"))
+    }
+    assert {(r.doc_id, r.source) for r in got0.select("doc_id", "source").collect()} == kept0
+
+
+def test_temperature_mix_budget_zero_and_negative(spark):
+    from sagan_spark.ops.sampling import temperature_mix
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    assert temperature_mix(docs, 0).count() == 0
+    with pytest.raises(ValueError):
+        temperature_mix(docs, -1)
