@@ -1878,19 +1878,20 @@ def _langid_sql() -> str:
     from sagan_spark.ops.textstats import (
         LANG_MARKERS,
         LANG_SCRIPTS,
+        NON_ASCII_RE,
         script_pattern,
     )
 
     scores = ", ".join(
-        " + ".join(
-            f"(length(p) - length(replace(p, ' {m} ', ''))) / {len(m) + 2}.0"
-            for m in markers
-        )
-        + f" AS s_{lang}"
+        "CAST(len(list_filter(string_split(t, ' '), x -> x IN ("
+        + ", ".join(f"'{m}'" for m in markers)
+        + f"))) AS DOUBLE) AS s_{lang}"
         for lang, markers in LANG_MARKERS.items()
     )
     scripts = ", ".join(
-        f"len(regexp_extract_all(t, '{script_pattern(ranges)}')) AS c_{lang}"
+        f"CASE WHEN len(regexp_extract_all(t, '{NON_ASCII_RE}')) > 0"
+        f" THEN len(regexp_extract_all(t, '{script_pattern(ranges)}'))"
+        f" ELSE 0 END AS c_{lang}"
         for lang, (ranges, _f) in LANG_SCRIPTS.items()
     )
     script_case = " ".join(
@@ -1912,7 +1913,7 @@ def _langid_sql() -> str:
         " AS pred_lang FROM ("
         f"SELECT {best} AS best, {cols} FROM ("
         f"SELECT {scores}, {scripts}, length(t) AS nc"
-        " FROM (SELECT ' ' || text || ' ' AS p, text AS t"
+        " FROM (SELECT text AS t"
         " FROM documents)))) GROUP BY 1"
     )
 

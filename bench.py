@@ -59,6 +59,9 @@ HEADLINE = [
     "dedup_paragraphs",
     "pack_sequences",
     "vocab_stats",
+    "webclean_classifier",
+    "sample_temperature",
+    "text_langid",
 ]
 
 

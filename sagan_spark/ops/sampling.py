@@ -205,14 +205,16 @@ def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.5,
         raise ValueError(f"budget must be >= 0, got {budget}")
     n = F.col("_sg_n").cast("double")
     counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_sg_n"))
-    z = counts.agg(F.sum(F.pow(n, F.lit(alpha))).alias("_sg_z"))
-    rates = counts.crossJoin(F.broadcast(z)).select(
+    # Z as a global window over the per-source count table (tiny —
+    # one row per source) instead of a separate scalar aggregate: a
+    # second consumer of `counts` would re-run the corpus-wide count
+    # scan (no exchange reuse across the broadcast boundary)
+    z = F.sum(F.pow(n, F.lit(alpha))).over(Window.partitionBy())
+    rates = counts.select(
         source_col,
         F.least(
             F.lit(1.0),
-            F.round(
-                F.lit(float(budget)) * F.pow(n, F.lit(alpha)) / F.col("_sg_z") / n, 6
-            ),
+            F.round(F.lit(float(budget)) * F.pow(n, F.lit(alpha)) / z / n, 6),
         ).alias("_sg_rate"),
     )
     # same hex-threshold spelling as domain_quota_sample: floor() on

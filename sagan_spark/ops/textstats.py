@@ -72,6 +72,10 @@ def script_pattern(ranges: list[tuple[int, int]]) -> str:
     return "[" + "".join(f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in ranges) + "]"
 
 
+#: the script-scan gate (same string in Java regex and RE2)
+NON_ASCII_RE = r"[^\x{0000}-\x{007F}]"
+
+
 def _count_occurrences(col, needle: str):
     """# occurrences of a literal via length arithmetic (JVM-side)."""
     return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
@@ -93,24 +97,35 @@ def lang_id(docs: DataFrame, text_col: str = "text",
        count clears its minimum fraction of total characters wins —
        kana first at a low bar so Japanese (kana + CJK ideographs)
        outranks the Chinese ideograph count.
-    2. **Marker argmax** (LANG_MARKERS): per Latin-script language,
-       count stopword-marker occurrences (space-padded word
-       boundaries); argmax with first-wins tie-break, 'und' when all
-       scores are 0 (Cavnar & Trenkle 1994 profiles collapsed to
-       whole-word markers).
+    2. **Marker argmax** (LANG_MARKERS): split the text on single
+       spaces ONCE, then per Latin-script language count tokens in its
+       stopword-marker set (an InSet hash probe inside one array
+       filter — not a per-marker substring scan, which costs a string
+       allocation per marker per row); argmax with first-wins
+       tie-break, 'und' when all scores are 0 (Cavnar & Trenkle 1994
+       profiles collapsed to whole-word markers).
 
     best_score = the winning script's character count on path 1, the
     winning marker count on path 2.  NULL text falls through both
     paths to 'und'."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    padded = F.concat(F.lit(" "), t, F.lit(" "))
-    cols = {f"scr_{lang}": F.regexp_count(t, F.lit(script_pattern(ranges)))
-            for lang, (ranges, _frac) in LANG_SCRIPTS.items()}
+    toks = F.split(t, " ")
+    # cheap gate: one ASCII-only scan replaces all nine script scans
+    # for the (dominant, in a web corpus) pure-ASCII rows — WHEN
+    # short-circuits per-row in codegen, so gated counts cost nothing
+    # when the gate is false.  Mirrored in the oracle.
+    nonascii = F.regexp_count(t, F.lit(NON_ASCII_RE))
+    cols = {
+        f"scr_{lang}": F.when(
+            nonascii > 0, F.regexp_count(t, F.lit(script_pattern(ranges)))
+        ).otherwise(F.lit(0))
+        for lang, (ranges, _frac) in LANG_SCRIPTS.items()
+    }
     cols |= {
-        f"score_{lang}": sum(
-            (_count_occurrences(padded, f" {m} ") for m in markers), F.lit(0.0)
-        )
+        f"score_{lang}": F.size(
+            F.filter(toks, lambda x: x.isin(*markers))
+        ).cast("double")
         for lang, markers in LANG_MARKERS.items()
     }
     df = docs.select(F.col(id_col), n_chars.alias("_n_chars"),

@@ -395,8 +395,16 @@ def hashed_linear_score(docs: DataFrame, weights: DataFrame | None = None,
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6).alias("score"),
     )
     # zero-token docs never appear in the explode: emit them with the
-    # neutral sigmoid(bias) so scoring is total over the corpus
-    neutral = docs.join(agg.select(id_col), id_col, "left_anti").select(
+    # neutral sigmoid(bias) so scoring is total over the corpus.  The
+    # zero-token set is recomputed as a scan-level regexp_count filter
+    # (same TOKEN_RE ⇒ provably the same set as "absent from the
+    # explode") — an anti-join against the per-doc agg would carry a
+    # doc-cardinality build side, broadcast-unsafe at 10^11 docs.
+    neutral = docs.where(
+        F.coalesce(
+            F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)), F.lit(0)
+        ) == 0
+    ).select(
         F.col(id_col),
         F.lit(0).cast("long").alias("n_tokens"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-bias))), 6).alias("score"),

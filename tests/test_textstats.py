@@ -51,9 +51,9 @@ def _twin(text: str) -> str:
         )
         if n > 0 and cnt >= frac * n:
             return lang
-    padded = f" {text} "
+    toks = text.split(" ")
     scores = {
-        lang: sum(padded.count(f" {m} ") for m in markers)
+        lang: sum(1 for tok in toks if tok in set(markers))
         for lang, markers in LANG_MARKERS.items()
     }
     best = max(scores.values())
