@@ -1722,6 +1722,59 @@ def q_sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """href edge extraction over scaffolded html (same deterministic
+    scaffold discipline as q_text_extract: the testdata table carries
+    no html column, so one is built from text + doc_id arithmetic —
+    absolute links, a relative link that must NOT extract, and the
+    document text in between)."""
+    from sagan_spark.ops.linkgraph import extract_links
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><a href="https://'), F.col("source"),
+        F.lit(".com/p/"), (F.col("doc_id") % 7).cast("string"),
+        F.lit('">x</a><a href="/rel">r</a><p>'), F.col("text"),
+        F.lit('</p><a href="https://ref'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('.org/">y</a></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_links(pages)
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END link-graph composition: scaffolded html → href
+    extraction → registered-domain edge collapse (self-loops dropped)
+    → 5 iterations of deterministic integer PageRank.  The oracle
+    constructs the SAME edge multiset directly from the doc_id
+    arithmetic (the regex and domain-collapse layers carry their own
+    gates: link_extract, url_domain_rollup) and replays the integer
+    recurrence as 5 unrolled CTEs — exact BIGINT equality, the point
+    of the integer formulation."""
+    from sagan_spark.ops.linkgraph import domain_edges, extract_links, pagerank
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<a href="https://src'), (F.col("doc_id") % 13).cast("string"),
+        F.lit('.example/x">a</a><a href="https://ref'),
+        (F.col("doc_id") % 5).cast("string"), F.lit('.org/">b</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return pagerank(domain_edges(extract_links(pages)), iterations=5)
+
+
 def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n^alpha temperature mixing over the 20 synthetic sources
     (alpha .5, expected 150 of 500 docs at sf0.01) — rates land well
@@ -1846,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_domain_quota": q_sample_domain_quota,
         "sample_temperature": q_sample_temperature,
+        "link_extract": q_link_extract,
+        "domain_pagerank": q_domain_pagerank,
     }
 
 
@@ -1916,6 +1971,40 @@ def _langid_sql() -> str:
         " FROM (SELECT text AS t"
         " FROM documents)))) GROUP BY 1"
     )
+
+
+def _pagerank_sql(iterations: int = 5, damping_milli: int = 850,
+                  scale: int = 1_000_000) -> str:
+    """domain_pagerank oracle: the q_domain_pagerank edge multiset
+    rebuilt from doc_id arithmetic, then the integer recurrence of
+    ops/linkgraph.pagerank unrolled as one CTE per iteration.  DuckDB
+    `//` and Spark `div` agree exactly on the non-negative BIGINTs
+    involved (floor == truncate for non-negatives)."""
+    base = (1000 - damping_milli) * scale // 1000
+    sql = (
+        "WITH e AS ("
+        " SELECT source || '.example' AS src,"
+        "  'src' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS dst"
+        "  FROM documents"
+        " UNION ALL SELECT source || '.example',"
+        "  'ref' || CAST(doc_id % 5 AS VARCHAR) || '.org' FROM documents),"
+        " ef AS (SELECT src, dst FROM e WHERE src != dst),"
+        " outd AS (SELECT src, count(*) AS outdeg FROM ef GROUP BY 1),"
+        " nodes AS (SELECT src AS node FROM ef UNION SELECT dst FROM ef),"
+        f" r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes),"
+    )
+    for i in range(iterations):
+        sql += (
+            f" r{i + 1} AS (SELECT n.node,"
+            f" CAST({base} + ({damping_milli} * coalesce(c.s, 0)) // 1000"
+            f"  AS BIGINT) AS rank"
+            f" FROM nodes n LEFT JOIN ("
+            f"  SELECT ef.dst AS node, sum(r.rank // outd.outdeg) AS s"
+            f"  FROM ef JOIN r{i} r ON ef.src = r.node"
+            f"  JOIN outd ON ef.src = outd.src GROUP BY 1) c"
+            f" ON n.node = c.node),"
+        )
+    return sql.rstrip(",") + f" SELECT node, rank FROM r{iterations}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3241,6 +3330,21 @@ def oracle_sql() -> dict[str, str]:
         # sentinel 'g' when slack >= size) then rank <= cap; under-cap
         # rows pass through untouched
         "sample_domain_quota": _dq_sql,
+        # link-graph: href extraction over the q_link_extract scaffold
+        # (same HREF_RE capture group in RE2)
+        "link_extract": (
+            "SELECT 'https://' || source || '.example/p/'"
+            " || CAST(doc_id AS VARCHAR) AS src_url,"
+            " unnest(regexp_extract_all(h,"
+            " 'href=\"(https?://[^\"#]+)\"', 1)) AS dst_url"
+            " FROM (SELECT doc_id, source,"
+            " '<html><body><a href=\"https://' || source || '.com/p/'"
+            " || CAST(doc_id % 7 AS VARCHAR)"
+            " || '\">x</a><a href=\"/rel\">r</a><p>' || text"
+            " || '</p><a href=\"https://ref' || CAST(doc_id % 5 AS VARCHAR)"
+            " || '.org/\">y</a></body></html>' AS h FROM documents)"
+        ),
+        "domain_pagerank": _pagerank_sql(),
         # n^alpha temperature mixing (ops/sampling.temperature_mix,
         # budget 150, alpha 0.5): per-source rate
         # min(1, budget*n^a/Z/n) rounded to 6 decimals, then the same

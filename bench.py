@@ -62,6 +62,7 @@ HEADLINE = [
     "webclean_classifier",
     "sample_temperature",
     "text_langid",
+    "domain_pagerank",
 ]
 
 

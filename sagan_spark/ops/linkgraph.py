@@ -1,0 +1,136 @@
+"""Link-graph operators: href extraction from raw ``html`` and a
+deterministic integer-arithmetic PageRank over the (domain) link
+graph.
+
+Web-curation pipelines rank crawl domains by link centrality before
+per-document quality filters run (Page et al. 1999; Common Crawl
+publishes exactly this domain-level ranking).  The reference engine's
+analog is its enrichment joins — a per-event reputation lookup
+(src/processors/blacklist.c, bluedot) — here the reputation TABLE
+itself is computed from the corpus.
+
+Determinism: PageRank is normally float power-iteration, which no
+two engines (or partition orders) sum identically.  This
+implementation does ALL arithmetic in scaled 64-bit integers —
+``rank`` starts at ``scale`` (micro-units of 1.0), each edge
+contributes ``rank div outdeg``, the damped update is
+``(1000-d)·scale div 1000 + d·Σcontrib div 1000`` — integer addition
+is exact in any order, so the result is bit-identical across engines,
+partitionings, and cluster sizes, and the DuckDB oracle replays it
+with an unrolled-CTE twin.  Pick ``scale`` so
+``n_nodes · scale · 1000`` stays under 2^63 (the default 10^6 is safe
+to ~10^9 nodes).
+
+Scale shape (100 TB posture):
+- ``extract_links`` is a scan-level projection (decode + one regex
+  pass + explode) — no shuffle.
+- ``pagerank``: outdegrees are computed ONCE (map-side-combining
+  count) and pre-joined to the edge list; each iteration is then one
+  join (ranks on src) + one partial-aggregating groupBy(dst) — two
+  shuffles per iteration, the minimum for unbucketed input (bucket
+  edges by src to drop the join shuffle on a real deployment).  Hot
+  dst nodes (every page links to google.com) partial-aggregate
+  map-side before the shuffle.  ``localCheckpoint`` per iteration
+  cuts the lineage chain exactly like ops/dedup.connected_components.
+- Dangling nodes (appear only as dst) receive rank but emit none —
+  the standard "lost mass" simplification; redistribute externally if
+  the true eigenvector is needed.
+- Duplicate (src,dst) pairs act as edge weights (a page linking twice
+  votes twice); ``.distinct()`` the edge list first for simple-graph
+  semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: absolute http(s) links only — relative-href resolution needs the
+#: base url and is a separate enrichment; the capture group is what's
+#: extracted.  Same pattern string parses in Java regex and RE2.
+HREF_RE = r'href="(https?://[^"#]+)"'
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """(src url, dst link) edge list from the raw html byte column —
+    one decoded regex pass, exploded; rows with no links drop out.
+    Binary ``html`` is UTF-8 decoded (the pages-table contract,
+    BASELINE.json input_hint)."""
+    html = F.col(html_col)
+    decoded = (
+        F.decode(html, "UTF-8")
+        if dict(pages.dtypes)[html_col] == "binary"
+        else html
+    )
+    return pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(decoded, F.lit(HREF_RE), F.lit(1))
+        ).alias("dst_url"),
+    )
+
+
+def domain_edges(links: DataFrame, src_col: str = "src_url",
+                 dst_col: str = "dst_url") -> DataFrame:
+    """Collapse a url-level edge list to registered-domain granularity
+    (drops intra-domain self-loops): the input to :func:`pagerank`."""
+    from sagan_spark.ops.urltools import registered_domain, url_host
+
+    e = links.select(
+        registered_domain(url_host(F.col(src_col))).alias("src"),
+        registered_domain(url_host(F.col(dst_col))).alias("dst"),
+    )
+    return e.where(F.col("src") != F.col("dst"))
+
+
+def pagerank(edges: DataFrame, iterations: int = 5,
+             damping_milli: int = 850, scale: int = 1_000_000,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Deterministic integer PageRank: returns (node, rank) with
+    ``rank`` in micro-units of ``scale`` (un-normalized — every node
+    starts at ``scale``; divide by node count for the probability
+    form).  All arithmetic is 64-bit integer (see module docstring),
+    so results are exact and order-independent."""
+    if not 0 <= damping_milli <= 1000:
+        raise ValueError(f"damping_milli must be in [0,1000], got {damping_milli}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    src, dst = F.col(src_col), F.col(dst_col)
+    outdeg = edges.groupBy(src.alias("node")).agg(
+        F.count(F.lit(1)).alias("_sg_outdeg")
+    )
+    # outdegree rides along with every edge from the start: the
+    # per-iteration loop joins ranks only
+    e = edges.select(src.alias("_sg_src"), dst.alias("_sg_dst")).join(
+        outdeg.withColumnRenamed("node", "_sg_src"), "_sg_src"
+    )
+    if iterations > 1:  # reused every iteration: materialize once
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (1000 - damping_milli) * scale // 1000
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "_sg_src"), "_sg_src")
+            .select(
+                F.col("_sg_dst").alias("node"),
+                F.expr("rank div _sg_outdeg").alias("_sg_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_sg_c").alias("_sg_s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_milli} * coalesce(_sg_s, 0L)) div 1000")
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1,0 +1,109 @@
+"""Link-graph ops: href extraction vs re.findall, deterministic
+integer PageRank vs a pure-Python twin (exact equality — the whole
+point of the integer formulation), dangling/hub topology properties,
+and domain-edge collapsing."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from sagan_spark.ops.linkgraph import (
+    HREF_RE,
+    domain_edges,
+    extract_links,
+    pagerank,
+)
+
+
+def _twin_pagerank(edges, iterations=5, damping_milli=850, scale=1_000_000):
+    """Same integer recurrence in plain Python dicts."""
+    outdeg: dict = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    base = (1000 - damping_milli) * scale // 1000
+    ranks = {n: scale for n in nodes}
+    for _ in range(iterations):
+        s_in: dict = {}
+        for s, d in edges:
+            s_in[d] = s_in.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {n: base + (damping_milli * s_in.get(n, 0)) // 1000 for n in nodes}
+    return ranks
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "c"),          # duplicate edge = double vote
+    ("e", "sink"),                   # 'sink' is dangling (no out-edges)
+]
+
+
+def test_pagerank_matches_python_twin(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    assert got == _twin_pagerank(EDGES, iterations=5)
+
+
+def test_pagerank_partitioning_invariance(spark):
+    """Bit-identical under a different partitioning (the determinism
+    claim: integer sums are order-independent)."""
+    df1 = spark.createDataFrame(EDGES, "src string, dst string")
+    df8 = df1.repartition(8)
+    r1 = {r.node: r.rank for r in pagerank(df1, iterations=3).collect()}
+    r8 = {r.node: r.rank for r in pagerank(df8, iterations=3).collect()}
+    assert r1 == r8
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star graph: everything points at 'hub'
+    edges = [(f"n{i}", "hub") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=4).collect()}
+    assert got == _twin_pagerank(edges, iterations=4)
+    assert got["hub"] == max(got.values())
+    assert got["hub"] > got["n0"]
+    # leaves emit all mass, receive none: base rank only
+    assert got["n0"] == (1000 - 850) * 1_000_000 // 1000
+
+
+def test_pagerank_zero_iterations_and_guards(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=0).collect()}
+    assert set(got.values()) == {1_000_000}
+    with pytest.raises(ValueError):
+        pagerank(df, damping_milli=1001)
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=-1)
+
+
+def test_extract_links_vs_re(spark):
+    html = (
+        '<html><a href="https://a.com/x">one</a>'
+        '<a href="http://b.org/y?q=1">two</a>'
+        '<a href="/relative">skipped</a>'
+        '<a href="https://c.net/z#frag">fragment-stripped-by-charclass</a>'
+        "</html>"
+    )
+    import pyspark.sql.functions as F
+
+    pages = spark.createDataFrame(
+        [("https://me.com/", html)], "url string, html string"
+    ).select("url", F.encode("html", "UTF-8").alias("html"))
+    got = [(r.src_url, r.dst_url) for r in extract_links(pages).collect()]
+    want = [("https://me.com/", m) for m in re.findall(HREF_RE, html)]
+    assert sorted(got) == sorted(want)
+    assert all(not u.startswith("/") for _s, u in got)
+
+
+def test_domain_edges_collapses_and_drops_self_loops(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://www.a.com/p/1", "https://blog.a.com/p/2"),  # intra-domain
+            ("https://www.a.com/p/1", "https://b.co.uk/x"),
+        ],
+        "src_url string, dst_url string",
+    )
+    got = [(r.src, r.dst) for r in domain_edges(links).collect()]
+    assert got == [("a.com", "b.co.uk")]
