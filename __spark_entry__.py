@@ -1775,6 +1775,26 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(domain_edges(extract_links(pages)), iterations=5)
 
 
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health screen over documents with a deterministic
+    defect scaffold (the synthetic text is clean ASCII, so each
+    doc_id%4 class appends one defect family: mojibake digraph,
+    U+FFFD, a C0 control, or nothing)."""
+    from sagan_spark.ops.webclean import encoding_quality
+
+    docs = _docs(spark, sf_dir)
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" Ã©tÃ© broken"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" bad � char"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" ctl \x07 here"))
+        .otherwise(F.lit(""))
+    )
+    scaffold = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return encoding_quality(scaffold)
+
+
 def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n^alpha temperature mixing over the 20 synthetic sources
     (alpha .5, expected 150 of 500 docs at sf0.01) — rates land well
@@ -1901,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_sample_temperature,
         "link_extract": q_link_extract,
         "domain_pagerank": q_domain_pagerank,
+        "encoding_quality": q_encoding_quality,
     }
 
 
@@ -2005,6 +2026,32 @@ def _pagerank_sql(iterations: int = 5, damping_milli: int = 850,
             f" ON n.node = c.node),"
         )
     return sql.rstrip(",") + f" SELECT node, rank FROM r{iterations}"
+
+
+def _encoding_quality_sql() -> str:
+    """encoding_quality oracle: defect scaffold + the same regex/
+    literal constants the Spark op uses (one source of truth)."""
+    from sagan_spark.ops.webclean import (
+        CONTROL_RE,
+        MOJIBAKE_RE,
+        REPLACEMENT_CHAR,
+    )
+
+    return (
+        "SELECT doc_id, n_replacement, n_control, n_mojibake,"
+        " (n_replacement = 0 AND n_control = 0"
+        "  AND n_mojibake <= 0.001 * length(t)) AS enc_ok"
+        " FROM (SELECT doc_id, t,"
+        " CAST(length(t) - length(replace(t,"
+        f" '{REPLACEMENT_CHAR}', '')) AS BIGINT) AS n_replacement,"
+        f" CAST(len(regexp_extract_all(t, '{CONTROL_RE}')) AS BIGINT)"
+        "  AS n_control,"
+        f" CAST(len(regexp_extract_all(t, '{MOJIBAKE_RE}')) AS BIGINT)"
+        "  AS n_mojibake"
+        " FROM (SELECT doc_id, text || CASE doc_id % 4"
+        "  WHEN 0 THEN ' Ã©tÃ© broken' WHEN 1 THEN ' bad � char'"
+        "  WHEN 2 THEN ' ctl \x07 here' ELSE '' END AS t FROM documents))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3345,6 +3392,10 @@ def oracle_sql() -> dict[str, str]:
             " || '.org/\">y</a></body></html>' AS h FROM documents)"
         ),
         "domain_pagerank": _pagerank_sql(),
+        # encoding-health screen (ops/webclean.encoding_quality) over
+        # the q_encoding_quality defect scaffold; regexes generated
+        # from the SAME module constants as the Spark op
+        "encoding_quality": _encoding_quality_sql(),
         # n^alpha temperature mixing (ops/sampling.temperature_mix,
         # budget 150, alpha 0.5): per-source rate
         # min(1, budget*n^a/Z/n) rounded to 6 decimals, then the same

@@ -410,3 +410,48 @@ def hashed_linear_score(docs: DataFrame, weights: DataFrame | None = None,
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-bias))), 6).alias("score"),
     )
     return out.unionByName(neutral)
+
+
+# mojibake signatures (ftfy's README catalogue; OSCAR/CCNet run the
+# same class of checks before quality filters).  'Ã' + a Latin-1
+# supplement char is UTF-8 read as Latin-1/Windows-1252 ('Ã©' for é);
+# 'â€' starts the mojibake of every smart-quote/dash (â€™ â€œ â€“).
+# Same pattern strings parse in Java regex and RE2.
+MOJIBAKE_RE = r"Ã[\x{0080}-\x{00BF}\x{00C0}-\x{00FF}]|â€"
+#: C0/C1 controls except tab/newline/CR
+CONTROL_RE = r"[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]"
+REPLACEMENT_CHAR = "�"
+
+
+def encoding_quality(docs: DataFrame, max_mojibake_ratio: float = 0.001,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Encoding-health screen: count U+FFFD replacement characters
+    (a decoder already gave up), stray C0/C1 control characters, and
+    double-decode mojibake signatures ('Ã©', 'â€™'-family), then flag
+    the document.  ``enc_ok`` = no replacement chars, no stray
+    controls, and mojibake under ``max_mojibake_ratio`` of characters.
+    Pure whole-stage codegen (three regex passes + one literal count),
+    SQL-mirrorable; zero-length/NULL text is ok (nothing broken in
+    nothing).  Returns (doc_id, n_replacement, n_control, n_mojibake,
+    enc_ok)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_repl = (
+        n_chars - F.length(F.replace(t, F.lit(REPLACEMENT_CHAR), F.lit("")))
+    ).cast("long")
+    n_ctrl = F.regexp_count(t, F.lit(CONTROL_RE)).cast("long")
+    n_moji = F.regexp_count(t, F.lit(MOJIBAKE_RE)).cast("long")
+    ok = F.coalesce(
+        (n_repl == 0)
+        & (n_ctrl == 0)
+        & (n_moji <= F.lit(max_mojibake_ratio) * n_chars),
+        F.lit(True),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(n_repl, F.lit(0)).alias("n_replacement"),
+        F.coalesce(n_ctrl, F.lit(0)).alias("n_control"),
+        F.coalesce(n_moji, F.lit(0)).alias("n_mojibake"),
+        ok.alias("enc_ok"),
+    )

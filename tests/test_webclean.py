@@ -468,3 +468,49 @@ def test_hashed_linear_score_trained_weights(spark):
     # mean = (1000 + 1000 + 0) / (3 * 1000) = 2/3; score = sigmoid(2/3 + .25)
     assert r.n_tokens == 3
     assert r.score == round(1.0 / (1.0 + math.exp(-(2.0 / 3.0 + 0.25))), 6)
+
+
+def test_encoding_quality_vs_python(spark):
+    """Counts and verdict == a pure-Python re twin over defect cases."""
+    import re as _re
+
+    from sagan_spark.ops.webclean import (
+        REPLACEMENT_CHAR,
+        encoding_quality,
+    )
+
+    docs = [
+        (0, "perfectly clean ascii text"),
+        (1, "caf\u00e9 with real accents is fine"),  # real e-acute: NOT mojibake
+        (2, "double-decoded: \u00c3\u00a9t\u00c3\u00a9 and \u00e2\u20ac\u2122quotes"),
+        (3, "decoder gave up \ufffd\ufffd here"),
+        (4, "bell \x07 and \x1b escape"),
+        (5, ""),
+        (6, None),
+        (7, "\u00c3"),  # bare A-tilde: no mojibake follower
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_replacement, r.n_control, r.n_mojibake, r.enc_ok)
+           for r in encoding_quality(df).collect()}
+
+    def count_ctrl(s):
+        return sum(
+            1 for ch in s
+            if (0 <= ord(ch) <= 8) or ord(ch) in (0x0B, 0x0C)
+            or (0x0E <= ord(ch) <= 0x1F) or (0x7F <= ord(ch) <= 0x9F)
+        )
+
+    moji = _re.compile("\u00c3[\u0080-\u00ff]|\u00e2\u20ac")
+
+    for doc_id, text in docs:
+        t = text or ""
+        want = (
+            t.count(REPLACEMENT_CHAR),
+            count_ctrl(t),
+            len(moji.findall(t)),
+            t.count(REPLACEMENT_CHAR) == 0 and count_ctrl(t) == 0
+            and len(moji.findall(t)) <= 0.001 * len(t),
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    assert got[2][3] is False and got[1][3] is True and got[7][3] is True
+    assert got[6] == (0, 0, 0, True)  # NULL text: nothing broken
