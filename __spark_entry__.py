@@ -1795,6 +1795,19 @@ def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_quality(scaffold)
 
 
+def q_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bigram LM trained on the deterministic holdout half of
+    the corpus (the md5 'split' sample — the reference-corpus role of
+    CCNet's LM filter), scoring ALL documents."""
+    from sagan_spark.ops.lmscore import lm_likelihood, lm_train_bigrams
+    from sagan_spark.ops.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    ref = deterministic_sample(docs, 0.5, salt="split")
+    lm = lm_train_bigrams(ref, n_buckets=1 << 18)
+    return lm_likelihood(docs, lm)
+
+
 def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n^alpha temperature mixing over the 20 synthetic sources
     (alpha .5, expected 150 of 500 docs at sf0.01) — rates land well
@@ -1922,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "domain_pagerank": q_domain_pagerank,
         "encoding_quality": q_encoding_quality,
+        "lm_likelihood": q_lm_likelihood,
     }
 
 
@@ -3396,6 +3410,40 @@ def oracle_sql() -> dict[str, str]:
         # the q_encoding_quality defect scaffold; regexes generated
         # from the SAME module constants as the Spark op
         "encoding_quality": _encoding_quality_sql(),
+        # hashed bigram LM likelihood (ops/lmscore.py): train on the
+        # md5-'split' holdout half, score everything — same 60-bit
+        # md5 bucket idiom, integer milli-prob (1000*pc) // fc
+        "lm_likelihood": (
+            "WITH d AS (SELECT doc_id, regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS l FROM documents),"
+            " trp AS (SELECT l[i] AS prev, l[i+1] AS tok FROM ("
+            "  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i"
+            "  FROM d WHERE len(l) >= 2 AND"
+            f"  substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f"  < '{frac_to_hex8(0.5)}')),"
+            " pairs AS (SELECT"
+            "  ('0x'||substr(md5(prev||'|'||tok),1,15))::BIGINT % 262144 AS pb,"
+            "  count(*) AS pc FROM trp GROUP BY 1),"
+            " prefixes AS (SELECT"
+            "  ('0x'||substr(md5(prev),1,15))::BIGINT % 262144 AS fb,"
+            "  count(*) AS fc FROM trp GROUP BY 1),"
+            " dp AS (SELECT doc_id, l[i] AS prev, l[i+1] AS tok FROM ("
+            "  SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i"
+            "  FROM d WHERE len(l) >= 2)),"
+            " sc AS (SELECT doc_id,"
+            "  coalesce((1000 * pc) // fc, 0) AS milli FROM dp"
+            "  LEFT JOIN pairs ON pairs.pb ="
+            "   ('0x'||substr(md5(prev||'|'||tok),1,15))::BIGINT % 262144"
+            "  LEFT JOIN prefixes ON prefixes.fb ="
+            "   ('0x'||substr(md5(prev),1,15))::BIGINT % 262144),"
+            " agg AS (SELECT doc_id, count(*)::BIGINT AS n_pairs,"
+            "  (1000 * sum(milli)) // count(*) AS lm_score_ppm"
+            "  FROM sc GROUP BY 1)"
+            " SELECT doc_id, n_pairs, CAST(lm_score_ppm AS BIGINT)"
+            "  AS lm_score_ppm FROM agg"
+            " UNION ALL SELECT doc_id, CAST(0 AS BIGINT),"
+            "  CAST(NULL AS BIGINT) FROM d WHERE coalesce(len(l), 0) < 2"
+        ),
         # n^alpha temperature mixing (ops/sampling.temperature_mix,
         # budget 150, alpha 0.5): per-source rate
         # min(1, budget*n^a/Z/n) rounded to 6 decimals, then the same

@@ -63,6 +63,7 @@ HEADLINE = [
     "sample_temperature",
     "text_langid",
     "domain_pagerank",
+    "lm_likelihood",
 ]
 
 
