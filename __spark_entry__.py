@@ -3445,19 +3445,23 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(NULL AS BIGINT) FROM d WHERE coalesce(len(l), 0) < 2"
         ),
         # n^alpha temperature mixing (ops/sampling.temperature_mix,
-        # budget 150, alpha 0.5): per-source rate
-        # min(1, budget*n^a/Z/n) rounded to 6 decimals, then the same
-        # md5 hex-threshold discipline as the other samplers
+        # budget 150, alpha 0.5): integer milli-weight w=floor(1000*n^a)
+        # quarantines pow(), Z is an exact integer sum, keep-all is an
+        # exact wide-integer compare, the threshold double chain
+        # ((B*w)/(Z*n))*2^32 is IEEE-identical on both engines
         "sample_temperature": (
-            "WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n"
+            "WITH c AS (SELECT source, count(*) AS n"
             "  FROM documents GROUP BY 1),"
-            " z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),"
-            " r AS (SELECT source,"
-            "  least(1.0, round(150.0 * pow(n, 0.5) / z.z / n, 6)) AS rate"
-            "  FROM c, z),"
-            " t AS (SELECT source, CASE WHEN rate >= 1.0 THEN 'g'"
-            "  ELSE lpad(lower(hex(CAST(floor(rate * 4294967296.0) AS BIGINT)"
-            "  )), 8, '0') END AS th FROM r)"
+            " w AS (SELECT source, n, CAST(floor(1000.0 *"
+            "  pow(CAST(n AS DOUBLE), 0.5)) AS BIGINT) AS w FROM c),"
+            " wz AS (SELECT source, n, w, sum(w) OVER () AS z FROM w),"
+            " t AS (SELECT source, CASE"
+            "  WHEN CAST(150 AS HUGEINT) * w >= CAST(z AS HUGEINT) * n"
+            "  THEN 'g'"
+            "  ELSE lpad(lower(hex(CAST(floor("
+            "   (150.0 * CAST(w AS DOUBLE))"
+            "   / (CAST(z AS DOUBLE) * CAST(n AS DOUBLE))"
+            "   * 4294967296.0) AS BIGINT))), 8, '0') END AS th FROM wz)"
             " SELECT d.doc_id, d.source FROM documents d"
             " JOIN t ON d.source = t.source"
             " WHERE substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)"

@@ -40,6 +40,26 @@ def frac_to_hex8(fraction: float) -> str:
     return format(n, "08x")
 
 
+def _rate_to_hex_threshold(rate_col):
+    """Column form of the hex-threshold spelling: floor(rate·2^32) as
+    an 8-char lowercase hex literal.  floor() on BOTH contract sides
+    (DuckDB CAST rounds, Spark CAST truncates — floor is the portable
+    spelling); lower() because Spark's conv() emits UPPERCASE hex and
+    md5() lowercase (lexicographic==numeric needs one case); callers
+    must route rate >= 1 to the 'g' keep-all sentinel instead ('g' >
+    'f' sorts above every hash — a 9-char '100000000' would sort BELOW
+    any hash not starting with '0' and drop nearly everything)."""
+    return F.lpad(
+        F.lower(
+            F.conv(
+                F.floor(rate_col * F.lit(float(1 << 32))).cast("string"), 10, 16
+            )
+        ),
+        8,
+        "0",
+    )
+
+
 def deterministic_sample(docs: DataFrame, fraction: float,
                          id_col: str = "doc_id", salt: str = "") -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by id hash — stable under
@@ -115,30 +135,11 @@ def domain_quota_sample(docs: DataFrame, cap: int, url_col: str = "url",
     joined = d.join(F.broadcast(over), "_sg_domain", "left")
     under = joined.filter(F.col("_sg_n").isNull()).drop("_sg_n")
     h = _hash8(F.col(id_col), salt)
-    # per-domain hex threshold: floor((slack/size) * 2^32) as an 8-char
-    # hex literal — string compare == numeric compare on the top 32
-    # hash bits; floor() on BOTH contract sides (DuckDB CAST rounds,
-    # Spark CAST truncates — floor is the portable spelling).
-    # lower(): Spark's conv() emits UPPERCASE hex, md5() lowercase —
-    # the lexicographic==numeric equivalence needs one case.
-    # Keep-all domains (slack >= size, possible for small caps on a
-    # barely over-cap domain) get the sentinel 'g': 'g' > 'f' so every
-    # hash sorts below it — a 9-char '100000000' would instead sort
-    # BELOW any hash not starting with '0' and drop nearly everything.
+    # per-domain hex threshold (shared spelling: _rate_to_hex_threshold)
+    # with the 'g' keep-all sentinel for domains where slack >= size
+    # (possible for small caps on a barely over-cap domain)
     thresh = F.when(F.lit(slack) >= F.col("_sg_n"), F.lit("g")).otherwise(
-        F.lpad(
-            F.lower(
-                F.conv(
-                    F.floor(
-                        (F.lit(slack) / F.col("_sg_n")) * F.lit(float(1 << 32))
-                    ).cast("string"),
-                    10,
-                    16,
-                )
-            ),
-            8,
-            "0",
-        )
+        _rate_to_hex_threshold(F.lit(slack) / F.col("_sg_n"))
     )
     survivors = joined.filter(F.col("_sg_n").isNotNull()).withColumn(
         "_sg_h", h
@@ -195,43 +196,49 @@ def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.5,
     engines, cluster sizes).  The kept count is binomial around the
     expectation, NOT exact-rank (that's :func:`stratified_sample`) —
     the tradeoff buys a plan with no window: one map-side-combining
-    count, one scalar aggregate, one broadcast join, then a scan-level
-    filter.  Sources whose rate caps at 1 contribute all their rows,
-    so the realized total can undershoot ``budget``; rates are rounded
-    to 6 decimals before thresholding so both contract engines
-    quantize identically.  Rows with NULL ``source`` are dropped
-    (inner join against the rate table)."""
+    count, one broadcast join, then a scan-level filter.  Sources
+    whose rate caps at 1 contribute all their rows, so the realized
+    total can undershoot ``budget``.  Rows with NULL ``source`` are
+    dropped (inner join against the rate table).
+
+    Numeric determinism: ``pow`` is the one non-correctly-rounded op
+    in the chain, so each source's weight is quantized ONCE to an
+    integer milli-weight ``w = floor(1000·n^alpha)`` and everything
+    after is deterministic — ``Z = Σw`` is an exact integer sum (order
+    independent), the keep-all test ``budget·w >= Z·n`` compares exact
+    decimal(38) products, and the hex threshold is
+    ``floor((budget·w)/(Z·n) · 2^32)`` over IEEE double ops that every
+    engine rounds identically (long→double, ·, / are exactly rounded —
+    unlike the earlier round-to-6-decimals rate, which manufactured
+    cross-engine half-ties on rational rates).  A 1-ulp ``pow``
+    divergence only matters if ``1000·n^alpha`` sits within 1 ulp of
+    an integer (and is impossible for alpha ∈ {0, 1}, where the weight
+    is exact)."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    n = F.col("_sg_n").cast("double")
     counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_sg_n"))
+    n = F.col("_sg_n")
+    w = F.floor(F.lit(1000.0) * F.pow(n.cast("double"), F.lit(alpha))).cast("long")
     # Z as a global window over the per-source count table (tiny —
     # one row per source) instead of a separate scalar aggregate: a
     # second consumer of `counts` would re-run the corpus-wide count
     # scan (no exchange reuse across the broadcast boundary)
-    z = F.sum(F.pow(n, F.lit(alpha))).over(Window.partitionBy())
-    rates = counts.select(
-        source_col,
-        F.least(
-            F.lit(1.0),
-            F.round(F.lit(float(budget)) * F.pow(n, F.lit(alpha)) / z / n, 6),
-        ).alias("_sg_rate"),
+    weights = counts.select(source_col, "_sg_n", w.alias("_sg_w"))
+    z = F.sum("_sg_w").over(Window.partitionBy())
+    dec = "decimal(38,0)"
+    keep_all = (F.lit(budget).cast(dec) * F.col("_sg_w")) >= (
+        z.cast(dec) * n
     )
-    # same hex-threshold spelling as domain_quota_sample: floor() on
-    # both contract sides, lower() because conv() emits uppercase,
-    # 'g' sentinel for keep-all (sorts above every hex hash)
-    thresh = F.when(F.col("_sg_rate") >= 1.0, F.lit("g")).otherwise(
-        F.lpad(
-            F.lower(
-                F.conv(
-                    F.floor(F.col("_sg_rate") * F.lit(float(1 << 32))).cast("string"),
-                    10,
-                    16,
-                )
-            ),
-            8,
-            "0",
-        )
+    rate = (
+        F.lit(float(budget))
+        * F.col("_sg_w").cast("double")
+        / (z.cast("double") * n.cast("double"))
+    )
+    rates = weights.select(
+        source_col,
+        F.when(keep_all, F.lit("g"))
+        .otherwise(_rate_to_hex_threshold(rate))
+        .alias("_sg_th"),
     )
     joined = docs.join(F.broadcast(rates), source_col)
-    return joined.filter(_hash8(F.col(id_col), salt) < thresh).drop("_sg_rate")
+    return joined.filter(_hash8(F.col(id_col), salt) < F.col("_sg_th")).drop("_sg_th")

@@ -417,7 +417,7 @@ def hashed_linear_score(docs: DataFrame, weights: DataFrame | None = None,
 # supplement char is UTF-8 read as Latin-1/Windows-1252 ('Ã©' for é);
 # 'â€' starts the mojibake of every smart-quote/dash (â€™ â€œ â€“).
 # Same pattern strings parse in Java regex and RE2.
-MOJIBAKE_RE = r"Ã[\x{0080}-\x{00BF}\x{00C0}-\x{00FF}]|â€"
+MOJIBAKE_RE = r"Ã[\x{0080}-\x{00FF}]|â€"
 #: C0/C1 controls except tab/newline/CR
 CONTROL_RE = r"[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]"
 REPLACEMENT_CHAR = "�"

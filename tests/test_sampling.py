@@ -145,7 +145,7 @@ def test_domain_quota_sample_stability(spark):
 
 def test_temperature_mix_vs_python(spark):
     """Membership == the hashlib/math twin computing the same
-    min(1, budget*n^a/Z/n) rates and md5 thresholds."""
+    integer-milli-weight rates and md5 hex thresholds."""
     import math
 
     from sagan_spark.ops.sampling import temperature_mix
@@ -163,22 +163,39 @@ def test_temperature_mix_vs_python(spark):
     got = {(r.doc_id, r.source)
            for r in temperature_mix(docs, budget, alpha).collect()}
 
-    z = sum(n ** alpha for n in sizes.values())
-    kept = set()
-    for doc_id, _t, src in rows:
-        rate = min(1.0, round(budget * sizes[src] ** alpha / z / sizes[src], 6))
-        th = "g" if rate >= 1.0 else format(math.floor(rate * (1 << 32)), "08x")
-        if _h8("tmix", doc_id) < th:
-            kept.add((doc_id, src))
+    def thresholds(sizes, budget, alpha):
+        w = {s: math.floor(1000.0 * n ** alpha) for s, n in sizes.items()}
+        z = sum(w.values())
+        th = {}
+        for s, n in sizes.items():
+            if budget * w[s] >= z * n:
+                th[s] = "g"
+            else:
+                th[s] = format(
+                    math.floor(budget * 1.0 * w[s] / (z * 1.0 * n) * (1 << 32)),
+                    "08x",
+                )
+        return th
+
+    th = thresholds(sizes, budget, alpha)
+    kept = {
+        (doc_id, src) for doc_id, _t, src in rows
+        if _h8("tmix", doc_id) < th[src]
+    }
     assert got == kept
-    assert any(s == "tiny" for _d, s in kept)  # capped source kept whole
+    assert th["tiny"] == "g"                      # capped source kept whole
     assert sum(1 for _d, s in kept if s == "tiny") == 2
+
+    # partitioning invariance: same membership at a different layout
+    got8 = {(r.doc_id, r.source)
+            for r in temperature_mix(docs.repartition(8), budget, alpha).collect()}
+    assert got8 == got
 
 
 def test_temperature_mix_alpha_extremes(spark):
-    """alpha=1 -> one uniform rate (proportional); alpha=0 -> equal
-    expected count per source (rate_i = budget/k/n_i)."""
-    from pyspark.sql import functions as F
+    """alpha=1 -> one uniform rate (proportional, exact integer
+    weights); alpha=0 -> equal expected count per source."""
+    import math
 
     from sagan_spark.ops.sampling import temperature_mix
 
@@ -190,31 +207,27 @@ def test_temperature_mix_alpha_extremes(spark):
             i += 1
     docs = spark.createDataFrame(rows, "doc_id long, source string")
 
-    # alpha=1: both sources sampled at budget/total -> per-source kept
-    # counts match a flat deterministic_sample at the same rate
-    got1 = temperature_mix(docs, 50, alpha=1.0).groupBy("source").count().collect()
-    flat = {
-        src: sum(
-            1 for d, s in rows
-            if s == src and _h8("tmix", d) < frac_to_hex8(round(50 / 150, 6))
-        )
-        for src in sizes
-    }
-    assert {r.source: r["count"] for r in got1} == {k: v for k, v in flat.items() if v}
+    def kept_for(budget, alpha):
+        w = {s: math.floor(1000.0 * n ** alpha) for s, n in sizes.items()}
+        z = sum(w.values())
+        th = {
+            s: "g" if budget * w[s] >= z * n
+            else format(
+                math.floor(budget * 1.0 * w[s] / (z * 1.0 * n) * (1 << 32)), "08x"
+            )
+            for s, n in sizes.items()
+        }
+        return {(d, s) for d, s in rows if _h8("tmix", d) < th[s]}
 
-    # alpha=0: expected count per source is budget/k -> the small
-    # source's RATE is 4x the big one's (budget/k/n_i)
-    got0 = temperature_mix(docs, 50, alpha=0.0)
-    rates = {}
-    for src, n in sizes.items():
-        rates[src] = min(1.0, round(50 / 2 / n, 6))
-    import math
-    kept0 = {
-        (d, s) for d, s in rows
-        if _h8("tmix", d)
-        < ("g" if rates[s] >= 1.0 else format(math.floor(rates[s] * (1 << 32)), "08x"))
-    }
-    assert {(r.doc_id, r.source) for r in got0.select("doc_id", "source").collect()} == kept0
+    # alpha=1: both sources sampled at the SAME rate budget/total
+    got1 = {(r.doc_id, r.source)
+            for r in temperature_mix(docs, 50, alpha=1.0).collect()}
+    assert got1 == kept_for(50, 1.0)
+
+    # alpha=0: rate_i = budget/k/n_i -> the small source's rate is 4x
+    got0 = {(r.doc_id, r.source)
+            for r in temperature_mix(docs, 50, alpha=0.0).collect()}
+    assert got0 == kept_for(50, 0.0)
 
 
 def test_temperature_mix_budget_zero_and_negative(spark):
