@@ -281,3 +281,62 @@ def test_remove_duplicated_spans_no_window_no_python(spark):
         "dup-hash countDistinct must partial-aggregate map-side"
     )
     assert "collect_set" in plan, "start-list collect_set missing"
+
+
+def test_round3_ops_plan_shapes(spark):
+    """Round-3 op pins:
+
+    - lang_id / encoding_quality: pure codegen projections — no
+      Python node, no exchange, no window.
+    - hashed_linear_score (synthetic weights): ONE shuffle (the
+      per-doc agg), NO join — the zero-token branch must stay a
+      scan-level filter, not an anti-join with a doc-cardinality
+      build side.
+    - temperature_mix: no window over the CORPUS (the only window is
+      the global Z sum over the tiny per-source count table) and no
+      row_number anywhere; exactly one hashpartitioning exchange (the
+      source count).
+    """
+    from sagan_spark.ops.sampling import temperature_mix
+    from sagan_spark.ops.textstats import lang_id
+    from sagan_spark.ops.webclean import encoding_quality, hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "s1")], "doc_id long, text string, source string"
+    )
+
+    for name, df in {
+        "lang_id": lang_id(docs),
+        "encoding_quality": encoding_quality(docs),
+    }.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"{name}: Python node"
+        assert "Exchange" not in plan, f"{name}: shuffle in a projection op"
+        assert "Window" not in plan, f"{name}: window"
+
+    plan = hashed_linear_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Join" not in plan, "classifier: anti-join crept back"
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    plan = temperature_mix(docs, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "row_number" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
+
+
+def test_pagerank_lineage_is_cut_per_iteration(spark):
+    """The iterative PageRank plan must not grow with iteration count:
+    localCheckpoint truncates lineage, so the FINAL plan contains the
+    scan of the checkpointed ranks, not a 2^k join tower.  Pin: plan
+    size at 4 iterations stays within 2x of 2 iterations (a lineage
+    leak compounds per round), and contains an RDDScan (checkpoint)."""
+    from sagan_spark.ops.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    p2 = pagerank(edges, iterations=2)._jdf.queryExecution().executedPlan().toString()
+    p4 = pagerank(edges, iterations=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in p4 or "RDDScanExec" in p4
+    assert len(p4) < 2 * len(p2), (len(p2), len(p4))
