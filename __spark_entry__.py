@@ -1808,6 +1808,29 @@ def q_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_likelihood(docs, lm)
 
 
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles per language: lang_id supplies
+    the language, the 'split'-holdout bigram LM supplies the score,
+    lm_buckets cuts exact per-language terciles off the score
+    histogram (no corpus-wide sort)."""
+    from sagan_spark.ops.lmscore import (
+        lm_buckets,
+        lm_likelihood,
+        lm_train_bigrams,
+    )
+    from sagan_spark.ops.sampling import deterministic_sample
+    from sagan_spark.ops.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    ref = deterministic_sample(docs, 0.5, salt="split")
+    lm = lm_train_bigrams(ref, n_buckets=1 << 18)
+    scored = lm_likelihood(docs, lm).select("doc_id", "lm_score_ppm")
+    langs = lang_id(docs).select(
+        "doc_id", F.col("pred_lang").alias("lang")
+    )
+    return lm_buckets(langs.join(scored, "doc_id"))
+
+
 def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n^alpha temperature mixing over the 20 synthetic sources
     (alpha .5, expected 150 of 500 docs at sf0.01) — rates land well
@@ -1936,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": q_domain_pagerank,
         "encoding_quality": q_encoding_quality,
         "lm_likelihood": q_lm_likelihood,
+        "lm_buckets": q_lm_buckets,
     }
 
 
@@ -1960,11 +1984,13 @@ def _html_extract_sql() -> str:
 
 
 def _langid_sql() -> str:
-    """text_langid oracle generated from the SAME dicts the Spark op
-    uses (sagan_spark.ops.textstats.LANG_MARKERS / LANG_SCRIPTS) — one
-    source of truth for marker words, divisors (padded-marker length),
-    script ranges + fraction thresholds, the script-cascade order, and
-    the first-wins marker tie-break order."""
+    """Per-doc langid oracle core — (doc_id, pred_lang) — generated
+    from the SAME dicts the Spark op uses
+    (sagan_spark.ops.textstats.LANG_MARKERS / LANG_SCRIPTS): one
+    source of truth for marker words, script ranges + fraction
+    thresholds, the script-cascade order, and the first-wins marker
+    tie-break order.  text_langid rolls this up
+    (:func:`_langid_rollup_sql`); lm_buckets joins it per-doc."""
     from sagan_spark.ops.textstats import (
         LANG_MARKERS,
         LANG_SCRIPTS,
@@ -1997,14 +2023,23 @@ def _langid_sql() -> str:
         + ["nc"]
     )
     return (
-        "SELECT pred_lang, count(*) AS n FROM ("
-        f"SELECT CASE {script_case}"
+        f"SELECT doc_id, CASE {script_case}"
         " WHEN best <= 0 THEN 'und' " + case + " ELSE 'und' END"
         " AS pred_lang FROM ("
-        f"SELECT {best} AS best, {cols} FROM ("
-        f"SELECT {scores}, {scripts}, length(t) AS nc"
-        " FROM (SELECT text AS t"
-        " FROM documents)))) GROUP BY 1"
+        f"SELECT doc_id, {best} AS best, {cols} FROM ("
+        f"SELECT doc_id, {scores}, {scripts}, length(t) AS nc"
+        " FROM (SELECT doc_id, text AS t"
+        " FROM documents)))"
+    )
+
+
+def _langid_rollup_sql() -> str:
+    """text_langid oracle: the per-doc langid core rolled up to
+    (pred_lang, n) — the gate's output shape."""
+    return (
+        "SELECT pred_lang, count(*) AS n FROM ("
+        + _langid_sql()
+        + ") GROUP BY 1"
     )
 
 
@@ -2065,6 +2100,76 @@ def _encoding_quality_sql() -> str:
         " FROM (SELECT doc_id, text || CASE doc_id % 4"
         "  WHEN 0 THEN ' Ã©tÃ© broken' WHEN 1 THEN ' bad � char'"
         "  WHEN 2 THEN ' ctl \x07 here' ELSE '' END AS t FROM documents))"
+    )
+
+
+def _lm_likelihood_sql() -> str:
+    """lm_likelihood oracle (ops/lmscore.py): train hashed bigram
+    counts on the md5-'split' holdout half, score every document —
+    the same 60-bit md5 bucket idiom as the Spark side, integer
+    milli-prob (1000*pc) // fc end to end."""
+    from sagan_spark.ops.sampling import frac_to_hex8
+
+    return (
+        "WITH d AS (SELECT doc_id, regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS l FROM documents),"
+        " trp AS (SELECT l[i] AS prev, l[i+1] AS tok FROM ("
+        "  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i"
+        "  FROM d WHERE len(l) >= 2 AND"
+        f"  substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f"  < '{frac_to_hex8(0.5)}')),"
+        " pairs AS (SELECT"
+        "  ('0x'||substr(md5(prev||'|'||tok),1,15))::BIGINT % 262144 AS pb,"
+        "  count(*) AS pc FROM trp GROUP BY 1),"
+        " prefixes AS (SELECT"
+        "  ('0x'||substr(md5(prev),1,15))::BIGINT % 262144 AS fb,"
+        "  count(*) AS fc FROM trp GROUP BY 1),"
+        " dp AS (SELECT doc_id, l[i] AS prev, l[i+1] AS tok FROM ("
+        "  SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i"
+        "  FROM d WHERE len(l) >= 2)),"
+        " sc AS (SELECT doc_id,"
+        "  coalesce((1000 * pc) // fc, 0) AS milli FROM dp"
+        "  LEFT JOIN pairs ON pairs.pb ="
+        "   ('0x'||substr(md5(prev||'|'||tok),1,15))::BIGINT % 262144"
+        "  LEFT JOIN prefixes ON prefixes.fb ="
+        "   ('0x'||substr(md5(prev),1,15))::BIGINT % 262144),"
+        " agg AS (SELECT doc_id, count(*)::BIGINT AS n_pairs,"
+        "  (1000 * sum(milli)) // count(*) AS lm_score_ppm"
+        "  FROM sc GROUP BY 1)"
+        " SELECT doc_id, n_pairs, CAST(lm_score_ppm AS BIGINT)"
+        "  AS lm_score_ppm FROM agg"
+        " UNION ALL SELECT doc_id, CAST(0 AS BIGINT),"
+        "  CAST(NULL AS BIGINT) FROM d WHERE coalesce(len(l), 0) < 2"
+    )
+
+
+def _lm_buckets_sql() -> str:
+    """lm_buckets oracle: the langid and LM-likelihood oracles
+    composed as derived tables (one source of truth each), then the
+    exact-tercile cut off the per-(lang, score) histogram — ``t_k`` =
+    smallest score whose ascending cumulative count reaches
+    ``ceil(k*n/3)`` (integer form ``3*cum >= k*n``), ties share a
+    bucket, NULL score -> NULL bucket."""
+    return (
+        f"WITH lg AS ({_langid_sql()}),"
+        f" lmsc AS ({_lm_likelihood_sql()}),"
+        " j AS (SELECT lg.doc_id, lg.pred_lang AS lang, lmsc.lm_score_ppm"
+        "  FROM lg JOIN lmsc ON lg.doc_id = lmsc.doc_id),"
+        " hist AS (SELECT lang, lm_score_ppm AS s, count(*) AS c FROM j"
+        "  WHERE lm_score_ppm IS NOT NULL GROUP BY 1, 2),"
+        " cum AS (SELECT lang, s,"
+        "  sum(c) OVER (PARTITION BY lang ORDER BY s) AS cum,"
+        "  sum(c) OVER (PARTITION BY lang) AS n FROM hist),"
+        " th AS (SELECT lang,"
+        "  min(CASE WHEN 3 * cum >= n THEN s END) AS t1,"
+        "  min(CASE WHEN 3 * cum >= 2 * n THEN s END) AS t2"
+        "  FROM cum GROUP BY 1)"
+        " SELECT j.doc_id, j.lang, j.lm_score_ppm,"
+        "  CASE WHEN j.lm_score_ppm IS NULL OR th.t1 IS NULL THEN NULL"
+        "   WHEN j.lm_score_ppm <= th.t1 THEN 'tail'"
+        "   WHEN j.lm_score_ppm <= th.t2 THEN 'middle'"
+        "   ELSE 'head' END AS lm_bucket"
+        " FROM j LEFT JOIN th ON j.lang = th.lang"
     )
 
 
@@ -3101,7 +3206,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql,
         "ann_ivf_topk": _ann_ivf_sql,
         "html_extract_text": _html_extract_sql(),
-        "text_langid": _langid_sql(),
+        "text_langid": _langid_rollup_sql(),
         "text_quality": (
             "SELECT doc_id, n_chars, n_words, round(avg_word_len, 6) AS avg_word_len,"
             " round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,"
@@ -3413,37 +3518,11 @@ def oracle_sql() -> dict[str, str]:
         # hashed bigram LM likelihood (ops/lmscore.py): train on the
         # md5-'split' holdout half, score everything — same 60-bit
         # md5 bucket idiom, integer milli-prob (1000*pc) // fc
-        "lm_likelihood": (
-            "WITH d AS (SELECT doc_id, regexp_extract_all(text,"
-            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS l FROM documents),"
-            " trp AS (SELECT l[i] AS prev, l[i+1] AS tok FROM ("
-            "  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i"
-            "  FROM d WHERE len(l) >= 2 AND"
-            f"  substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)"
-            f"  < '{frac_to_hex8(0.5)}')),"
-            " pairs AS (SELECT"
-            "  ('0x'||substr(md5(prev||'|'||tok),1,15))::BIGINT % 262144 AS pb,"
-            "  count(*) AS pc FROM trp GROUP BY 1),"
-            " prefixes AS (SELECT"
-            "  ('0x'||substr(md5(prev),1,15))::BIGINT % 262144 AS fb,"
-            "  count(*) AS fc FROM trp GROUP BY 1),"
-            " dp AS (SELECT doc_id, l[i] AS prev, l[i+1] AS tok FROM ("
-            "  SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i"
-            "  FROM d WHERE len(l) >= 2)),"
-            " sc AS (SELECT doc_id,"
-            "  coalesce((1000 * pc) // fc, 0) AS milli FROM dp"
-            "  LEFT JOIN pairs ON pairs.pb ="
-            "   ('0x'||substr(md5(prev||'|'||tok),1,15))::BIGINT % 262144"
-            "  LEFT JOIN prefixes ON prefixes.fb ="
-            "   ('0x'||substr(md5(prev),1,15))::BIGINT % 262144),"
-            " agg AS (SELECT doc_id, count(*)::BIGINT AS n_pairs,"
-            "  (1000 * sum(milli)) // count(*) AS lm_score_ppm"
-            "  FROM sc GROUP BY 1)"
-            " SELECT doc_id, n_pairs, CAST(lm_score_ppm AS BIGINT)"
-            "  AS lm_score_ppm FROM agg"
-            " UNION ALL SELECT doc_id, CAST(0 AS BIGINT),"
-            "  CAST(NULL AS BIGINT) FROM d WHERE coalesce(len(l), 0) < 2"
-        ),
+        "lm_likelihood": _lm_likelihood_sql(),
+        # CCNet head/middle/tail terciles (ops/lmscore.lm_buckets):
+        # langid + LM score composed, exact tercile cuts off the
+        # per-(lang, score) histogram — same cut rule 3*cum >= k*n
+        "lm_buckets": _lm_buckets_sql(),
         # n^alpha temperature mixing (ops/sampling.temperature_mix,
         # budget 150, alpha 0.5): integer milli-weight w=floor(1000*n^a)
         # quarantines pow(), Z is an exact integer sum, keep-all is an

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,3 +149,78 @@ def lm_likelihood(docs: DataFrame, lm: BigramLM, text_col: str = "text",
         F.lit(None).cast("long").alias("lm_score_ppm"),
     )
     return out.unionByName(unscorable)
+
+
+def lm_buckets(scored: DataFrame, lang_col: str = "lang",
+               score_col: str = "lm_score_ppm",
+               id_col: str = "doc_id") -> DataFrame:
+    """CCNet's perplexity-bucket assignment (Wenzek et al.
+    arXiv:1911.00359 §4.4): per language, split documents into
+    **head / middle / tail** terciles of the LM score — downstream
+    pipelines train on head+middle or re-weight the buckets.  Our
+    score is a likelihood (higher = better), so ``head`` is the TOP
+    tercile, ``tail`` the bottom; CCNet's perplexity convention
+    (lower = better) maps onto the same buckets.
+
+    Exact terciles without a corpus-wide sort: scores are bounded
+    integers (ppm), so the cut points come from a per-``(lang,
+    score)`` HISTOGRAM — one map-side-combining groupBy whose output
+    is at most |langs| x 10^6 rows — and the windows/aggregations run
+    over that histogram, never over the corpus.  A hot language
+    (English ~ half a web corpus) therefore never funnels its
+    documents into one window partition — the skew class the
+    dedup_paragraphs row_number fix removed stays removed here.
+    Thresholds broadcast back onto the corpus as a scan-level CASE.
+
+    Cut rule, integer-exact and partition-independent: ``t1`` = the
+    1/3-quantile = the smallest score whose ascending cumulative
+    count reaches ``ceil(n/3)`` (integer form ``3*cum >= n``), ``t2``
+    likewise for ``2n/3``; bucket = ``tail`` if ``score <= t1``,
+    ``middle`` if ``score <= t2``, else ``head``.  Equal scores
+    always share a bucket (no arbitrary ntile tie split — ties
+    resolve DOWN into the worse bucket, the conservative direction
+    for a keep-head/middle filter), so with distinct scores and
+    ``3 | n`` the split is exactly ``n/3`` each.  A NULL score (the
+    unscorable ``n_pairs = 0`` docs upstream) keeps its row with a
+    NULL bucket; a 1-doc language is all 'tail' (its only score IS
+    the 1/3-quantile).
+
+    Returns the input columns + ``lm_bucket``."""
+    lang, score = F.col(lang_col), F.col(score_col)
+    hist = (
+        scored.where(score.isNotNull())
+        .groupBy(lang_col, score_col)
+        .agg(F.count(F.lit(1)).alias("_sg_c"))
+    )
+    w_cum = (
+        Window.partitionBy(lang_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(lang_col)
+    cum = hist.select(
+        lang_col,
+        score_col,
+        F.sum("_sg_c").over(w_cum).alias("_sg_cum"),
+        F.sum("_sg_c").over(w_all).alias("_sg_n"),
+    )
+    c3, n = F.lit(3) * F.col("_sg_cum"), F.col("_sg_n")
+    th = cum.groupBy(lang_col).agg(
+        F.min(F.when(c3 >= n, score)).alias("_sg_t1"),
+        F.min(F.when(c3 >= F.lit(2) * n, score)).alias("_sg_t2"),
+    )
+    # _sg_t1 is NULL iff the language never reached the histogram (the
+    # doc's lang is NULL, or every score in it is NULL) — NULL bucket,
+    # not a spurious 'head' via the NULL-comparison fallthrough
+    bucket = (
+        F.when(score.isNull() | F.col("_sg_t1").isNull(),
+               F.lit(None).cast("string"))
+        .when(score <= F.col("_sg_t1"), F.lit("tail"))
+        .when(score <= F.col("_sg_t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return (
+        scored.join(F.broadcast(th), lang_col, "left")
+        .withColumn("lm_bucket", bucket)
+        .drop("_sg_t1", "_sg_t2")
+    )

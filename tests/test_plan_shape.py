@@ -325,6 +325,25 @@ def test_round3_ops_plan_shapes(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
 
 
+def test_lm_buckets_windows_only_the_histogram(spark):
+    """lm_buckets pins: the tercile windows run over the per-(lang,
+    score) HISTOGRAM, never the corpus — no exchange keyed by doc_id,
+    no ntile/row_number (the arbitrary-tie-split corpus-sort shape),
+    no Python node; the threshold table joins back by BROADCAST (it
+    is |langs| rows — a shuffle join here would re-exchange the whole
+    corpus by language, hot-language skew included)."""
+    from sagan_spark.ops.lmscore import lm_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "en", 10)], "doc_id long, lang string, lm_score_ppm long"
+    )
+    plan = lm_buckets(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "ntile" not in plan and "row_number" not in plan
+    assert "hashpartitioning(doc_id" not in plan, "corpus-keyed exchange"
+    assert "BroadcastHashJoin" in plan, "threshold join must broadcast"
+
+
 def test_pagerank_lineage_is_cut_per_iteration(spark):
     """The iterative PageRank plan must not grow with iteration count:
     localCheckpoint truncates lineage, so the FINAL plan contains the
