@@ -1808,6 +1808,27 @@ def q_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_likelihood(docs, lm)
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rule set over documents with a deterministic defect
+    scaffold: each doc_id%5 class appends one page-level tell (bad
+    word / lorem ipsum / curly brace / a javascript line / nothing)
+    so every boolean column carries both values at sf0.01."""
+    from sagan_spark.ops.webclean import c4_filters
+
+    docs = _docs(spark, sf_dir)
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\nwatch porn here now."))
+        .when(F.col("doc_id") % 5 == 1, F.lit("\nfiller lorem ipsum text."))
+        .when(F.col("doc_id") % 5 == 2, F.lit("\ncode { snippet } sample."))
+        .when(F.col("doc_id") % 5 == 3, F.lit("\nenable javascript to view."))
+        .otherwise(F.lit(""))
+    )
+    scaffold = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return c4_filters(scaffold)
+
+
 def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail terciles per language: lang_id supplies
     the language, the 'split'-holdout bigram LM supplies the score,
@@ -1960,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_quality": q_encoding_quality,
         "lm_likelihood": q_lm_likelihood,
         "lm_buckets": q_lm_buckets,
+        "c4_filters": q_c4_filters,
     }
 
 
@@ -2140,6 +2162,50 @@ def _lm_likelihood_sql() -> str:
         "  AS lm_score_ppm FROM agg"
         " UNION ALL SELECT doc_id, CAST(0 AS BIGINT),"
         "  CAST(NULL AS BIGINT) FROM d WHERE coalesce(len(l), 0) < 2"
+    )
+
+
+def _c4_filters_sql() -> str:
+    """c4_filters oracle: the q_c4_filters defect scaffold + the same
+    line/page rules, regex and badword constants imported from the op
+    module (one source of truth)."""
+    import re as _re
+
+    from sagan_spark.ops.webclean import C4_BADWORDS_DEFAULT, C4_TERMINAL_RE
+
+    bad_re = (
+        "\\b(?:" + "|".join(_re.escape(w) for w in C4_BADWORDS_DEFAULT) + ")\\b"
+    )
+    return (
+        "WITH s AS (SELECT doc_id, text || CASE doc_id % 5"
+        "  WHEN 0 THEN chr(10) || 'watch porn here now.'"
+        "  WHEN 1 THEN chr(10) || 'filler lorem ipsum text.'"
+        "  WHEN 2 THEN chr(10) || 'code { snippet } sample.'"
+        "  WHEN 3 THEN chr(10) || 'enable javascript to view.'"
+        "  ELSE '' END AS t FROM documents),"
+        " k AS (SELECT doc_id, t, list_filter(string_split(t, chr(10)),"
+        f"  x -> regexp_matches(rtrim(x), '{C4_TERMINAL_RE}')"
+        "   AND len(list_filter(regexp_split_to_array(x, '\\s+'),"
+        "        w -> w != '')) >= 3"
+        "   AND NOT contains(lower(x), 'javascript')) AS kept FROM s),"
+        # array_to_string([]) is NULL in DuckDB but array_join([]) is
+        # '' in Spark — coalesce to '' (t is never NULL under the
+        # scaffold, so the NULL-text passthrough case can't arise here)
+        " m AS (SELECT doc_id, t,"
+        "  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,"
+        "  coalesce(len(kept), 0)::BIGINT AS n_lines_kept,"
+        "  coalesce(len(regexp_extract_all("
+        "   array_to_string(kept, chr(10)), '[.!?]')), 0)::BIGINT"
+        "   AS n_sentences FROM k)"
+        " SELECT doc_id, clean_text, n_lines_kept, n_sentences,"
+        "  n_sentences >= 5 AS enough_sentences,"
+        f"  NOT regexp_matches(lower(t), '{bad_re}') AS no_bad_words,"
+        "  NOT contains(lower(t), 'lorem ipsum') AS no_lorem_ipsum,"
+        "  NOT contains(t, '{') AS no_curly_brace,"
+        "  (n_sentences >= 5"
+        f"   AND NOT regexp_matches(lower(t), '{bad_re}')"
+        "   AND NOT contains(lower(t), 'lorem ipsum')"
+        "   AND NOT contains(t, '{')) AS c4_keep FROM m"
     )
 
 
@@ -3523,6 +3589,9 @@ def oracle_sql() -> dict[str, str]:
         # langid + LM score composed, exact tercile cuts off the
         # per-(lang, score) histogram — same cut rule 3*cum >= k*n
         "lm_buckets": _lm_buckets_sql(),
+        # C4 line+page rule set (ops/webclean.c4_filters) over the
+        # q_c4_filters defect scaffold; constants imported from the op
+        "c4_filters": _c4_filters_sql(),
         # n^alpha temperature mixing (ops/sampling.temperature_mix,
         # budget 150, alpha 0.5): integer milli-weight w=floor(1000*n^a)
         # quarantines pow(), Z is an exact integer sum, keep-all is an

@@ -286,8 +286,8 @@ def test_remove_duplicated_spans_no_window_no_python(spark):
 def test_round3_ops_plan_shapes(spark):
     """Round-3 op pins:
 
-    - lang_id / encoding_quality: pure codegen projections — no
-      Python node, no exchange, no window.
+    - lang_id / encoding_quality / c4_filters: pure codegen
+      projections — no Python node, no exchange, no window.
     - hashed_linear_score (synthetic weights): ONE shuffle (the
       per-doc agg), NO join — the zero-token branch must stay a
       scan-level filter, not an anti-join with a doc-cardinality
@@ -299,7 +299,11 @@ def test_round3_ops_plan_shapes(spark):
     """
     from sagan_spark.ops.sampling import temperature_mix
     from sagan_spark.ops.textstats import lang_id
-    from sagan_spark.ops.webclean import encoding_quality, hashed_linear_score
+    from sagan_spark.ops.webclean import (
+        c4_filters,
+        encoding_quality,
+        hashed_linear_score,
+    )
 
     docs = spark.createDataFrame(
         [(1, "some text here", "s1")], "doc_id long, text string, source string"
@@ -308,6 +312,7 @@ def test_round3_ops_plan_shapes(spark):
     for name, df in {
         "lang_id": lang_id(docs),
         "encoding_quality": encoding_quality(docs),
+        "c4_filters": c4_filters(docs),
     }.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, f"{name}: Python node"

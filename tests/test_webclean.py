@@ -514,3 +514,74 @@ def test_encoding_quality_vs_python(spark):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
     assert got[2][3] is False and got[1][3] is True and got[7][3] is True
     assert got[6] == (0, 0, 0, True)  # NULL text: nothing broken
+
+
+def test_c4_filters_vs_python(spark):
+    """c4_filters vs a pure-Python twin over hand cases exercising
+    every rule: terminal-punct line keep, <3-word line drop,
+    javascript line drop, bad word / lorem ipsum / curly brace page
+    flags, sentence-count threshold, NULL text."""
+    import re as _re
+
+    from sagan_spark.ops.webclean import (
+        C4_BADWORDS_DEFAULT,
+        C4_TERMINAL_RE,
+        c4_filters,
+    )
+
+    docs = [
+        # 5 good sentences, one unterminated line, one short line
+        (0, "alpha beta gamma one.\nbeta gamma two!\nno terminal punct"
+            "\ntiny.\nthree words here?\nfour more words now.\n"
+            "and a fifth sentence stands."),
+        (1, "good line stays right here.\nwatch porn now please."),
+        (2, "lorem ipsum dolor sit amet."),
+        (3, "a code block { lives } here."),
+        (4, "please enable javascript to continue.\nreal text stays here."),
+        (5, None),
+        (6, 'quoted line ends well."\nspaced   words   count fine.'),
+    ]
+    got = {
+        r.doc_id: r
+        for r in c4_filters(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+
+    term = _re.compile(C4_TERMINAL_RE)
+    bad = _re.compile(
+        "\\b(?:" + "|".join(_re.escape(w) for w in C4_BADWORDS_DEFAULT) + ")\\b"
+    )
+
+    def twin(text):
+        if text is None:
+            return (None, 0, 0, False, True, True, True, False)
+        kept = [
+            ln for ln in text.split("\n")
+            if term.search(ln.rstrip(" "))
+            and len([w for w in _re.split(r"\s+", ln) if w]) >= 3
+            and "javascript" not in ln.lower()
+        ]
+        clean = "\n".join(kept)
+        n_sent = len(_re.findall(r"[.!?]", clean))
+        enough = n_sent >= 5
+        no_bad = not bad.search(text.lower())
+        no_lorem = "lorem ipsum" not in text.lower()
+        no_brace = "{" not in text
+        return (clean, len(kept), n_sent, enough, no_bad, no_lorem,
+                no_brace, enough and no_bad and no_lorem and no_brace)
+
+    for doc_id, text in docs:
+        r = got[doc_id]
+        have = (r.clean_text, r.n_lines_kept, r.n_sentences,
+                r.enough_sentences, r.no_bad_words, r.no_lorem_ipsum,
+                r.no_curly_brace, r.c4_keep)
+        assert have == twin(text), (doc_id, have, twin(text))
+    # spot-pins: the twin can't mask a shared misreading of the paper
+    assert got[0].n_lines_kept == 5 and got[0].c4_keep is True
+    assert got[1].no_bad_words is False and got[1].c4_keep is False
+    assert got[2].no_lorem_ipsum is False
+    assert got[3].no_curly_brace is False
+    assert got[4].n_lines_kept == 1      # javascript line dropped
+    assert got[5].clean_text is None and got[5].c4_keep is False
+    assert got[6].n_lines_kept == 2      # end-quote terminal + \s+ tokens
