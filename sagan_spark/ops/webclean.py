@@ -518,8 +518,14 @@ def c4_filters(docs: DataFrame, badwords: tuple[str, ...] = C4_BADWORDS_DEFAULT,
     bad_re = "\\b(?:" + "|".join(_re.escape(w) for w in badwords) + ")\\b"
     enough = n_sent >= 5
     # NULL text contains nothing: the no_* checks pass vacuously and
-    # enough_sentences (0 >= 5) alone drives c4_keep to false
-    no_bad = F.coalesce(~F.lower(t).rlike(bad_re), F.lit(True))
+    # enough_sentences (0 >= 5) alone drives c4_keep to false.  An
+    # EMPTY badwords tuple means "screen nothing": guard it explicitly,
+    # because the joined regex would degenerate to \b(?:)\b, which
+    # matches at any word boundary and would flag every page.
+    no_bad = (
+        F.coalesce(~F.lower(t).rlike(bad_re), F.lit(True))
+        if badwords else F.lit(True)
+    )
     no_lorem = F.coalesce(
         ~F.contains(F.lower(t), F.lit("lorem ipsum")), F.lit(True)
     )

@@ -585,3 +585,14 @@ def test_c4_filters_vs_python(spark):
     assert got[4].n_lines_kept == 1      # javascript line dropped
     assert got[5].clean_text is None and got[5].c4_keep is False
     assert got[6].n_lines_kept == 2      # end-quote terminal + \s+ tokens
+
+    # empty badwords tuple = screen nothing (the naive joined regex
+    # would be \b(?:)\b and match every word boundary)
+    none_screened = {
+        r.doc_id: r.no_bad_words
+        for r in c4_filters(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            badwords=(),
+        ).collect()
+    }
+    assert all(v is True for v in none_screened.values())
