@@ -1852,6 +1852,28 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_buckets(langs.join(scored, "doc_id"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ops/dsir.py): the md5 'dsir_target'
+    quarter of the corpus plays the high-quality target distribution,
+    the full corpus is the raw distribution, every document gets the
+    integer target-vs-raw contrast score."""
+    from sagan_spark.ops.dsir import dsir_train, dsir_weights
+    from sagan_spark.ops.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    target = deterministic_sample(docs, 0.25, salt="dsir_target")
+    model = dsir_train(target, docs, n_buckets=1 << 16)
+    return dsir_weights(docs, model)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy top-100 selection over the DSIR weights — the resampling
+    step at temperature 0 (deterministic; md5 tiebreak)."""
+    from sagan_spark.ops.dsir import dsir_topk
+
+    return dsir_topk(q_dsir_weights(spark, sf_dir), 100)
+
+
 def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n^alpha temperature mixing over the 20 synthetic sources
     (alpha .5, expected 150 of 500 docs at sf0.01) — rates land well
@@ -1982,6 +2004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_likelihood": q_lm_likelihood,
         "lm_buckets": q_lm_buckets,
         "c4_filters": q_c4_filters,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -2162,6 +2186,58 @@ def _lm_likelihood_sql() -> str:
         "  AS lm_score_ppm FROM agg"
         " UNION ALL SELECT doc_id, CAST(0 AS BIGINT),"
         "  CAST(NULL AS BIGINT) FROM d WHERE coalesce(len(l), 0) < 2"
+    )
+
+
+def _dsir_weights_sql() -> str:
+    """dsir_weights oracle (ops/dsir.py): hashed unigram+bigram grams
+    into 2^16 buckets (60-bit md5 idiom), target = the md5
+    'dsir_target' quarter, raw = everything; integer ppm contrast
+    summed per doc.  Token-less docs carry n_grams 0 / NULL score."""
+    from sagan_spark.ops.sampling import frac_to_hex8
+
+    tok = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return (
+        f"WITH d AS (SELECT doc_id, regexp_extract_all(text, '{tok}')"
+        "  AS l FROM documents),"
+        " g AS (SELECT doc_id, unnest(l) AS gram FROM d"
+        "  UNION ALL"
+        "  SELECT doc_id, l[i] || '|' || l[i+1] AS gram FROM ("
+        "   SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i"
+        "   FROM d WHERE len(l) >= 2)),"
+        " gb AS (SELECT doc_id,"
+        "  ('0x'||substr(md5(gram),1,15))::BIGINT % 65536 AS bucket FROM g),"
+        " tgt AS (SELECT bucket, count(*) AS tc FROM gb"
+        "  WHERE substr(md5('dsir_target|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f"  < '{frac_to_hex8(0.25)}' GROUP BY 1),"
+        " raw AS (SELECT bucket, count(*) AS qc FROM gb GROUP BY 1),"
+        " tot AS (SELECT (SELECT sum(tc) FROM tgt) AS tn,"
+        "  (SELECT sum(qc) FROM raw) AS qn),"
+        " model AS (SELECT coalesce(tgt.bucket, raw.bucket) AS bucket,"
+        "  coalesce((1000000 * coalesce(tc, 0)) // tn, 0) AS ppm_t,"
+        "  coalesce((1000000 * coalesce(qc, 0)) // qn, 0) AS ppm_q"
+        "  FROM tgt FULL JOIN raw ON tgt.bucket = raw.bucket, tot),"
+        " sc AS (SELECT gb.doc_id, count(*)::BIGINT AS n_grams,"
+        "  sum(coalesce(ppm_t, 0) - coalesce(ppm_q, 0))::BIGINT"
+        "   AS dsir_score"
+        "  FROM gb LEFT JOIN model USING (bucket) GROUP BY 1)"
+        " SELECT doc_id, n_grams, dsir_score FROM sc"
+        " UNION ALL SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)"
+        "  FROM d WHERE coalesce(len(l), 0) < 1"
+    )
+
+
+def _dsir_select_sql() -> str:
+    """dsir_select oracle: top-100 by score with the md5 'dsir'
+    tiebreak, NULL scores excluded (DESC NULLS placement differs
+    between engines, and unscorable docs must not be selected)."""
+    return (
+        f"WITH w AS ({_dsir_weights_sql()})"
+        " SELECT doc_id, n_grams, dsir_score FROM w"
+        " WHERE dsir_score IS NOT NULL"
+        " ORDER BY dsir_score DESC,"
+        "  substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id"
+        " LIMIT 100"
     )
 
 
@@ -3592,6 +3668,10 @@ def oracle_sql() -> dict[str, str]:
         # C4 line+page rule set (ops/webclean.c4_filters) over the
         # q_c4_filters defect scaffold; constants imported from the op
         "c4_filters": _c4_filters_sql(),
+        # DSIR hashed-ngram importance weights + greedy top-k
+        # resampling (ops/dsir.py) — integer ppm contrast, md5 buckets
+        "dsir_weights": _dsir_weights_sql(),
+        "dsir_select": _dsir_select_sql(),
         # n^alpha temperature mixing (ops/sampling.temperature_mix,
         # budget 150, alpha 0.5): integer milli-weight w=floor(1000*n^a)
         # quarantines pow(), Z is an exact integer sum, keep-all is an
