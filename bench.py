@@ -64,6 +64,7 @@ HEADLINE = [
     "text_langid",
     "domain_pagerank",
     "lm_likelihood",
+    "dsir_weights",
 ]
 
 
