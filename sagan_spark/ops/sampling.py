@@ -13,12 +13,10 @@ Scale notes (100 TB posture):
 - :func:`deterministic_sample` / :func:`train_holdout_split` are pure
   scan-level projections — no shuffle, no state; Catalyst pushes the
   hash filter next to the scan.
-- :func:`stratified_sample` needs a per-stratum rank, i.e. ONE shuffle
-  by the stratum key.  Quotas are exact (rank-based).  For strata too
-  hot for a single window partition, pre-filter with
-  :func:`deterministic_sample` at a generous fraction first (hash
-  order is preserved — the rank of survivors is unchanged), then rank
-  the survivors.
+- :func:`stratified_sample` / :func:`domain_quota_sample` bound their
+  exact-rank windows with a slack-rate hash pre-filter, so a Zipf-hot
+  stratum/domain never funnels the raw corpus into one sorting task —
+  the window only ever sees ~quota + O(sqrt(quota)) rows per key.
 """
 
 from __future__ import annotations
@@ -163,19 +161,57 @@ def stratified_sample(docs: DataFrame, quotas: dict[str, int],
     """Exactly ``quotas[stratum]`` rows per stratum (fewer when the
     stratum is smaller), chosen in deterministic hash order — per-
     language corpus balancing with reproducible membership.  Strata
-    absent from ``quotas`` are dropped."""
-    h = _hash8(F.col(id_col), salt)
+    absent from ``quotas`` are dropped.
+
+    Skew posture (the :func:`domain_quota_sample` composition — a
+    Zipf-hot stratum must never funnel the raw corpus into one sorting
+    task):
+
+    1. per-stratum sizes via a map-side-combining count (tiny — one
+       row per stratum), broadcast back;
+    2. strata at-or-under quota keep ALL rows with a scan-level
+       verdict — no shuffle, no window;
+    3. over-quota strata pass a scan-level hash-rate pre-filter at
+       rate ``(q + 6*sqrt(q) + 16) / n`` — survivors are
+       ~q + O(sqrt(q)) per stratum regardless of corpus size, and the
+       binomial survivor count falls below ``q`` with probability
+       < 1e-9 per stratum (hash order is preserved, so the top-q
+       survivors ARE the top-q of the full stratum whenever survivors
+       >= q);
+    4. the exact rank window then only ever sorts a few thousand rows
+       per stratum.
+    """
+    h = F.col("_sg_h")
     quota = F.create_map(
         *[F.lit(x) for kv in quotas.items() for x in kv]
     )[F.col(strata_col)]
+    counts = (
+        docs.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_sg_n"))
+        .select(strata_col, "_sg_n", quota.alias("_sg_q"))
+        .filter(F.col("_sg_q").isNotNull() & (F.col("_sg_q") > 0))
+    )
+    joined = docs.join(F.broadcast(counts), strata_col)
+    under = joined.filter(F.col("_sg_n") <= F.col("_sg_q")).drop("_sg_n", "_sg_q")
+    q = F.col("_sg_q").cast("double")
+    slack = q + F.lit(6.0) * F.sqrt(q) + F.lit(16.0)
+    thresh = F.when(slack >= F.col("_sg_n"), F.lit("g")).otherwise(
+        _rate_to_hex_threshold(slack / F.col("_sg_n"))
+    )
+    survivors = (
+        joined.filter(F.col("_sg_n") > F.col("_sg_q"))
+        .withColumn("_sg_h", _hash8(F.col(id_col), salt))
+        .filter(F.col("_sg_h") < thresh)
+    )
     rn = F.row_number().over(
         Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     )
-    return (
-        docs.withColumn("_rn", rn)
-        .filter(F.col("_rn") <= F.coalesce(quota, F.lit(0)))
-        .drop("_rn")
+    capped = (
+        survivors.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= F.col("_sg_q"))
+        .drop("_rn", "_sg_h", "_sg_n", "_sg_q")
     )
+    return under.unionByName(capped)
 
 
 def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.5,

@@ -330,6 +330,37 @@ def test_round3_ops_plan_shapes(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
 
 
+def test_quota_samplers_window_only_slack_survivors(spark):
+    """stratified_sample / domain_quota_sample pins: the exact-rank
+    window must run over the slack-prefiltered survivors, NEVER the
+    raw corpus — a Zipf-hot stratum (lang='en', ~1e11 rows at 100 TB)
+    would otherwise funnel into ONE sorting task.  Pins: (a) the
+    per-key count table joins back by BROADCAST; (b) in the physical
+    plan the Window's input subtree contains the `_sg_h <` hash-rate
+    Filter (prefilter feeds the window); (c) no Python node."""
+    from sagan_spark.ops.sampling import domain_quota_sample, stratified_sample
+
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "https://a.example.com/x")],
+        "doc_id long, text string, lang string, url string",
+    )
+    plans = {
+        "stratified": stratified_sample(docs, {"en": 5}),
+        "domain_quota": domain_quota_sample(docs, cap=5),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, f"{name}: Python node"
+        assert "BroadcastHashJoin" in plan, f"{name}: count join not broadcast"
+        assert "Window" in plan, f"{name}: exact-rank window missing"
+        # the window's input subtree (text below the Window node) must
+        # contain the hash-threshold prefilter — window sorts survivors
+        below_window = plan.split("Window", 1)[1]
+        assert "_sg_h" in below_window and "<" in below_window, (
+            f"{name}: window input lacks the _sg_h slack prefilter:\n{plan[:3000]}"
+        )
+
+
 def test_lm_buckets_windows_only_the_histogram(spark):
     """lm_buckets pins: the tercile windows run over the per-(lang,
     score) HISTOGRAM, never the corpus — no exchange keyed by doc_id,
