@@ -1370,6 +1370,30 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs).groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _langid_trained_weights() -> list[tuple[str, str, int]]:
+    """Deterministic stand-in model table for the lang_id trained path:
+    each marker token weighted 1500 - 50·rank for its language (a real
+    fastText-style export drops into the same (token, lang,
+    weight_milli) shape).  ONE source of truth for the Spark DataFrame
+    and the oracle's VALUES literal."""
+    from sagan_spark.ops.textstats import LANG_MARKERS
+
+    return [
+        (tok, lang, 1500 - 50 * i)
+        for lang, markers in LANG_MARKERS.items()
+        for i, tok in enumerate(markers)
+    ]
+
+
+def q_text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.ops.textstats import lang_id
+
+    w = spark.createDataFrame(
+        _langid_trained_weights(), "token string, lang string, weight_milli long"
+    )
+    return lang_id(_docs(spark, sf_dir), marker_weights=w)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.textstats import quality_score
 
@@ -1969,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "html_extract_text": q_html_extract_text,
         "text_langid": q_text_langid,
+        "text_langid_trained": q_text_langid_trained,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
@@ -2076,6 +2101,29 @@ def _langid_sql() -> str:
         f"SELECT doc_id, {scores}, {scripts}, length(t) AS nc"
         " FROM (SELECT doc_id, text AS t"
         " FROM documents)))"
+    )
+
+
+def _langid_trained_sql() -> str:
+    """text_langid_trained oracle: the broadcast-model argmax replayed
+    with a per-doc window (oracle side only — the Spark op is the
+    min(struct) aggregation), weights inlined from the SAME
+    :func:`_langid_trained_weights` list."""
+    vals = ", ".join(
+        f"('{tok}', '{lang}', {w})" for tok, lang, w in _langid_trained_weights()
+    )
+    return (
+        f"WITH w(token, lang, weight_milli) AS (VALUES {vals}), "
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token"
+        " FROM documents), "
+        "per AS (SELECT doc_id, lang, SUM(weight_milli) AS s FROM toks"
+        " JOIN w USING (token) GROUP BY doc_id, lang), "
+        "win AS (SELECT doc_id, lang, s, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn FROM per) "
+        "SELECT d.doc_id, COALESCE(win.lang, 'und') AS pred_lang, "
+        "COALESCE(ROUND(win.s / 1000.0, 6), 0.0) AS best_score "
+        "FROM documents d LEFT JOIN (SELECT * FROM win WHERE rn = 1) win"
+        " USING (doc_id)"
     )
 
 
@@ -3349,6 +3397,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_sql,
         "html_extract_text": _html_extract_sql(),
         "text_langid": _langid_rollup_sql(),
+        "text_langid_trained": _langid_trained_sql(),
         "text_quality": (
             "SELECT doc_id, n_chars, n_words, round(avg_word_len, 6) AS avg_word_len,"
             " round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,"

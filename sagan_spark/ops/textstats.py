@@ -89,7 +89,8 @@ def word_count(col):
 
 
 def lang_id(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id",
+            marker_weights: DataFrame | None = None) -> DataFrame:
     """Two-stage language-ID, all whole-stage codegen:
 
     1. **Script cascade** (LANG_SCRIPTS, in dict order): count code
@@ -107,7 +108,31 @@ def lang_id(docs: DataFrame, text_col: str = "text",
 
     best_score = the winning script's character count on path 1, the
     winning marker count on path 2.  NULL text falls through both
-    paths to 'und'."""
+    paths to 'und'.
+
+    **Accuracy envelope of the default (no ``marker_weights``):** the
+    zero-dep cascade distinguishes only the 12 marker languages plus
+    the 9 script families above; anything else — and short / mixed /
+    marker-poor text within those — lands on 'und' or the nearest
+    marker profile.  It is an engine-shaped heuristic, NOT a trained
+    classifier; treat per-doc labels as weak signals.  For real
+    corpus-pipeline accuracy, pass ``marker_weights``.
+
+    **Trained mode** (``marker_weights`` given): a fastText-style
+    linear model table ``(token: string, lang: string, weight_milli:
+    long)`` — e.g. lid.176's per-token weights exported per language,
+    scaled by 1000 to integer milli-units (exact, order-independent
+    sums; the :func:`sagan_spark.ops.webclean.hashed_linear_score`
+    trained-weights discipline).  The model then IS the classifier:
+    tokens broadcast-join the weight table, per-(doc, lang) integer
+    sums argmax with lang-ascending tie-break ('und' when no token
+    matches; best_score = winning sum / 1000).  A real lid model's
+    vocabulary covers non-Latin scripts as tokens, so the script
+    cascade is bypassed.  Scale shape: one broadcast join (model
+    tables are ~MBs), map-side-combining integer sums, min(struct)
+    argmax — no window, no corpus-side sort."""
+    if marker_weights is not None:
+        return _lang_id_trained(docs, marker_weights, text_col, id_col)
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = F.split(t, " ")
@@ -145,6 +170,34 @@ def lang_id(docs: DataFrame, text_col: str = "text",
         id_col,
         pred.otherwise(F.lit("und")).alias("pred_lang"),
         score.otherwise(F.coalesce(best, F.lit(0.0))).alias("best_score"),
+    )
+
+
+def _lang_id_trained(docs: DataFrame, weights: DataFrame,
+                     text_col: str, id_col: str) -> DataFrame:
+    """Trained-weights lang-id path (see :func:`lang_id`): broadcast
+    model join + integer milli-unit sums + min(struct) argmax."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    per = (
+        toks.join(F.broadcast(weights), "token")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("weight_milli").alias("_s"))
+    )
+    # argmax with lang-ASC tie-break: min(struct(-score, lang)) —
+    # integer negation is exact, and min(struct) partial-aggregates
+    # map-side (no window, no per-doc sort)
+    winner = per.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("_s")).alias("ns"), F.col("lang").alias("lang"))).alias("_w")
+    )
+    return docs.select(id_col).join(winner, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_w.lang"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(
+            F.round((-F.col("_w.ns")).cast("double") / 1000.0, 6), F.lit(0.0)
+        ).alias("best_score"),
     )
 
 

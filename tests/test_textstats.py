@@ -109,3 +109,62 @@ def test_langid_null_text_is_und(spark):
     assert got.pred_lang == "und"
     assert got.best_score == 0.0
     assert _twin(None) == "und"
+
+
+def _trained_twin(text, weights):
+    """Pure-Python twin of the trained path: per-lang milli sums,
+    argmax with lang-asc tie-break, 'und' when nothing matches."""
+    if text is None:
+        return ("und", 0.0)
+    sums: dict[str, int] = {}
+    for tok in text.split(" "):
+        for (wtok, lang, w) in weights:
+            if wtok == tok:
+                sums[lang] = sums.get(lang, 0) + w
+    if not sums:
+        return ("und", 0.0)
+    best = max(sums.values())
+    lang = min(l for l, s in sums.items() if s == best)
+    return (lang, round(best / 1000.0, 6))
+
+
+def test_langid_trained_weights_injection(spark):
+    """Trained mode: the model table IS the classifier — weights can
+    overrule the marker cascade, ties break lang-ascending, no-match
+    is 'und', scores are exact milli sums."""
+    weights = [
+        ("the", "en", 1000),
+        ("the", "xx", 2000),   # an injected model can outvote markers
+        ("und?", "de", 500),
+        ("oo", "aa", 700), ("oo", "ab", 700),  # tie -> 'aa' (lang asc)
+    ]
+    w = spark.createDataFrame(weights, "token string, lang string, weight_milli long")
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "zzz qqq"), (3, "oo"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.pred_lang, r.best_score)
+           for r in lang_id(docs, marker_weights=w).collect()}
+    assert got[1] == ("xx", 4.0)      # 2×2000 beats 2×1000
+    assert got[2] == ("und", 0.0)
+    assert got[3] == ("aa", 0.7)
+    assert got[4] == ("und", 0.0)
+    for doc_id, text in [(1, "the cat and the dog"), (2, "zzz qqq"),
+                         (3, "oo"), (4, None)]:
+        assert got[doc_id] == _trained_twin(text, weights), doc_id
+
+
+def test_langid_trained_plan_shape(spark):
+    """Trained path pins: broadcast model join, min(struct) argmax
+    with map-side partials, no window, no Python node."""
+    from __spark_entry__ import _langid_trained_weights
+
+    w = spark.createDataFrame(
+        _langid_trained_weights(), "token string, lang string, weight_milli long"
+    )
+    docs = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    plan = lang_id(docs, marker_weights=w)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Window" not in plan and "row_number" not in plan
+    assert "BroadcastHashJoin" in plan, "model join must broadcast"
+    assert "partial_min" in plan, "argmax must partial-aggregate map-side"
