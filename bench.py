@@ -170,16 +170,20 @@ def main() -> None:
     total = round(sum(times.values()) + engine_stats["engine_sec"], 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # key ORDER is load-bearing: headline fields first, the big
+    # query_spread_min_max map dead LAST — the driver's tail capture
+    # truncated the r3 artifact to `parsed: null` when the spread map
+    # (emitted mid-object) outgrew the window, so truncation must only
+    # ever eat the spread
     out = {
         "metric": "end-to-end routed-rows/sec (parse->enrich->route->aggregate)",
         "value": total,
         "unit": "sec",
-        "queries": {**times, "engine_pipeline": engine_stats["engine_sec"]},
-        "runs_per_query": 3,
-        "query_spread_min_max": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **engine_stats,
         "cpus": CPUS,
+        "runs_per_query": 3,
+        "queries": {**times, "engine_pipeline": engine_stats["engine_sec"]},
     }
     # two-parallelism scaling evidence (north rule): measured snapshot
     # from tools/bench_scaling.py, full method in tools/scaling_results.json
@@ -194,6 +198,12 @@ def main() -> None:
                 if isinstance(v, dict) and "routed_rows_per_sec" in v
             },
         }
+    out["query_spread_min_max"] = spread
+    # belt-and-braces: the full artifact also lands in-tree, immune to
+    # any stdout capture limit
+    (Path(__file__).parent / "BENCH_local.json").write_text(
+        json.dumps(out, indent=1) + "\n"
+    )
     print(json.dumps(out))
     spark.stop()
 
