@@ -110,14 +110,20 @@ def minhash_band_signatures(shingles: DataFrame, n_bands: int = 4,
     longs per doc.  The identical construction stays ANSI-SQL
     expressible for the DuckDB oracle as
     ``('0x' || substr(md5('b0|' || shingle), 1, 15))::BIGINT``.
+
+    The per-shingle hot loop is md5 + min ONLY: hex→int (``conv``) and
+    the 15-char prefix truncation both happen ONCE per (doc, band),
+    AFTER the min-agg — on fixed-width lowercase hex, lexicographic
+    min == numeric min, so ``conv(substr(min(hex))) ==
+    min(conv(substr(hex)))``.  Running ``conv`` per shingle×band made
+    the whole op 1.38× slower, and even the per-shingle ``substring``
+    allocation cost another 1.11× (interleaved A/B pair-ratio medians,
+    sf0.1; tools/scaling_results.json).  The agg state is 4 hex
+    strings per doc (map-side combined — negligible vs the shingle
+    stream); the self-join exchange stays 8-byte longs.
     """
     bands = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"b{b}|"), F.col("shingle"))), 1, 15),
-                16, 10,
-            ).cast("long")
-        ).alias(f"sig{b}")
+        F.min(F.md5(F.concat(F.lit(f"b{b}|"), F.col("shingle")))).alias(f"sig{b}")
         for b in range(n_bands)
     ]
     wide = shingles.groupBy(id_col).agg(*bands)
@@ -125,7 +131,12 @@ def minhash_band_signatures(shingles: DataFrame, n_bands: int = 4,
         F.col(id_col),
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.conv(F.substring(F.col(f"sig{b}"), 1, 15), 16, 10)
+                    .cast("long")
+                    .alias("sig"),
+                )
                 for b in range(n_bands)
             ])
         ).alias("bs"),
