@@ -13,8 +13,14 @@ kernels ship here as real, importable defaults:
   decode/features in Spark with zero native deps.
 - **WAV/PCM audio** (RIFF): stdlib :mod:`wave` + numpy DSP (RMS,
   zero-crossing rate, FFT band energies).
+- **PNG images** (8-bit grey / grey+alpha / RGB / RGBA,
+  non-interlaced): stdlib :mod:`zlib` inflate + numpy per-scanline
+  unfiltering (all five PNG filter types) — the most common web image
+  format, real end-to-end with zero native deps.  Palette, 16-bit and
+  Adam7-interlaced PNGs raise ValueError (rare on the web; transcode
+  upstream or plug a codec in).
 
-Compressed formats (JPEG/PNG/MP3/H.264) still need their codecs —
+Other compressed formats (JPEG/MP3/H.264) still need their codecs —
 that remains the disclosed stub/plug-in surface.
 
 Kernel contracts (multimodal.DecodeKernel / FeatureKernel):
@@ -101,6 +107,164 @@ def ppm_features(raw: bytes, bins: int = 8) -> list:
 
 
 # ---------------------------------------------------------------------------
+# PNG (stdlib zlib + numpy unfilter; spec: RFC 2083 / W3C PNG)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> channel count (3 = palette, unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(raw: bytes):
+    """Yield (type, data) for each chunk, validating lengths and CRCs
+    (a corrupt-at-rest payload must fail loudly, not decode to
+    garbage features)."""
+    import struct
+    import zlib
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG payload: {raw[:8]!r}")
+    i, n = 8, len(raw)
+    while i < n:
+        if i + 8 > n:
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", raw[i : i + 4])
+        ctype = raw[i + 4 : i + 8]
+        if i + 12 + length > n:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = raw[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", raw[i + 8 + length : i + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        i += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_ihdr(raw: bytes) -> tuple[int, int, int, int]:
+    """(width, height, channels, bit_depth) from IHDR, rejecting the
+    unsupported shapes (palette / 16-bit / interlaced)."""
+    import struct
+
+    for ctype, data in _png_chunks(raw):
+        if ctype != b"IHDR":
+            raise ValueError("PNG first chunk is not IHDR")
+        if len(data) != 13:
+            raise ValueError("bad IHDR length")
+        w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+            ">IIBBBBB", data
+        )
+        if w <= 0 or h <= 0:
+            raise ValueError(f"bad PNG dimensions {w}x{h}")
+        if depth != 8:
+            raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+        if color not in _PNG_CHANNELS:
+            raise ValueError(f"unsupported PNG color type {color}")
+        if interlace != 0:
+            raise ValueError("Adam7-interlaced PNG unsupported")
+        return w, h, _PNG_CHANNELS[color], depth
+    raise ValueError("empty PNG")
+
+
+def png_decode(raw: bytes) -> dict:
+    """DecodeKernel for PNG: header-only parse (IHDR), no inflate."""
+    w, h, _ch, _d = _png_ihdr(raw)
+    return {"width": w, "height": h, "n_frames": 1}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_pixels(raw: bytes):
+    """Full PNG decode to an (h, w, channels) uint8 numpy array:
+    concatenated-IDAT zlib inflate, then per-scanline unfiltering.
+    Filters None/Up vectorize whole-row; Sub is a per-byte-lane
+    cumulative sum mod 256; Average/Paeth carry a true left-pixel
+    dependency, so those (rare) rows walk bytes."""
+    import zlib
+
+    import numpy as np
+
+    w, h, ch, _depth = _png_ihdr(raw)
+    idat = b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT")
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    try:
+        flat = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    stride = w * ch
+    if len(flat) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data size {len(flat)} != expected {h * (stride + 1)}"
+        )
+    scan = np.frombuffer(flat, dtype=np.uint8).reshape(h, stride + 1)
+    filters = scan[:, 0]
+    rows = scan[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        row = rows[y]
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 2:  # Up
+            rec = row + prev  # uint8 wraps mod 256
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            rec = row.reshape(-1, ch).astype(np.int64).cumsum(axis=0)
+            rec = (rec % 256).astype(np.uint8).reshape(-1)
+        else:
+            if f not in (3, 4):
+                raise ValueError(f"bad PNG filter byte {f} in row {y}")
+            rec = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    pred = _paeth(a, b, c)
+                rec[i] = (int(row[i]) + pred) & 0xFF
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+def png_features(raw: bytes, bins: int = 8) -> list:
+    """FeatureKernel for PNG: the same color-moment + luminance-
+    histogram descriptor as :func:`ppm_features` (per-channel RGB
+    means with gray duplicated, alpha dropped, ``bins``-bucket
+    luminance histogram, all in [0, 1]) — identical pixels give
+    identical features regardless of container format."""
+    import numpy as np
+
+    arr = png_pixels(raw).astype(np.float64) / 255.0
+    ch = arr.shape[2]
+    if ch == 2:  # grey + alpha: drop alpha
+        arr = arr[..., :1]
+    elif ch == 4:  # RGBA: drop alpha
+        arr = arr[..., :3]
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    means = arr.mean(axis=(0, 1))
+    lum = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    hist, _ = np.histogram(lum, bins=bins, range=(0.0, 1.0))
+    hist = hist / lum.size
+    return [float(x) for x in means] + [float(x) for x in hist]
+
+
+# ---------------------------------------------------------------------------
 # WAV / PCM audio
 # ---------------------------------------------------------------------------
 
@@ -158,6 +322,7 @@ def wav_features(raw: bytes, n_bands: int = 8) -> list:
 BUILTIN_KERNELS = {
     "image/x-portable-pixmap": (ppm_decode, ppm_features),
     "image/x-portable-graymap": (ppm_decode, ppm_features),
+    "image/png": (png_decode, png_features),
     "audio/wav": (wav_decode, wav_features),
     "audio/x-wav": (wav_decode, wav_features),
 }

@@ -13,10 +13,12 @@ partition-preserving iterator — is identical for every kernel.
 
 REAL built-in kernels for the formats that need no external code ship
 in :mod:`sagan_spark.ops.kernels`: netpbm images (PPM/PGM header parse
-+ numpy color-moment/histogram features) and WAV/PCM audio (stdlib
-wave + numpy RMS/ZCR/FFT-band features), with a media_type registry
-(``kernels.builtin_kernels``).  Only compressed formats
-(JPEG/MP3/H.264) remain plug-in-or-stub.  The non-stub branch is
++ numpy color-moment/histogram features), PNG (stdlib zlib inflate +
+numpy unfilter) and WAV/PCM audio (stdlib wave + numpy
+RMS/ZCR/FFT-band features), with a media_type registry
+(``kernels.builtin_kernels``; ``kernel="registry"`` dispatches per
+row).  Only the remaining compressed formats (JPEG/MP3/H.264) are
+plug-in-or-stub.  The non-stub branch is
 exercised end-to-end in tests/test_kernels.py and
 tests/test_multimodal.py.
 
@@ -76,10 +78,16 @@ def decode_metadata(
 
     ``kernel`` is the pluggable decoder (bytes -> dims dict, see
     DecodeKernel) — pass a libjpeg/ffmpeg-backed callable in
-    production.  Without one, ``decode_stub=True`` (default) uses the
+    production.  ``kernel="registry"`` dispatches PER ROW on
+    ``media_type`` through the real built-in kernels
+    (:func:`sagan_spark.ops.kernels.builtin_kernels`: netpbm, PNG,
+    WAV); a media_type outside the registry raises ValueError inside
+    the task, naming the type — fail-closed, never silently-stubbed.
+    Without one, ``decode_stub=True`` (default) uses the
     deterministic fake so tests pin exact values, and
     ``decode_stub=False`` raises NotImplementedError HERE, at
     construction, not mid-job inside a task."""
+    registry = kernel == "registry"
     if kernel is None:
         if not decode_stub:
             raise NotImplementedError(
@@ -89,9 +97,20 @@ def decode_metadata(
         kernel = _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if registry:
+            from sagan_spark.ops.kernels import builtin_kernels
+
+            def kernel_for(mt: str) -> DecodeKernel:
+                pair = builtin_kernels(mt)
+                if pair is None:
+                    raise ValueError(
+                        f"no built-in decode kernel for media_type {mt!r};"
+                        " pass kernel=<callable> for compressed formats"
+                    )
+                return pair[0]
         for pdf in it:
             n_bytes, shas, ws, hs, fs = [], [], [], [], []
-            for b in pdf["payload"]:
+            for b, mt in zip(pdf["payload"], pdf["media_type"]):
                 if b is None:
                     n_bytes.append(0)
                     shas.append("")
@@ -102,7 +121,7 @@ def decode_metadata(
                 raw = bytes(b)
                 n_bytes.append(len(raw))
                 shas.append(hashlib.sha256(raw).hexdigest())
-                dims = kernel(raw)
+                dims = (kernel_for(mt) if registry else kernel)(raw)
                 ws.append(int(dims.get("width", 0)))
                 hs.append(int(dims.get("height", 0)))
                 fs.append(int(dims.get("n_frames", 0)))
@@ -163,7 +182,13 @@ def extract_features(
 
     ``kernel`` is the pluggable extractor (bytes -> float sequence, see
     FeatureKernel) — pass a CLIP/audio-fingerprint callable in
-    production; its output length wins over ``dim``.  Without one,
+    production; its output length wins over ``dim``.
+    ``kernel="registry"`` dispatches per row on ``media_type`` through
+    the built-in kernels (netpbm/PNG/WAV; ValueError on anything
+    else — same fail-closed contract as :func:`decode_metadata`; note
+    image and audio kernels emit different-length descriptors, so mix
+    media families only if the downstream op tolerates ragged
+    dimensions).  Without one,
     ``decode_stub=True`` (default) derives a deterministic unit-norm
     vector from the payload digest so downstream composition is REAL
     and testable: the output feeds the similarity/dedup ops unchanged
@@ -174,6 +199,7 @@ def extract_features(
     the driver."""
     import numpy as np
 
+    registry = kernel == "registry"
     if kernel is None:
         if not decode_stub:
             raise NotImplementedError(
@@ -196,16 +222,27 @@ def extract_features(
         # cosine ops downstream.  (A partition containing ONLY nulls
         # cannot observe the kernel and falls back to `dim` — pass dim
         # matching your kernel when null payloads are possible.)
+        if registry:
+            from sagan_spark.ops.kernels import builtin_kernels
+
+            def kernel_for(mt: str) -> FeatureKernel:
+                pair = builtin_kernels(mt)
+                if pair is None:
+                    raise ValueError(
+                        f"no built-in feature kernel for media_type {mt!r};"
+                        " pass kernel=<callable> for compressed formats"
+                    )
+                return pair[1]
         out_dim: int | None = None
         pending_null: list[int] = []
         for pdf in it:
             embs: list = []
-            for b in pdf["payload"]:
+            for b, mt in zip(pdf["payload"], pdf["media_type"]):
                 if b is None:
                     pending_null.append(len(embs))
                     embs.append(None)
                     continue
-                v = [float(x) for x in kernel(bytes(b))]
+                v = [float(x) for x in (kernel_for(mt) if registry else kernel)(bytes(b))]
                 if out_dim is None:
                     out_dim = len(v)
                 embs.append(v)

@@ -135,3 +135,185 @@ def test_builtin_kernels_through_spark_plumbing(spark):
     assert (am.width, am.height, am.n_frames) == (8000, 1, 400)
     af = extract_features(audio, kernel=wav_features).collect()[0]
     assert np.allclose(list(af.embedding), wav_features(_wav()))
+
+
+# ---------------------------------------------------------------------------
+# PNG: tiny in-test encoder (forward-filters rows) -> exact-value twins
+# ---------------------------------------------------------------------------
+
+def _png_encode(arr: np.ndarray, filters=None) -> bytes:
+    """Minimal PNG writer for 8-bit (h, w, ch) arrays with a chosen
+    filter type per row — the encoder applies the spec's FORWARD
+    filter so the kernel's unfilter is tested against independent
+    math."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters if filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y, f in zip(range(h), filters):
+        row = arr[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = row - pred
+        raw += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _rand_img(h, w, ch, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+def test_png_decode_header_only():
+    from sagan_spark.ops.kernels import png_decode
+
+    assert png_decode(_png_encode(_rand_img(5, 7, 3))) == {
+        "width": 7, "height": 5, "n_frames": 1,
+    }
+
+
+def test_png_pixels_roundtrip_all_filters():
+    from sagan_spark.ops.kernels import png_pixels
+
+    for ch in (1, 2, 3, 4):
+        img = _rand_img(5, 6, ch, seed=ch)
+        # one row per filter type, 0..4
+        raw = _png_encode(img, filters=[0, 1, 2, 3, 4])
+        got = png_pixels(raw)
+        assert got.shape == (5, 6, ch)
+        assert np.array_equal(got, img), f"ch={ch}"
+
+
+def test_png_pixels_roundtrip_gradients():
+    # smooth gradients are what Average/Paeth filters exist for; also
+    # exercises a taller image where prev-row state must thread through
+    from sagan_spark.ops.kernels import png_pixels
+
+    y, x = np.mgrid[0:16, 0:9]
+    img = np.stack([(y * 16) % 256, (x * 29) % 256, (y + x) % 256],
+                   axis=2).astype(np.uint8)
+    raw = _png_encode(img, filters=[4, 3] * 8)
+    assert np.array_equal(png_pixels(raw), img)
+
+
+def test_png_features_match_ppm_on_same_pixels():
+    # identical pixels => identical descriptor regardless of container
+    from sagan_spark.ops.kernels import png_features
+
+    img = _rand_img(3, 4, 3, seed=9)
+    hdr = f"P6\n4 3\n255\n".encode()
+    assert np.allclose(
+        png_features(_png_encode(img), bins=4),
+        ppm_features(hdr + img.tobytes(), bins=4),
+    )
+
+
+def test_png_features_alpha_dropped():
+    from sagan_spark.ops.kernels import png_features
+
+    rgb = _rand_img(4, 4, 3, seed=2)
+    rgba = np.concatenate([rgb, np.full((4, 4, 1), 77, np.uint8)], axis=2)
+    assert np.allclose(png_features(_png_encode(rgba)),
+                       png_features(_png_encode(rgb)))
+    grey = _rand_img(4, 4, 1, seed=3)
+    ga = np.concatenate([grey, np.full((4, 4, 1), 9, np.uint8)], axis=2)
+    got = png_features(_png_encode(ga))
+    assert got[0] == got[1] == got[2]  # grey duplicated to RGB
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    from sagan_spark.ops.kernels import png_decode, png_pixels
+
+    ok = _png_encode(_rand_img(3, 3, 3))
+    with pytest.raises(ValueError):
+        png_decode(b"JFIF nope")
+    # flip one IDAT byte -> CRC must catch it
+    bad = bytearray(ok)
+    idat_at = bytes(ok).index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError):
+        png_pixels(bytes(bad))
+    # 16-bit depth / palette / interlace rejected at the header
+    def ihdr_png(depth=8, color=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        c = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+            ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        return b"\x89PNG\r\n\x1a\n" + c
+    for kw in ({"depth": 16}, {"color": 3}, {"interlace": 1}):
+        with pytest.raises(ValueError):
+            png_decode(ihdr_png(**kw))
+
+
+def test_png_through_spark_plumbing(spark):
+    from sagan_spark.ops.kernels import png_decode, png_features
+    from sagan_spark.ops.multimodal import decode_metadata, extract_features
+
+    img = _rand_img(4, 6, 3, seed=5)
+    rows = [(0, _png_encode(img), "image/png")]
+    media = spark.createDataFrame(rows, "id long, payload binary, media_type string")
+    m = decode_metadata(media, kernel=png_decode).collect()[0]
+    assert (m.width, m.height, m.n_frames) == (6, 4, 1)
+    f = extract_features(media, kernel=png_features).collect()[0]
+    assert np.allclose(list(f.embedding), png_features(_png_encode(img)))
+    assert builtin_kernels("image/png") == (png_decode, png_features)
+
+
+def test_registry_dispatch_mixed_media(spark):
+    """kernel='registry': one DataFrame mixing PNG, PPM and WAV rows
+    decodes each through its own built-in kernel; an unregistered
+    media_type fails loudly inside the task."""
+    from sagan_spark.ops.kernels import png_features, wav_decode
+    from sagan_spark.ops.multimodal import decode_metadata, extract_features
+
+    img = _rand_img(4, 6, 3, seed=11)
+    rows = [
+        (0, _png_encode(img), "image/png"),
+        (1, _ppm(5, 2), "image/x-portable-pixmap"),
+        (2, _wav(), "audio/wav"),
+    ]
+    media = spark.createDataFrame(rows, "id long, payload binary, media_type string")
+    meta = {r.id: (r.width, r.height, r.n_frames) for r in
+            decode_metadata(media, kernel="registry").collect()}
+    assert meta[0] == (6, 4, 1)
+    assert meta[1] == (5, 2, 1)
+    assert meta[2] == (8000, 1, 400) == tuple(wav_decode(_wav()).values())
+
+    png_only = media.filter("media_type = 'image/png'")
+    f = extract_features(png_only, kernel="registry").collect()[0]
+    assert np.allclose(list(f.embedding), png_features(_png_encode(img)))
+
+    bad = spark.createDataFrame(
+        [(9, b"\xff\xd8jpeg", "image/jpeg")],
+        "id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="image/jpeg"):
+        decode_metadata(bad, kernel="registry").collect()
