@@ -1645,6 +1645,15 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(_docs(spark, sf_dir), n=13)
 
 
+def q_dedup_span_removal_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span removal in keep-one mode (Lee et al. §4.1 faithful): the
+    first corpus occurrence — min struct(doc_id, position) — of each
+    duplicated 13-token window keeps its tokens."""
+    from sagan_spark.ops.decontam import remove_duplicated_spans
+
+    return remove_duplicated_spans(_docs(spark, sf_dir), n=13, keep_first=True)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot incremental dedup: the corpus is split into a
     'previously admitted' digest set (doc_id % 4 == 0) and a new batch
@@ -2015,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_dedup": q_url_dedup,
         "dedup_span_removal": q_dedup_span_removal,
+        "dedup_span_removal_keepone": q_dedup_span_removal_keepone,
         "dedup_incremental": q_dedup_incremental,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_yield": q_corpus_prep_yield,
@@ -2662,6 +2672,35 @@ def oracle_sql() -> dict[str, str]:
         "  FROM w GROUP BY 1) WHERE nd >= 2),"
         " cov AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id,"
         "  unnest(range(i, i + 13)) AS p FROM w WHERE h IN (SELECT h FROM duph))),"
+        " pos AS (SELECT doc_id, p, toks[p] AS tok FROM (SELECT doc_id, toks,"
+        "  unnest(range(1, len(toks) + 1)) AS p FROM dt)),"
+        " kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos LEFT JOIN cov"
+        "  ON cov.doc_id = pos.doc_id AND cov.p = pos.p WHERE cov.p IS NULL),"
+        " agg AS (SELECT doc_id, count(*) AS n_kept,"
+        "  string_agg(tok, ' ' ORDER BY p) AS cleaned FROM kept GROUP BY 1)"
+        " SELECT dt.doc_id, len(dt.toks) AS n_tokens,"
+        " len(dt.toks) - coalesce(agg.n_kept, 0) AS n_removed,"
+        " coalesce(agg.cleaned, '') AS cleaned_text"
+        " FROM dt LEFT JOIN agg ON agg.doc_id = dt.doc_id"
+    )
+
+    # keep-one span removal: same window test, but each duplicated
+    # hash's first corpus occurrence (min (doc_id, i)) protects its
+    # own start; only non-keeper occurrences contribute covered
+    # positions.  Oracle replays the keeper pick with a per-hash
+    # window (oracle side only; the Spark op is a min(struct) agg).
+    _rm_keepone_sql = (
+        f"WITH dt AS (SELECT doc_id, {_dc_tok} AS toks FROM documents),"
+        " w AS (SELECT doc_id, i, md5(array_to_string(toks[i:i+12], ' ')) AS h"
+        "  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS i"
+        "   FROM dt WHERE len(toks) >= 13)),"
+        " duph AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd"
+        "  FROM w GROUP BY 1) WHERE nd >= 2),"
+        " dw AS (SELECT doc_id, i, h, row_number() OVER ("
+        "  PARTITION BY h ORDER BY doc_id, i) AS rn FROM w"
+        "  WHERE h IN (SELECT h FROM duph)),"
+        " cov AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id,"
+        "  unnest(range(i, i + 13)) AS p FROM dw WHERE rn > 1)),"
         " pos AS (SELECT doc_id, p, toks[p] AS tok FROM (SELECT doc_id, toks,"
         "  unnest(range(1, len(toks) + 1)) AS p FROM dt)),"
         " kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos LEFT JOIN cov"
@@ -3630,6 +3669,7 @@ def oracle_sql() -> dict[str, str]:
             + _canon_inner + ") WHERE canonical_url IS NULL"
         ),
         "dedup_span_removal": _rm_sql,
+        "dedup_span_removal_keepone": _rm_keepone_sql,
         "dedup_incremental": (
             "WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents"
             " WHERE doc_id % 4 = 0),"

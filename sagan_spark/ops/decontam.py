@@ -128,15 +128,24 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
 def remove_duplicated_spans(docs: DataFrame, n: int = 20,
                             text_col: str = "text",
                             id_col: str = "doc_id",
+                            keep_first: bool = False,
                             checkpoint: bool = True) -> DataFrame:
     """ExactSubstr-style span REMOVAL (Lee et al. arXiv:2107.06499 §4.1):
     where :func:`duplicated_spans` measures, this edits — every token
     position covered by an n-token window whose exact span occurs in
     >= 2 DISTINCT documents is dropped, and the surviving tokens are
-    re-joined.  Deviation from the paper, documented: the paper keeps
-    one copy of each duplicated substring (requires a global occurrence
-    order); this removes ALL copies — the deterministic, order-free
-    hygiene form (their own released dedup tool offers the same mode).
+    re-joined.
+
+    ``keep_first=False`` (default) removes ALL copies — the
+    deterministic, order-free hygiene form (Lee et al.'s released
+    dedup tool offers the same mode).  ``keep_first=True`` follows the
+    paper byte-for-byte in spirit: the FIRST corpus occurrence of each
+    duplicated window — min struct(doc_id, position), the
+    dedup_paragraphs first-occurrence idiom — keeps its tokens; only
+    the other occurrences are removed.  Caveat (inherent to
+    overlapping windows, documented): a token inside a kept occurrence
+    can still be dropped when a DIFFERENT duplicated window whose
+    keeper lives elsewhere also covers it.
 
     Returns (doc_id, n_tokens, n_removed, cleaned_text) for EVERY
     input document; docs with < n tokens pass through untouched
@@ -175,17 +184,41 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 20,
     # frame in executor storage with no unpersist to release it
     if checkpoint:
         pos = pos.persist()
-    dup_h = (
-        pos.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    starts = (
-        pos.join(dup_h, "h")
-        .groupBy(id_col)
-        .agg(F.collect_set("i").alias("_starts"))
-    )
+    if keep_first:
+        # per duplicated hash, the keeper occurrence — min(struct) is
+        # the same map-side-combining first-occurrence aggregation as
+        # dedup_paragraphs (never a window over the occurrence stream)
+        dup_k = (
+            pos.groupBy("h")
+            .agg(
+                F.countDistinct(id_col).alias("nd"),
+                F.min(
+                    F.struct(F.col(id_col).alias("d"), F.col("i").alias("i"))
+                ).alias("k"),
+            )
+            .filter(F.col("nd") >= 2)
+            .select("h", "k")
+        )
+        starts = (
+            pos.join(dup_k, "h")
+            .filter(
+                ~((F.col(id_col) == F.col("k.d")) & (F.col("i") == F.col("k.i")))
+            )
+            .groupBy(id_col)
+            .agg(F.collect_set("i").alias("_starts"))
+        )
+    else:
+        dup_h = (
+            pos.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("h")
+        )
+        starts = (
+            pos.join(dup_h, "h")
+            .groupBy(id_col)
+            .agg(F.collect_set("i").alias("_starts"))
+        )
     kept = F.filter(
         "toks",
         lambda x, idx: ~F.exists(

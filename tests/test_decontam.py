@@ -204,3 +204,59 @@ def test_remove_duplicated_spans_edges(spark):
     assert got[0] == (6, 6, "")
     assert got[2] == (9, 6, "x y z")
     assert got[3] == (2, 0, "too short")
+
+
+def test_remove_spans_keep_first_protects_first_occurrence(spark):
+    """keep_first=True: the min-(doc_id, position) occurrence of each
+    duplicated window keeps its tokens; later copies are removed.
+    remove-all (default) removes BOTH."""
+    from sagan_spark.ops.decontam import remove_duplicated_spans
+
+    span = "a b c d"  # 4-token duplicated span with n=4
+    rows = [
+        (1, span + " tail1 x y z"),
+        (2, "lead2 q r s " + span),
+        (3, "unrelated text with no duplicate window here ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    keep = {r.doc_id: r for r in
+            remove_duplicated_spans(docs, n=4, keep_first=True).collect()}
+    # doc 1 holds the first occurrence -> untouched
+    assert keep[1].n_removed == 0
+    assert keep[1].cleaned_text == "a b c d tail1 x y z"
+    # doc 2's copy is removed
+    assert keep[2].n_removed == 4
+    assert keep[2].cleaned_text == "lead2 q r s"
+    assert keep[3].n_removed == 0
+
+    rm = {r.doc_id: r for r in
+          remove_duplicated_spans(docs, n=4).collect()}
+    assert rm[1].n_removed == 4 and rm[2].n_removed == 4
+
+
+def test_remove_spans_keep_first_overlap_caveat(spark):
+    """Documented caveat: a kept occurrence can still lose tokens to a
+    DIFFERENT duplicated window whose keeper lives elsewhere."""
+    from sagan_spark.ops.decontam import remove_duplicated_spans
+
+    # doc 1: "a b c" (keeper of window abc)
+    # doc 2: "x a b c" -> windows "x a b" is unique... craft overlap:
+    # window1 = "a b c" dup in docs 1,2 (keeper doc 1)
+    # window2 = "b c d" dup in docs 2,3 (keeper doc 2) overlapping
+    rows = [
+        (1, "a b c"),
+        (2, "a b c d"),
+        (3, "z b c d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           remove_duplicated_spans(docs, n=3, keep_first=True).collect()}
+    assert got[1].n_removed == 0                       # keeper of abc
+    # doc 2: abc occurrence (pos 1) removed (keeper is doc 1); bcd
+    # occurrence (pos 2) is doc 2's OWN keeper, but positions 1-3 are
+    # already covered by the non-keeper abc window -> only 'd' survives
+    assert got[2].cleaned_text == "d"
+    # doc 3 windows: "z b c" (unique), "b c d" (dup, keeper = doc 2
+    # pos 2) -> doc 3 loses positions 2-4, only "z" survives
+    assert got[3].cleaned_text == "z" and got[3].n_removed == 3
