@@ -463,6 +463,43 @@ def encoding_quality(docs: DataFrame, max_mojibake_ratio: float = 0.001,
 #: we ship only a tiny tame subset so the repo stays readable.
 C4_BADWORDS_DEFAULT = ("porn", "xxx", "sex cam")
 
+
+def load_badwords(lang: str = "en", path: str | None = None) -> tuple[str, ...]:
+    """Load a C4 badword list in the LDNOOBW file format (the public
+    "List of Dirty, Naughty, Obscene, and Otherwise Bad Words" GitHub
+    dataset C4/Raffel et al. §2.2 screens against: one lowercase
+    word/phrase per line, per-language files named by ISO code).
+
+    ``path``: a directory of per-language files, a single list file,
+    or None for the repo's vendored subset
+    (``sagan_spark/data/badwords/`` — a TAME excerpt; drop the full
+    published files into a directory and point ``path`` at it for
+    production parity — data, not code).  Lines are stripped,
+    lowercased, deduped and sorted (deterministic plan text); blanks
+    and ``#`` comments are skipped.  The loader runs driver-side only
+    — the words compile into the scan-level regex, nothing is read on
+    executors.
+
+    Usage: ``c4_filters(docs, badwords=load_badwords("en"))``.
+    """
+    from pathlib import Path
+
+    p = Path(path) if path is not None else (
+        Path(__file__).resolve().parent.parent / "data" / "badwords"
+    )
+    f = p / lang if p.is_dir() else p
+    if not f.is_file():
+        have = sorted(x.name for x in p.iterdir()) if p.is_dir() else []
+        raise FileNotFoundError(
+            f"no badword list for lang {lang!r} at {f} (vendored: {have})"
+        )
+    words = {
+        ln.strip().lower()
+        for ln in f.read_text(encoding="utf-8").splitlines()
+        if ln.strip() and not ln.lstrip().startswith("#")
+    }
+    return tuple(sorted(words))
+
 #: a retained line must end in terminal punctuation: period,
 #: exclamation or question mark, or end-quote (C4 §2.2 wording)
 C4_TERMINAL_RE = '[.!?"]$'

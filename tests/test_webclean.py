@@ -596,3 +596,33 @@ def test_c4_filters_vs_python(spark):
         ).collect()
     }
     assert all(v is True for v in none_screened.values())
+
+
+def test_load_badwords_and_c4_integration(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sagan_spark.ops.webclean import c4_filters, load_badwords
+
+    en = load_badwords("en")
+    assert "porn" in en and en == tuple(sorted(set(en)))
+    de = load_badwords("de")
+    assert "porno" in de and de != en
+    # custom file + comment/blank/dup handling
+    f = tmp_path / "xx"
+    f.write_text("Alpha\n\n# comment\nbeta phrase\nalpha\n")
+    assert load_badwords("xx", path=str(tmp_path)) == ("alpha", "beta phrase")
+    assert load_badwords(path=str(f)) == ("alpha", "beta phrase")
+    with pytest.raises(FileNotFoundError, match="'zz'"):
+        load_badwords("zz")
+
+    docs = spark.createDataFrame(
+        [(1, 'This page mentions Porn somewhere. It has five. Yes five. '
+             'Sentences in total. Really it does.'),
+         (2, 'A perfectly clean page indeed. It has five. Yes five. '
+             'Sentences in total. Really it does.')],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.no_bad_words, r.c4_keep)
+           for r in c4_filters(docs, badwords=load_badwords("en")).collect()}
+    assert got[1] == (False, False)
+    assert got[2] == (True, True)
