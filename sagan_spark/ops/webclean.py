@@ -482,20 +482,34 @@ def load_badwords(lang: str = "en", path: str | None = None) -> tuple[str, ...]:
 
     Usage: ``c4_filters(docs, badwords=load_badwords("en"))``.
     """
-    from pathlib import Path
+    if path is not None:
+        from pathlib import Path
 
-    p = Path(path) if path is not None else (
-        Path(__file__).resolve().parent.parent / "data" / "badwords"
-    )
-    f = p / lang if p.is_dir() else p
-    if not f.is_file():
-        have = sorted(x.name for x in p.iterdir()) if p.is_dir() else []
-        raise FileNotFoundError(
-            f"no badword list for lang {lang!r} at {f} (vendored: {have})"
-        )
+        p = Path(path)
+        f = p / lang if p.is_dir() else p
+        if not f.is_file():
+            have = sorted(x.name for x in p.iterdir()) if p.is_dir() else []
+            raise FileNotFoundError(
+                f"no badword list for lang {lang!r} at {f} (vendored: {have})"
+            )
+        text = f.read_text(encoding="utf-8")
+    else:
+        # importlib.resources, not Path(__file__): the vendored files
+        # must also resolve when the package ships as a
+        # spark-submit --py-files ZIP
+        from importlib.resources import files
+
+        d = files("sagan_spark.data") / "badwords"
+        f = d / lang
+        if not f.is_file():
+            have = sorted(x.name for x in d.iterdir())
+            raise FileNotFoundError(
+                f"no vendored badword list for lang {lang!r} (have: {have})"
+            )
+        text = f.read_text(encoding="utf-8")
     words = {
         ln.strip().lower()
-        for ln in f.read_text(encoding="utf-8").splitlines()
+        for ln in text.splitlines()
         if ln.strip() and not ln.lstrip().startswith("#")
     }
     return tuple(sorted(words))

@@ -23,8 +23,11 @@ REPO = Path(__file__).resolve().parent.parent
 def _zip_package(dest: Path) -> Path:
     zpath = dest / "sagan_spark.zip"
     with zipfile.ZipFile(zpath, "w") as z:
-        for p in sorted((REPO / "sagan_spark").rglob("*.py")):
-            z.write(p, p.relative_to(REPO))
+        # ship code AND the vendored data files (badwords lists):
+        # loaders use importlib.resources so both resolve from the zip
+        for p in sorted((REPO / "sagan_spark").rglob("*")):
+            if p.is_file() and "__pycache__" not in p.parts:
+                z.write(p, p.relative_to(REPO))
     return zpath
 
 
