@@ -1931,6 +1931,73 @@ def q_corpus_prep_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_prep_yield(_docs(spark, sf_dir))
 
 
+def q_webclean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate line removal (ops/webclean.
+    remove_boilerplate_lines, the CCNet line-dedup step): documents
+    are wrapped in a deterministic multi-line page — a nav bar shared
+    by every page, a newsletter footer shared by a third of them, a
+    unique per-page visitor line, a whitespace-only layout line, and a
+    per-source copyright — so the gate exercises drop (df >= 2), keep
+    (unique lines), and blank-preservation paths.  The oracle builds
+    the SAME page with || and replays the document-frequency rule."""
+    from sagan_spark.ops.webclean import remove_boilerplate_lines
+
+    docs = _docs(spark, sf_dir)
+    page = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.lit("Home | About | Contact"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("Subscribe to our newsletter")
+        ).otherwise(F.concat(F.lit("Visitor note "), F.col("doc_id").cast("string"))),
+        F.lit("  "),
+        F.concat(F.lit("(c) "), F.col("source"), F.lit(" Media Group")),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return remove_boilerplate_lines(pages, min_docs=2)
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair counts (ops/textstats.bpe_pair_stats, the
+    BPE merge statistic) over the raw documents table — the word-salad
+    corpus repeats tokens heavily, so the top-100 table is dense."""
+    from sagan_spark.ops.textstats import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir), top_n=100)
+
+
+def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots meta-directive screen (ops/htmltext.robots_directives)
+    over a BYTE html column: pages are wrapped in a deterministic
+    scaffold where doc_id mod classes inject the three tag shapes —
+    double-quoted "noindex, nofollow", uppercase-attr 'none', and a
+    bare-value nofollow with trailing space — plus the no-tag default,
+    so all four directive paths are exercised.  The oracle applies the
+    SAME spec (ops.htmltext.robots_sql, one source of truth) to the
+    same scaffold string."""
+    from sagan_spark.ops.htmltext import robots_directives
+
+    docs = _docs(spark, sf_dir)
+    tagged = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(F.col("doc_id") % 5 == 0, F.lit("<meta NAME=ROBOTS CONTENT='none'>"))
+        .when(F.col("doc_id") % 3 == 0, F.lit("<meta name=robots content=nofollow >"))
+        .otherwise(F.lit(""))
+    )
+    scaffold = F.concat(
+        F.lit("<html><head>"),
+        tagged,
+        F.lit("</head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(scaffold, "UTF-8").alias("html"))
+    return robots_directives(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_pipe_decode": q_s5_pipe_decode,
@@ -2041,6 +2108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "webclean_boilerplate": q_webclean_boilerplate,
+        "bpe_pair_stats": q_bpe_pair_stats,
+        "robots_directives": q_robots_directives,
     }
 
 
@@ -2371,6 +2441,41 @@ def _lm_buckets_sql() -> str:
         "   ELSE 'head' END AS lm_bucket"
         " FROM j LEFT JOIN th ON j.lang = th.lang"
     )
+
+
+def _bpe_pair_sql() -> str:
+    """bpe_pair_stats oracle: same TOKEN_RE constant as the op; lead()
+    over the ordered token stream forms the adjacent pairs."""
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    return (
+        "WITH s AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM ("
+        " SELECT doc_id, unnest(list_transform(regexp_extract_all(text,"
+        f" '{TOKEN_RE}'), (x,i) -> struct_pack(i := i, tok := x))) AS u"
+        " FROM documents)),"
+        " p AS (SELECT tok AS tok_left, lead(tok) OVER"
+        " (PARTITION BY doc_id ORDER BY i) AS tok_right FROM s)"
+        " SELECT tok_left, tok_right, count(*) AS pair_count FROM p"
+        " WHERE tok_right IS NOT NULL GROUP BY 1, 2"
+        " ORDER BY pair_count DESC, tok_left ASC, tok_right ASC LIMIT 100"
+    )
+
+
+def _robots_sql() -> str:
+    """robots_directives oracle: the q_robots_directives scaffold in ||
+    form, the extraction via ops.htmltext.robots_sql (shared spec)."""
+    from sagan_spark.ops.htmltext import robots_sql
+
+    scaffold = (
+        "('<html><head>' || CASE"
+        " WHEN doc_id % 7 = 0 THEN"
+        " '<meta name=\"robots\" content=\"noindex, nofollow\">'"
+        " WHEN doc_id % 5 = 0 THEN '<meta NAME=ROBOTS CONTENT=''none''>'"
+        " WHEN doc_id % 3 = 0 THEN '<meta name=robots content=nofollow >'"
+        " ELSE '' END || '</head><body><p>' || text"
+        " || '</p></body></html>')"
+    )
+    return f"SELECT doc_id, {robots_sql(scaffold)} FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3784,4 +3889,45 @@ def oracle_sql() -> dict[str, str]:
             " WHERE substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)"
             " < t.th"
         ),
+        # corpus-frequency boilerplate line removal (ops/webclean.
+        # remove_boilerplate_lines) over the q_webclean_boilerplate
+        # page scaffold: document-frequency >= 2 on the trimmed line,
+        # whitespace-only lines always kept, per-doc reassembly in
+        # line order
+        "webclean_boilerplate": (
+            "WITH pages AS (SELECT doc_id,"
+            " text || chr(10) || 'Home | About | Contact' || chr(10) ||"
+            " CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter'"
+            "  ELSE 'Visitor note ' || CAST(doc_id AS VARCHAR) END"
+            " || chr(10) || '  ' || chr(10) ||"
+            " '(c) ' || source || ' Media Group' AS text FROM documents),"
+            " lines AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM ("
+            "  SELECT doc_id, unnest(list_transform(str_split(text, chr(10)),"
+            "   (x,i) -> struct_pack(idx := i, line := x))) AS u FROM pages)),"
+            " hot AS (SELECT trim(line) AS k FROM lines"
+            "  WHERE NOT regexp_matches(line, '^[ \\t\\r\\f]*$')"
+            "  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),"
+            " marked AS (SELECT doc_id, idx, line,"
+            "  regexp_matches(line, '^[ \\t\\r\\f]*$')"
+            "   OR trim(line) NOT IN (SELECT k FROM hot) AS keep FROM lines),"
+            " g AS (SELECT doc_id,"
+            "  coalesce(string_agg(line, chr(10) ORDER BY idx)"
+            "   FILTER (WHERE keep), '') AS clean_text,"
+            "  count(*) AS n_lines,"
+            "  sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped"
+            " FROM marked GROUP BY doc_id)"
+            " SELECT d.doc_id, g.clean_text,"
+            " CAST(coalesce(g.n_lines, 0) AS BIGINT) AS n_lines,"
+            " CAST(coalesce(g.n_dropped, 0) AS BIGINT) AS n_dropped"
+            " FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id"
+        ),
+        # BPE merge-pair counts (ops/textstats.bpe_pair_stats): lead()
+        # over the per-doc ordered token stream replays zip_with(slice,
+        # slice); (count DESC, left, right) is a total order so the
+        # LIMIT is deterministic
+        "bpe_pair_stats": _bpe_pair_sql(),
+        # robots meta screen (ops/htmltext.robots_directives) over the
+        # q_robots_directives scaffold; the extraction fragment comes
+        # from ops.htmltext.robots_sql — one source of truth
+        "robots_directives": _robots_sql(),
     }

@@ -92,3 +92,73 @@ def html_text_sql(expr: str) -> str:
         out = f"replace({out}, {_sql_quote(ent)}, {_sql_quote(ch)})"
     out = f"regexp_replace({out}, {_sql_quote(WS_RE)}, ' ', 'g')"
     return f"trim({out})"
+
+
+# robots meta-tag spec: leftmost <meta ... name=robots ...> tag, then
+# its content attribute (quoted or bare).  Same Java-regex == RE2
+# discipline as the extraction chain: no \s, no \b, NO BACKREFERENCES
+# and NO LOOKAHEAD (RE2 has neither) — the name value is instead an
+# explicit alternation of the two quoted forms and the bare form
+# (terminated by whitespace, '/', or the tag's own '>'), so
+# name="robotsy" can never match.
+ROBOTS_TAG_RE = (
+    r"(?i)<meta[^>]*name[ \t\r\n\f]*=[ \t\r\n\f]*"
+    r"(?:\"robots\"[^>]*|'robots'[^>]*|robots[ \t\r\n\f/][^>]*|robots)>"
+)
+ROBOTS_CONTENT_RE = (
+    r"(?i)content[ \t\r\n\f]*=[ \t\r\n\f]*[\"']?([^\"'>]*)"
+)
+
+
+def robots_directives(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robots meta-directive screen — the crawl-compliance gate a
+    training-data pipeline runs before a page may enter the corpus
+    (C4/CCNet-class pipelines honor ``noindex``; the reference engine's
+    analogous pre-filter is its drop-before-parse ignore list,
+    src/sagan-config.c ignore_list): extract the leftmost
+    ``<meta name=robots content=...>`` directive list from the
+    ``html_col`` BYTE column and flag it.
+
+    Directives are split on ',', space-trimmed and lowercased;
+    ``none`` means ``noindex, nofollow`` per the robots spec.
+    ``robots_keep`` = no noindex directive (a page without the tag is
+    indexable by default).  Returns (id, robots_content,
+    robots_noindex, robots_nofollow, robots_keep).
+
+    Pure whole-stage codegen — two regexp_extract + per-row array ops,
+    no shuffle, no Python; at 10^12 pages this is a map-only pass that
+    AQE folds into the scan stage."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    tag = F.regexp_extract(s, ROBOTS_TAG_RE, 0)
+    content = F.regexp_extract(tag, ROBOTS_CONTENT_RE, 1)
+    directives = F.transform(F.split(content, ","), lambda x: F.lower(F.trim(x)))
+    none = F.array_contains(directives, "none")
+    noindex = F.array_contains(directives, "noindex") | none
+    nofollow = F.array_contains(directives, "nofollow") | none
+    return pages.select(
+        F.col(id_col),
+        content.alias("robots_content"),
+        noindex.alias("robots_noindex"),
+        nofollow.alias("robots_nofollow"),
+        (~noindex).alias("robots_keep"),
+    )
+
+
+def robots_sql(expr: str) -> str:
+    """The SAME robots extraction as ``robots_directives`` in ANSI SQL
+    over an html STRING expression — one source of truth for the
+    oracle.  Emits a SELECT-list fragment (without the id column)."""
+    tag = f"regexp_extract({expr}, {_sql_quote(ROBOTS_TAG_RE)}, 0)"
+    content = f"regexp_extract({tag}, {_sql_quote(ROBOTS_CONTENT_RE)}, 1)"
+    dirs = f"list_transform(str_split({content}, ','), x -> lower(trim(x)))"
+    none = f"list_contains({dirs}, 'none')"
+    noindex = f"(list_contains({dirs}, 'noindex') OR {none})"
+    nofollow = f"(list_contains({dirs}, 'nofollow') OR {none})"
+    return (
+        f"{content} AS robots_content, {noindex} AS robots_noindex,"
+        f" {nofollow} AS robots_nofollow, NOT {noindex} AS robots_keep"
+    )

@@ -292,3 +292,42 @@ def fingerprint(docs: DataFrame, k: int = 16, text_col: str = "text",
         F.col(id_col),
         F.array_min(grams).alias("fingerprint"),
     )
+
+
+def bpe_pair_stats(docs: DataFrame, top_n: int = 100, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Adjacent-token-pair frequencies over the BPE-ish token stream —
+    the merge-step statistic of byte-pair-encoding tokenizer training
+    (Sennrich et al. arXiv:1508.07909 §3.2: each BPE round merges the
+    most frequent adjacent pair; this op computes that table corpus-
+    wide).  Returns the ``top_n`` pairs as (tok_left, tok_right,
+    pair_count), count-desc then (tok_left, tok_right)-asc — a total
+    order, so top_n is deterministic.
+
+    Plan (100 TB posture): pairs are built PER ROW with array ops
+    (zip_with over two slices — whole-stage codegen, no shuffle to
+    form pairs), then one explode + groupBy(pair) count whose map-side
+    partial absorbs hot pairs ("t h", "th e" at 10^10 occurrences)
+    before the exchange; top-n plans as TakeOrdered, never a global
+    sort.  Pair counting is embarrassingly parallel — BPE training
+    iterates [count -> pick max -> re-tokenize]; the count step is the
+    distributed-scale bottleneck and the one this engine owns."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda l, r: F.struct(l.alias("tok_left"), r.alias("tok_right")),
+        ),
+    ).otherwise(F.array().cast("array<struct<tok_left:string,tok_right:string>>"))
+    exploded = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.tok_left"), F.col("p.tok_right")
+    )
+    return (
+        exploded.groupBy("tok_left", "tok_right")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("tok_left"), F.asc("tok_right"))
+        .limit(top_n)
+    )

@@ -592,3 +592,79 @@ def c4_filters(docs: DataFrame, badwords: tuple[str, ...] = C4_BADWORDS_DEFAULT,
         no_brace.alias("no_curly_brace"),
         (enough & no_bad & no_lorem & no_brace).alias("c4_keep"),
     )
+
+
+def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 2,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency boilerplate removal (the line-level dedup step
+    of CCNet-style pipelines, Wenzek et al. arXiv:1911.00359 §3.1:
+    navigation bars, cookie banners, copyright footers repeat across a
+    crawl far more often than prose): a line whose space-trimmed form
+    appears in at least ``min_docs`` DISTINCT documents is boilerplate;
+    every occurrence is removed from every document.  Whitespace-only
+    lines are always kept (they are layout, not content — and dropping
+    them would reflow unrelated text).  Returns one row per input doc
+    — (doc_id, clean_text, n_lines, n_dropped); NULL-text docs come
+    back with NULL clean_text and zero counts.
+
+    Plan (100 TB posture): the document-frequency pass is a two-phase
+    AGGREGATION, never a window — ``groupBy(line).agg(count_distinct
+    (doc_id))`` plans as partial aggregation on (line, doc_id) before
+    the shuffle, so a cookie banner repeated 10^9 times across the
+    corpus reduces to one row per mapper per doc batch; the hot-line
+    table that survives ``>= min_docs`` is tiny relative to the corpus
+    (it IS the boilerplate vocabulary) and AQE is free to broadcast it
+    for the join back.  Whitespace-only lines never enter the join:
+    each carries a UNIQUE per-row synthetic key ('b:'-prefixed,
+    disjoint from the 'l:'-prefixed trimmed-text keys) — "" would
+    otherwise be the hottest probe key in the corpus.  Reassembly is
+    the dedup_paragraphs idiom: per-doc sort_array(collect_list) over
+    (idx, line) structs, a per-DOC array sort, never a corpus window.
+    """
+    blank_re = r"^[ \t\r\f]*$"  # explicit class: Java regex == RE2 here
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    blank = F.col("line").rlike(blank_re)
+    jkey = F.when(
+        blank,
+        F.concat(F.lit("b:"), F.col(id_col).cast("string"), F.lit(":"), F.col("idx")),
+    ).otherwise(F.concat(F.lit("l:"), F.trim(F.col("line"))))
+    keyed = lines.withColumn("_jkey", jkey)
+    hot = (
+        keyed.filter(~blank)
+        .groupBy("_jkey")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= F.lit(min_docs))
+        .select("_jkey", F.lit(True).alias("_hot"))
+    )
+    marked = keyed.join(hot, "_jkey", "left").withColumn(
+        "_keep", F.col("_hot").isNull()
+    )
+    rebuilt = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("idx"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )
+    # NULL-text docs explode to zero rows — restore them
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn("n_lines", F.coalesce("n_lines", F.lit(0)))
+        .withColumn("n_dropped", F.coalesce("n_dropped", F.lit(0)))
+    )

@@ -105,3 +105,62 @@ def test_frame_from_pages_html_fallback(spark):
         "u://x/1": "from & markup",
         "u://x/2": "markup only",
     }
+
+
+def test_robots_directives_vs_python_twin(spark):
+    import re
+
+    from sagan_spark.ops.htmltext import (
+        ROBOTS_CONTENT_RE,
+        ROBOTS_TAG_RE,
+        robots_directives,
+    )
+
+    samples = [
+        (1, '<head><meta name="robots" content="noindex, nofollow"></head>'),
+        (2, "<meta NAME=ROBOTS CONTENT='none'>"),
+        (3, "<meta name=robots content=nofollow >"),
+        (4, "<p>no tag at all</p>"),
+        (5, '<meta name="robots" content="INDEX, FOLLOW">'),
+        (6, '<meta charset="x"><META name = robots content = "noindex">'),
+        (7, '<meta name="robotsy" content="noindex">'),  # name mismatch
+        (8, '<meta name="robots">'),  # tag without content attr
+    ]
+    docs = spark.createDataFrame(samples, "doc_id long, page string")
+    pages = docs.selectExpr("doc_id", "encode(page, 'UTF-8') AS html")
+    got = {
+        r.doc_id: (r.robots_content, r.robots_noindex, r.robots_nofollow, r.robots_keep)
+        for r in robots_directives(pages).collect()
+    }
+
+    for doc_id, page in samples:
+        m = re.search(ROBOTS_TAG_RE, page)
+        tag = m.group(0) if m else ""
+        mc = re.search(ROBOTS_CONTENT_RE, tag)
+        content = mc.group(1) if mc else ""
+        dirs = [d.strip().lower() for d in content.split(",")]
+        noindex = "noindex" in dirs or "none" in dirs
+        nofollow = "nofollow" in dirs or "none" in dirs
+        assert got[doc_id] == (content, noindex, nofollow, not noindex), doc_id
+
+    # spot semantics: 'none' implies both; robotsy is NOT robots
+    assert got[1] == ("noindex, nofollow", True, True, False)
+    assert got[2] == ("none", True, True, False)
+    assert got[3][1:] == (False, True, True)
+    assert got[4] == ("", False, False, True)
+    assert got[5] == ("INDEX, FOLLOW", False, False, True)
+    assert got[6][1] is True
+    assert got[7] == ("", False, False, True)
+    assert got[8] == ("", False, False, True)
+
+
+def test_robots_directives_plan_is_codegen_only(spark):
+    from sagan_spark.ops.htmltext import robots_directives
+
+    pages = spark.createDataFrame(
+        [(1, bytearray(b"<p>x</p>"))], "doc_id long, html binary"
+    )
+    plan = robots_directives(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan, (
+        "robots screen must be a map-only codegen pass"
+    )

@@ -168,3 +168,47 @@ def test_langid_trained_plan_shape(spark):
     assert "Window" not in plan and "row_number" not in plan
     assert "BroadcastHashJoin" in plan, "model join must broadcast"
     assert "partial_min" in plan, "argmax must partial-aggregate map-side"
+
+
+def test_bpe_pair_stats_vs_python(spark):
+    import re
+    from collections import Counter
+
+    from sagan_spark.ops.textstats import TOKEN_RE, bpe_pair_stats
+
+    rows = [
+        (1, "the cat sat on the mat, the cat!"),
+        (2, "the cat sat"),
+        (3, "x"),  # single token: no pairs
+        (4, ""),  # no tokens
+        (5, None),  # NULL text
+        (6, "a1b2 c3"),  # letter/digit run splits
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    c = Counter()
+    for _, text in rows:
+        toks = re.findall(TOKEN_RE, text or "")
+        c.update(zip(toks, toks[1:]))
+    want = sorted(
+        ((l, r, n) for (l, r), n in c.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:5]
+    got = [
+        (r.tok_left, r.tok_right, r.pair_count)
+        for r in bpe_pair_stats(docs, top_n=5).collect()
+    ]
+    assert got == want
+    assert got[0] == ("the", "cat", 3)
+
+
+def test_bpe_pair_stats_plan_shape(spark):
+    """Pair formation is per-row array math + ONE explode; the count
+    partial-aggregates map-side and top-n is a TakeOrdered — no global
+    Sort, no Window, no Python."""
+    from sagan_spark.ops.textstats import bpe_pair_stats
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = bpe_pair_stats(docs, top_n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "top-n must be TakeOrdered"
+    assert "Window" not in plan and "EvalPython" not in plan
+    assert "partial_count" in plan, "map-side partial count missing"

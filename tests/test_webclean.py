@@ -626,3 +626,78 @@ def test_load_badwords_and_c4_integration(spark, tmp_path):
            for r in c4_filters(docs, badwords=load_badwords("en")).collect()}
     assert got[1] == (False, False)
     assert got[2] == (True, True)
+
+
+def test_remove_boilerplate_lines_vs_python(spark):
+    from sagan_spark.ops.webclean import remove_boilerplate_lines
+
+    rows = [
+        (1, "unique one\nCOMMON FOOTER\n  \nalso unique"),
+        (2, "COMMON FOOTER\nsecond doc line"),
+        (3, "third doc\n COMMON FOOTER \nx"),  # trimmed-form match
+        (4, None),
+        (5, "only\n\nblank lines\n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def twin(min_docs):
+        import re
+
+        df = {}
+        for doc_id, text in rows:
+            if text is None:
+                continue
+            for line in text.split("\n"):
+                if re.match(r"^[ \t\r\f]*$", line):
+                    continue
+                df.setdefault(line.strip(), set()).add(doc_id)
+        hot = {k for k, v in df.items() if len(v) >= min_docs}
+        out = {}
+        for doc_id, text in rows:
+            if text is None:
+                out[doc_id] = (None, 0, 0)
+                continue
+            lines = text.split("\n")
+            kept = [
+                ln
+                for ln in lines
+                if re.match(r"^[ \t\r\f]*$", ln) or ln.strip() not in hot
+            ]
+            out[doc_id] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+        return out
+
+    for min_docs in (2, 3, 4):
+        got = {
+            r.doc_id: (r.clean_text, r.n_lines, r.n_dropped)
+            for r in remove_boilerplate_lines(docs, min_docs=min_docs).collect()
+        }
+        assert got == twin(min_docs), f"min_docs={min_docs}"
+    # min_docs=2 specifics: footer gone everywhere (incl. the padded
+    # variant), blanks and unique lines intact, NULL doc restored
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    assert got[1] == "unique one\n  \nalso unique"
+    assert got[2] == "second doc line"
+    assert got[3] == "third doc\nx"
+    assert got[4] is None
+    assert got[5] == "only\n\nblank lines\n"
+
+
+def test_remove_boilerplate_lines_plan_shape(spark):
+    """Document-frequency must be the two-phase count_distinct
+    AGGREGATION (map-side partial on (line, doc)) — no Window, no
+    row_number; blanks carry the 'b:'-prefixed unique synthetic join
+    key so '' never becomes the hottest probe key."""
+    from sagan_spark.ops.webclean import remove_boilerplate_lines
+
+    docs = spark.createDataFrame([(1, "a\n \nb")], "doc_id long, text string")
+    qe = remove_boilerplate_lines(docs)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Window" not in plan and "row_number" not in plan
+    assert "partial_count(distinct" in plan.lower() or "partial_count" in plan, (
+        "two-phase distinct-count aggregation missing"
+    )
+    opt = qe.optimizedPlan().toString()
+    assert "b:" in opt, "blank-conditional unique join key missing"
