@@ -1670,6 +1670,49 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novel_docs(batch, seen)
 
 
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup: the same seen/batch split
+    as dedup_incremental, but the batch probes a bounded Bloom 1-bit
+    relation first so only maybe-seen digests pay the digest-vs-digest
+    anti-join.  m_bits is deliberately tiny (4096) so the
+    false-positive branch is exercised at gate scale: FPs survive the
+    probe, reach the exact anti-join, and are admitted there — the
+    output is row-identical to dedup_incremental (a Bloom filter built
+    from ``seen`` itself has no false negatives), so the two gates
+    share one oracle."""
+    from sagan_spark.ops.dedup import novel_docs_bloom
+
+    docs = _docs(spark, sf_dir)
+    seen = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    return novel_docs_bloom(batch, seen, m_bits=4096, k=3)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event gap sessionization (gap 4 h, daily buckets): each
+    event labeled with its session's start timestamp.  The two-phase
+    bucket decomposition is bit-equal to the oracle's global per-key
+    window — every event-level window is partitioned by (key, bucket)
+    so a hot key never funnels one sorting task."""
+    from sagan_spark.ops.sessions import sessionize
+
+    return sessionize(_ev(spark, sf_dir), gap_sec=14400, bucket_sec=86400)
+
+
+def q_events_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup over q_events_sessionize: one row per
+    (user, session) with event count and duration — a pure
+    map-side-combining aggregation (the session label is a value, not
+    a rank, so no further window is needed)."""
+    from sagan_spark.ops.sessions import session_rollup
+
+    return session_rollup(_ev(spark, sf_dir), gap_sec=14400, bucket_sec=86400)
+
+
 def _docs_with_messy_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a deliberately messy synthetic url (mixed-case
     scheme/host, default and non-default ports, tracking params,
@@ -2093,6 +2136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": q_dedup_span_removal,
         "dedup_span_removal_keepone": q_dedup_span_removal_keepone,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
+        "events_sessionize": q_events_sessionize,
+        "events_session_rollup": q_events_session_rollup,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_yield": q_corpus_prep_yield,
         "sample_deterministic": q_sample_deterministic,
@@ -2763,6 +2809,33 @@ def oracle_sql() -> dict[str, str]:
         " FROM (SELECT doc_id FROM documents) d"
         " LEFT JOIN tot t ON t.doc_id = d.doc_id"
         " LEFT JOIN dup ON dup.doc_id = d.doc_id"
+    )
+
+    # cross-snapshot incremental dedup (ops/dedup.novel_docs): shared
+    # by the plain gate and the Bloom-prefiltered gate — the Bloom
+    # path is exact by construction, so one oracle covers both.
+    _incremental_sql = (
+        "WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents"
+        " WHERE doc_id % 4 = 0),"
+        " b AS (SELECT md5(text) AS content_hash, min(doc_id) AS doc_id"
+        " FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1)"
+        " SELECT doc_id, content_hash FROM b WHERE NOT EXISTS"
+        " (SELECT 1 FROM seen WHERE seen.h = b.content_hash)"
+    )
+
+    # gap sessionization (ops/sessions.py): global window definition —
+    # per key ordered by (us, event_id), new session when the gap from
+    # the previous event exceeds 4 h; session labeled by its start us.
+    _session_cte = (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us"
+        " FROM events WHERE ts IS NOT NULL),"
+        " f AS (SELECT *, lag(us) OVER"
+        " (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),"
+        " g AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >"
+        " 14400000000 THEN us END AS st FROM f),"
+        " h AS (SELECT user_id, event_id, us, max(st) OVER"
+        " (PARTITION BY user_id ORDER BY us, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS session_start_us FROM g)"
     )
 
     # duplicated-span REMOVAL (ops/decontam.remove_duplicated_spans):
@@ -3775,13 +3848,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_span_removal": _rm_sql,
         "dedup_span_removal_keepone": _rm_keepone_sql,
-        "dedup_incremental": (
-            "WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents"
-            " WHERE doc_id % 4 = 0),"
-            " b AS (SELECT md5(text) AS content_hash, min(doc_id) AS doc_id"
-            " FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1)"
-            " SELECT doc_id, content_hash FROM b WHERE NOT EXISTS"
-            " (SELECT 1 FROM seen WHERE seen.h = b.content_hash)"
+        "dedup_incremental": _incremental_sql,
+        # the Bloom pre-filter is exact (no false negatives when the
+        # filter is built from `seen` itself), so the bloom gate
+        # replays the SAME oracle — equality with it IS the claim.
+        "dedup_incremental_bloom": _incremental_sql,
+        # sessionization oracle: the GLOBAL per-key window definition
+        # (the thing the two-phase bucket decomposition must equal).
+        "events_sessionize": (
+            _session_cte + " SELECT user_id, event_id, us AS event_us,"
+            " session_start_us FROM h"
+        ),
+        "events_session_rollup": (
+            _session_cte + " SELECT user_id, session_start_us,"
+            " count(*) AS n_events,"
+            " max(us) - session_start_us AS duration_us"
+            " FROM h GROUP BY user_id, session_start_us"
         ),
         "webclean_verdict": (
             "SELECT doc_id, reason, reason = 'ok' AS keep FROM ("

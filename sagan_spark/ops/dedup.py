@@ -78,6 +78,107 @@ def novel_docs(new_docs: DataFrame, seen: DataFrame,
     ).select(id_col, digest_col)
 
 
+def _bloom_positions(digest, m_bits: int, k: int) -> list:
+    """The k deterministic Bloom probe positions of a digest: 60-bit
+    md5 of ``'bloom{i}|' + digest`` mod m_bits — the same
+    ('0x'||substr(md5(..),1,15))::BIGINT idiom every hashed op here
+    uses, so the oracle replays it exactly."""
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{i}|"), digest)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_bits(seen: DataFrame, m_bits: int = 1 << 20, k: int = 3) -> DataFrame:
+    """The 1-bits of a Bloom filter over a seen-digest table, AS A
+    RELATION: one ``bit: long`` row per distinct set position
+    (<= m_bits rows, typically far fewer — it is the bitmap in
+    relational form, so Catalyst can broadcast it like any other small
+    table instead of shipping an opaque blob).  Deterministic by
+    construction (md5-derived positions, no seeds, no RNG) — the same
+    filter rebuilds bit-identically on any cluster, and a snapshot
+    pipeline persists it next to the seen table and unions new bits
+    per round (set-union == relational union distinct)."""
+    digest = F.col(seen.columns[0])
+    return (
+        seen.select(F.explode(F.array(*_bloom_positions(digest, m_bits, k))).alias("bit"))
+        .distinct()
+    )
+
+
+def novel_docs_bloom(new_docs: DataFrame, seen: DataFrame,
+                     m_bits: int = 1 << 20, k: int = 3,
+                     bits: DataFrame | None = None,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     digest_col: str = "content_hash") -> DataFrame:
+    """:func:`novel_docs` with a Bloom pre-filter — EXACTLY the same
+    rows out (a Bloom filter built from ``seen`` itself has no false
+    negatives), but the expensive digest-vs-digest anti-join only sees
+    the batch rows whose k probe positions are ALL set.
+
+    Why this matters at 100 TB: the seen table is O(corpus) — 10^10+
+    digests after a year of snapshots — and ``novel_docs`` shuffles the
+    batch against it every round.  The Bloom 1-bit relation is bounded
+    by m_bits REGARDLESS of corpus size (2^27 bits ~= a few-hundred-MB
+    relation worst case, broadcastable or cheap to shuffle), so the
+    mostly-novel common case (a fresh crawl snapshot) resolves almost
+    entirely map-side: definitely-novel digests skip the seen join,
+    only the maybe-seen sliver (true dups + the false-positive rate
+    ~(1-e^{-kn/m})^k) pays for it.  ``bits`` accepts the persisted
+    1-bit relation from the previous round; by default it is built
+    from ``seen`` in-query.
+
+    Mechanics: per-digest k positions (codegen md5 math), ONE distinct
+    probe join against the bit relation, all-k-present => candidate;
+    candidates anti-join ``seen`` as before; the definite-novel rest
+    unions straight through.  Probe-position collisions (pos_i ==
+    pos_j) are handled by counting DISTINCT positions per digest, not
+    assuming k."""
+    if bits is None:
+        bits = bloom_bits(seen, m_bits=m_bits, k=k)
+    d = new_docs.select(F.md5(F.col(text_col)).alias(digest_col), F.col(id_col))
+    first = d.groupBy(digest_col).agg(F.min(id_col).alias(id_col))
+    probe = first.select(
+        digest_col,
+        F.explode(F.array(*_bloom_positions(F.col(digest_col), m_bits, k))).alias(
+            "bit"
+        ),
+    ).distinct()
+    counts = probe.groupBy(digest_col).agg(F.count(F.lit(1)).alias("_n_pos"))
+    hits = (
+        probe.join(bits, "bit", "left_semi")
+        .groupBy(digest_col)
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    maybe = (
+        counts.join(hits, digest_col, "left")
+        .filter(F.col("_n_hit") == F.col("_n_pos"))
+        .select(digest_col)
+    )
+    flagged = first.join(
+        maybe.withColumn("_maybe", F.lit(True)), digest_col, "left"
+    )
+    definite_novel = flagged.filter(F.col("_maybe").isNull()).select(
+        id_col, digest_col
+    )
+    candidates = flagged.filter(F.col("_maybe").isNotNull()).select(
+        digest_col, id_col
+    )
+    survivors = candidates.join(
+        seen.select(F.col(seen.columns[0]).alias(digest_col)),
+        digest_col,
+        "left_anti",
+    ).select(id_col, digest_col)
+    return definite_novel.unionByName(survivors)
+
+
 def shingle_df(docs: DataFrame, k: int = 8, text_col: str = "text",
                id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
     """Character k-gram shingles per document.

@@ -409,3 +409,33 @@ def test_novel_docs_incremental(spark):
     }
     assert got == want
     assert set(got) == {1, 4, 5}  # 'b' seen; doc 3 loses to doc 1
+
+
+def test_novel_docs_bloom_exact(spark):
+    """The Bloom-prefiltered path returns EXACTLY novel_docs' rows —
+    no false negatives ever; false positives (forced here with a tiny
+    m_bits=8 filter) reach the exact anti-join and are resolved there.
+    Also pins the persisted-bits path: passing the bloom_bits relation
+    explicitly (the cross-snapshot production shape) gives the same
+    answer as building it in-query, and the bit relation is bounded by
+    m_bits."""
+    from sagan_spark.ops.dedup import bloom_bits, novel_docs, novel_docs_bloom
+
+    batch = [(i, f"doc {i % 13}") for i in range(1, 40)] + [(99, None)]
+    docs = spark.createDataFrame(batch, "doc_id long, text string")
+    seen = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 4 != 0)
+    want = sorted(novel_docs(new, seen).collect())
+    for m in (8, 1 << 16):  # heavy-FP regime and realistic regime
+        got = sorted(novel_docs_bloom(new, seen, m_bits=m, k=3).collect())
+        assert got == want, f"m_bits={m}"
+    bits = bloom_bits(seen, m_bits=8, k=3)
+    assert bits.count() <= 8
+    got_pre = sorted(
+        novel_docs_bloom(new, seen, m_bits=8, k=3, bits=bits).collect()
+    )
+    assert got_pre == want
