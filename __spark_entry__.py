@@ -1713,6 +1713,51 @@ def q_events_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_rollup(_ev(spark, sf_dir), gap_sec=14400, bucket_sec=86400)
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel, per user: chained
+    min-aggregations on the key (no window, no per-key sort) — stage i
+    is the earliest event of its type at-or-after stage i-1."""
+    from sagan_spark.ops.funnel import funnel_stages
+
+    return funnel_stages(_ev(spark, sf_dir), ["view", "click", "purchase"])
+
+
+def q_events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel summary: users surviving through each stage."""
+    from sagan_spark.ops.funnel import funnel_counts
+
+    return funnel_counts(_ev(spark, sf_dir), ["view", "click", "purchase"])
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-activity-day cohorts x day offset, integer epoch-day
+    arithmetic (div, never float division)."""
+    from sagan_spark.ops.funnel import cohort_retention
+
+    return cohort_retention(_ev(spark, sf_dir))
+
+
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over CCNet-normalized text.  The corpus is the
+    documents table UNION a mangled twin per doc (uppercased, digits
+    scrambled via translate, punctuation/whitespace noise appended,
+    doc_id offset by 10^6) — so every non-NULL doc forms a normalized
+    group with its twin while remaining distinct under plain md5; the
+    SAME mangling expression runs in the oracle."""
+    from sagan_spark.ops.dedup import normalized_dup_groups
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.translate(F.upper("text"), "0123456789", "9876543210"),
+            F.lit(" ?!*  ,, "),
+        ).alias("text"),
+    )
+    return normalized_dup_groups(docs.unionByName(variants))
+
+
 def _docs_with_messy_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a deliberately messy synthetic url (mixed-case
     scheme/host, default and non-default ports, tracking params,
@@ -2139,6 +2184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "events_sessionize": q_events_sessionize,
         "events_session_rollup": q_events_session_rollup,
+        "events_funnel": q_events_funnel,
+        "events_funnel_counts": q_events_funnel_counts,
+        "events_cohort_retention": q_events_cohort_retention,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_yield": q_corpus_prep_yield,
         "sample_deterministic": q_sample_deterministic,
@@ -2836,6 +2885,21 @@ def oracle_sql() -> dict[str, str]:
         " h AS (SELECT user_id, event_id, us, max(st) OVER"
         " (PARTITION BY user_id ORDER BY us, event_id"
         " ROWS UNBOUNDED PRECEDING) AS session_start_us FROM g)"
+    )
+
+    # funnel (ops/funnel.py): chained earliest-at-or-after minima —
+    # the same aggregation chain the Spark op runs (no window).
+    _funnel_cte = (
+        "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us"
+        " FROM events WHERE ts IS NOT NULL),"
+        " s1 AS (SELECT user_id, min(us) AS t1 FROM e"
+        " WHERE event_type = 'view' GROUP BY 1),"
+        " s2 AS (SELECT e.user_id, min(us) AS t2 FROM e"
+        " JOIN s1 USING (user_id)"
+        " WHERE event_type = 'click' AND us >= t1 GROUP BY 1),"
+        " s3 AS (SELECT e.user_id, min(us) AS t3 FROM e"
+        " JOIN s2 USING (user_id)"
+        " WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)"
     )
 
     # duplicated-span REMOVAL (ops/decontam.remove_duplicated_spans):
@@ -3864,6 +3928,44 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_events,"
             " max(us) - session_start_us AS duration_us"
             " FROM h GROUP BY user_id, session_start_us"
+        ),
+        "events_funnel": (
+            _funnel_cte
+            + " SELECT s1.user_id, t1 AS view_us, t2 AS click_us,"
+            " t3 AS purchase_us FROM s1"
+            " LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+        ),
+        "events_funnel_counts": (
+            _funnel_cte
+            + " SELECT 1 AS stage_idx, 'view' AS stage,"
+            " count(*) AS keys_reached FROM s1"
+            " UNION ALL SELECT 2, 'click', count(*) FROM s2"
+            " UNION ALL SELECT 3, 'purchase', count(*) FROM s3"
+        ),
+        "events_cohort_retention": (
+            "WITH e AS (SELECT user_id,"
+            " epoch_us(ts) // 86400000000 AS d"
+            " FROM events WHERE ts IS NOT NULL),"
+            " firsts AS (SELECT user_id, min(d) AS cohort_day FROM e"
+            " GROUP BY 1),"
+            " days AS (SELECT DISTINCT user_id, d FROM e)"
+            " SELECT cohort_day, d - cohort_day AS day_offset,"
+            " count(*) AS active_keys FROM days JOIN firsts USING"
+            " (user_id) GROUP BY 1, 2"
+        ),
+        "dedup_exact_normalized": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents"
+            " UNION ALL SELECT doc_id + 1000000,"
+            " '  ' || translate(upper(text), '0123456789',"
+            " '9876543210') || ' ?!*  ,, ' FROM documents),"
+            " n AS (SELECT doc_id, md5(trim(regexp_replace("
+            "regexp_replace(regexp_replace(lower(text),"
+            " '\\p{N}', '0', 'g'),"
+            " '[^\\p{L}\\p{N}\\s]', '', 'g'),"
+            " '\\s+', ' ', 'g'))) AS content_hash FROM corpus)"
+            " SELECT content_hash, count(*) AS dup_count,"
+            " min(doc_id) AS keeper_id FROM n GROUP BY 1"
+            " HAVING count(*) > 1"
         ),
         "webclean_verdict": (
             "SELECT doc_id, reason, reason = 'ok' AS keep FROM ("

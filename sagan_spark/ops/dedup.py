@@ -39,6 +39,45 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def normalize_for_dedup(col):
+    """CCNet-style dedup normalization (Wenzek arXiv:1911.00359 §3.1;
+    Lee arXiv:2107.06499 normalizes similarly before hashing):
+    lowercase, every digit -> 0, strip everything that is not a
+    letter / number / whitespace, collapse whitespace runs, trim.
+    Pure codegen — four regexp_replace passes whose patterns are
+    valid in BOTH Java regex and RE2 (`\\p{L}`/`\\p{N}` unicode
+    categories, ASCII `\\s` in each), so the DuckDB oracle runs the
+    byte-identical expression chain with the 'g' flag.  Case-fold
+    corner cases that differ across engines (dotted-I, sharp-s full
+    folds) are out of the contract envelope — web-corpus text is
+    overwhelmingly inside it."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, r"\p{N}", "0")
+    x = F.regexp_replace(x, r"[^\p{L}\p{N}\s]", "")
+    x = F.regexp_replace(x, r"\s+", " ")
+    return F.trim(x)
+
+
+def normalized_dup_groups(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """:func:`exact_dup_groups` over the dedup-normalized text: docs
+    differing only in case, digits, punctuation, or whitespace layout
+    collapse into one group.  Same single-digest-shuffle plan — the
+    normalization runs map-side inside the scan projection."""
+    return (
+        docs.select(
+            F.md5(normalize_for_dedup(F.col(text_col))).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
 def novel_docs(new_docs: DataFrame, seen: DataFrame,
                text_col: str = "text", id_col: str = "doc_id",
                digest_col: str = "content_hash") -> DataFrame:

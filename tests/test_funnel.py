@@ -1,0 +1,120 @@
+"""Funnel + cohort retention: window-free aggregation chains must
+match a literal global-definition twin."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sagan_spark.ops.funnel import cohort_retention, funnel_counts, funnel_stages
+
+US = 1_000_000
+DAY = 86_400_000_000
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, us long"
+    ).select(
+        "user_id", "event_type", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+
+
+def test_funnel_stages_chain(spark):
+    """Per-user chained minima: out-of-order stage events don't count
+    (a click BEFORE the first view is ignored), same-microsecond
+    counts (>=), and the chain breaks independently per user."""
+    rows = [
+        # user 1: click before first view ignored; full funnel later
+        (1, "click", 10 * US),
+        (1, "view", 20 * US),
+        (1, "click", 30 * US),
+        (1, "purchase", 25 * US),   # before click -> not after stage2
+        (1, "purchase", 40 * US),
+        # user 2: view only
+        (2, "view", 5 * US),
+        (2, "purchase", 50 * US),   # no click: chain broken at stage 2
+        # user 3: same-microsecond view+click (>= counts)
+        (3, "view", 7 * US),
+        (3, "click", 7 * US),
+        # user 4: no view at all -> absent from output
+        (4, "click", 1 * US),
+    ]
+    got = {
+        r.user_id: (r.view_us, r.click_us, r.purchase_us)
+        for r in funnel_stages(
+            _mk(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {
+        1: (20 * US, 30 * US, 40 * US),
+        2: (5 * US, None, None),
+        3: (7 * US, 7 * US, None),
+    }
+    counts = {
+        (r.stage_idx, r.stage): r.keys_reached
+        for r in funnel_counts(
+            _mk(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert counts == {
+        (1, "view"): 3,
+        (2, "click"): 2,
+        (3, "purchase"): 1,
+    }
+
+
+def test_funnel_fuzz_vs_twin(spark):
+    """300 hash-placed events, twin = literal per-user scan."""
+    stages = ["view", "click", "purchase"]
+    types = stages + ["error", "signup"]
+    rows = []
+    for i in range(300):
+        h = hashlib.md5(f"fun{i}".encode()).digest()
+        rows.append(
+            (h[0] % 25, types[h[1] % 5], int.from_bytes(h[2:6], "big") % (10**9))
+        )
+    by_user = {}
+    for u, t, us in rows:
+        by_user.setdefault(u, []).append((us, t))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        ts = [None, None, None]
+        for i, s in enumerate(stages):
+            prev = 0 if i == 0 else ts[i - 1]
+            if prev is None:
+                break
+            cand = [us for us, t in evs if t == s and us >= prev]
+            ts[i] = min(cand) if cand else None
+        if ts[0] is not None:
+            want[u] = tuple(ts)
+    got = {
+        r.user_id: (r.view_us, r.click_us, r.purchase_us)
+        for r in funnel_stages(_mk(spark, rows), stages).collect()
+    }
+    assert got == want
+
+
+def test_cohort_retention(spark):
+    """Integer epoch-day cohorts; repeat events on one day count once;
+    the midnight boundary is exact (us = k*DAY belongs to day k)."""
+    rows = [
+        (1, "view", 0),                 # day 0 (cohort 0)
+        (1, "click", DAY - 1),          # still day 0
+        (1, "view", DAY),               # exactly midnight -> day 1
+        (1, "view", DAY + 5),           # same day, counts once
+        (2, "view", 3 * DAY + 7),       # cohort 3
+        (2, "error", 5 * DAY),          # offset 2
+    ]
+    got = {
+        (r.cohort_day, r.day_offset): r.active_keys
+        for r in cohort_retention(_mk(spark, rows)).collect()
+    }
+    assert got == {
+        (0, 0): 1,
+        (0, 1): 1,
+        (3, 0): 1,
+        (3, 2): 1,
+    }
