@@ -1758,6 +1758,14 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dup_groups(docs.unionByName(variants))
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + type/token ratio per doc — pure codegen
+    regexp counts, scan-level projection, no shuffle."""
+    from sagan_spark.ops.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def _docs_with_messy_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a deliberately messy synthetic url (mixed-case
     scheme/host, default and non-default ports, tracking params,
@@ -2188,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_counts": q_events_funnel_counts,
         "events_cohort_retention": q_events_cohort_retention,
         "dedup_exact_normalized": q_dedup_exact_normalized,
+        "text_readability": q_text_readability,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_yield": q_corpus_prep_yield,
         "sample_deterministic": q_sample_deterministic,
@@ -2886,6 +2895,8 @@ def oracle_sql() -> dict[str, str]:
         " (PARTITION BY user_id ORDER BY us, event_id"
         " ROWS UNBOUNDED PRECEDING) AS session_start_us FROM g)"
     )
+
+    from sagan_spark.ops.textstats import TOKEN_RE as _TOKEN_RE_SQL
 
     # funnel (ops/funnel.py): chained earliest-at-or-after minima —
     # the same aggregation chain the Spark op runs (no window).
@@ -3952,6 +3963,26 @@ def oracle_sql() -> dict[str, str]:
             " SELECT cohort_day, d - cohort_day AS day_offset,"
             " count(*) AS active_keys FROM days JOIN firsts USING"
             " (user_id) GROUP BY 1, 2"
+        ),
+        "text_readability": (
+            "SELECT doc_id, n_words,"
+            " CASE WHEN has_text THEN greatest(n_sent_raw, 1) END"
+            " AS n_sentences, n_syllables,"
+            " CASE WHEN n_words > 0 THEN round(206.835"
+            " - 1.015 * (n_words / greatest(n_sent_raw, 1))"
+            " - 84.6 * (n_syllables / n_words), 6) END AS flesch,"
+            " CASE WHEN n_toks > 0 THEN round(n_types / n_toks, 6) END"
+            " AS ttr FROM ("
+            "SELECT doc_id, text IS NOT NULL AS has_text,"
+            " len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,"
+            " len(regexp_extract_all(text, '[.!?]+')) AS n_sent_raw,"
+            " len(regexp_extract_all(text, '(?i)[aeiouy]+'))"
+            " AS n_syllables,"
+            f" len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))"
+            " AS n_toks,"
+            " len(list_distinct(regexp_extract_all(text,"
+            f" '{_TOKEN_RE_SQL}'))) AS n_types"
+            " FROM documents)"
         ),
         "dedup_exact_normalized": (
             "WITH corpus AS (SELECT doc_id, text FROM documents"

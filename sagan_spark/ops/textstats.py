@@ -239,6 +239,49 @@ def quality_score(docs: DataFrame, text_col: str = "text",
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Readability / lexical-diversity features per doc — the
+    grade-level screen corpus recipes run next to the Gopher rules:
+
+    - ``n_words``: letter-run words (``[A-Za-z]+``),
+    - ``n_sentences``: ``[.!?]+`` runs (floored at 1 when the doc has
+      words, so fragments still score),
+    - ``n_syllables``: vowel-run groups (``(?i)[aeiouy]+``) — the
+      standard zero-dependency syllable heuristic; vowel-less tokens
+      contribute 0 (documented deviation from per-word-min-1),
+    - ``flesch``: 206.835 − 1.015·(words/sentences) −
+      84.6·(syllables/words)  (Flesch 1948 reading ease),
+    - ``ttr``: type/token ratio over the BPE-ish stream (TOKEN_RE),
+      the plain lexical-diversity statistic.
+
+    Pure codegen (regexp counts + array_distinct); every expression
+    has a byte-identical RE2/DuckDB twin, NULL text yields NULL
+    features on both sides."""
+    t = F.col(text_col)
+    n_words = F.regexp_count(t, F.lit(r"[A-Za-z]+")).cast("long")
+    n_sent_raw = F.regexp_count(t, F.lit(r"[.!?]+")).cast("long")
+    n_sent = F.greatest(n_sent_raw, F.lit(1))
+    n_syl = F.regexp_count(t, F.lit(r"(?i)[aeiouy]+")).cast("long")
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206.835) - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syl / n_words),
+    )
+    toks = F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0))
+    ttr = F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.when(t.isNotNull(), n_sent).cast("long").alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+        F.round(ttr, 6).alias("ttr"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens

@@ -170,6 +170,41 @@ def test_langid_trained_plan_shape(spark):
     assert "partial_min" in plan, "argmax must partial-aggregate map-side"
 
 
+def test_readability_features(spark):
+    """Flesch + TTR twin on hand-countable docs; NULL text yields NULL
+    features; fragment with no sentence punctuation floors at 1."""
+    import re as _re
+
+    from sagan_spark.ops.textstats import TOKEN_RE, readability
+
+    docs = [
+        (1, "The cat sat. The dog ran!"),
+        (2, "no punctuation here"),
+        (3, None),
+        (4, "123 456"),  # no letter-words: flesch NULL, ttr present
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.flesch, r.ttr)
+        for r in readability(df).collect()
+    }
+    for did, text in docs:
+        if text is None:
+            assert got[did] == (None, None, None, None, None)
+            continue
+        w = len(_re.findall(r"[A-Za-z]+", text))
+        s = max(len(_re.findall(r"[.!?]+", text)), 1)
+        syl = len(_re.findall(r"[aeiouy]+", text, _re.I))
+        fl = (
+            round(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 6)
+            if w
+            else None
+        )
+        toks = _re.findall(TOKEN_RE, text)
+        ttr = round(len(set(toks)) / len(toks), 6) if toks else None
+        assert got[did] == (w, s, syl, fl, ttr), did
+
+
 def test_bpe_pair_stats_vs_python(spark):
     import re
     from collections import Counter
