@@ -1713,6 +1713,46 @@ def q_events_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_rollup(_ev(spark, sf_dir), gap_sec=14400, bucket_sec=86400)
 
 
+def q_events_session_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same session rollup via Spark's built-in session_window
+    aggregation — one oracle serves both spellings, so this gate
+    proves the two-phase decomposition == the engine-native op."""
+    from sagan_spark.ops.sessions import session_rollup_native
+
+    return session_rollup_native(_ev(spark, sf_dir), gap_sec=14400)
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-event sessionization (applyInPandasWithState,
+    event-time timeout eviction) drained over the events table with
+    availableNow — and, unlike the threshold smoke, a FULL-oracle
+    gate: one drained batch holds each key's whole history, so the
+    assignment must equal the global-window oracle bit-for-bit (the
+    same SQL as events_sessionize).  Cross-chunk/restart parity is
+    pinned in tests/test_sessions_streaming.py."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from sagan_spark.streaming.sessions import start_session_query
+
+    work = tempfile.mkdtemp(prefix="sagan_sess_contract_")
+    try:
+        inp = f"{work}/in"
+        os.makedirs(inp)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{inp}/events.parquet")
+        q = start_session_query(
+            spark, inp, f"{work}/out", f"{work}/ckpt", gap_sec=14400
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("streaming drain did not finish in 180s")
+        out = spark.read.parquet(f"{work}/out")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel, per user: chained
     min-aggregations on the key (no window, no per-key sort) — stage i
@@ -2192,6 +2232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "events_sessionize": q_events_sessionize,
         "events_session_rollup": q_events_session_rollup,
+        "events_session_rollup_native": q_events_session_rollup_native,
+        "streaming_sessionize": q_streaming_sessionize,
         "events_funnel": q_events_funnel,
         "events_funnel_counts": q_events_funnel_counts,
         "events_cohort_retention": q_events_cohort_retention,
@@ -3934,7 +3976,19 @@ def oracle_sql() -> dict[str, str]:
             _session_cte + " SELECT user_id, event_id, us AS event_us,"
             " session_start_us FROM h"
         ),
+        # the streaming drain over one availableNow batch must equal
+        # the same global-window oracle (full history per key in-batch)
+        "streaming_sessionize": (
+            _session_cte + " SELECT user_id, event_id, us AS event_us,"
+            " session_start_us FROM h"
+        ),
         "events_session_rollup": (
+            _session_cte + " SELECT user_id, session_start_us,"
+            " count(*) AS n_events,"
+            " max(us) - session_start_us AS duration_us"
+            " FROM h GROUP BY user_id, session_start_us"
+        ),
+        "events_session_rollup_native": (
             _session_cte + " SELECT user_id, session_start_us,"
             " count(*) AS n_events,"
             " max(us) - session_start_us AS duration_us"

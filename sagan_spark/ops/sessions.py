@@ -134,6 +134,43 @@ def sessionize(events: DataFrame, gap_sec: int = 14400,
     )
 
 
+def session_rollup_native(events: DataFrame, gap_sec: int = 14400,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id") -> DataFrame:
+    """:func:`session_rollup` via Spark's built-in
+    ``F.session_window`` aggregation — same (key, session_start_us,
+    n_events, duration_us) rows, so the two share one oracle (and the
+    gate pair proves the hand-rolled two-phase decomposition equals
+    the engine-native operator).  ``session_window``'s end is
+    last-event + gap, so duration = end − gap − start.
+
+    The built-in is also the streaming form of this op (watermark +
+    session_window in a streaming aggregation); batch-side it plans a
+    SortAggregate over (key, sessionized rows) — the hot-key posture
+    is Spark's own session-merge machinery rather than the bounded
+    bucket windows of :func:`sessionize`, which is why both spellings
+    are kept."""
+    gap_us = int(gap_sec) * 1_000_000
+    sw = F.session_window(
+        F.col(ts_col).cast("timestamp"), f"{int(gap_sec)} seconds"
+    )
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col), sw.alias("_sg_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_micros(F.col("_sg_w.start")).alias("session_start_us"),
+            "n_events",
+            (
+                F.unix_micros(F.col("_sg_w.end"))
+                - F.lit(gap_us)
+                - F.unix_micros(F.col("_sg_w.start"))
+            ).alias("duration_us"),
+        )
+    )
+
+
 def session_rollup(events: DataFrame, gap_sec: int = 14400,
                    bucket_sec: int = 86400, key_col: str = "user_id",
                    ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:

@@ -361,6 +361,36 @@ def test_quota_samplers_window_only_slack_survivors(spark):
         )
 
 
+def test_funnel_and_cohort_no_window_no_python(spark):
+    """funnel_stages / funnel_counts / cohort_retention pins: the
+    whole point of the chained-minima spelling is that NO per-key
+    window or sort ever touches the event corpus — a hot key combines
+    map-side.  Pins: no Window, no Python node, and every hash
+    exchange is keyed on the funnel key (user_id) or a grouping
+    output, never a corpus-ordering sort key."""
+    from sagan_spark.ops.funnel import cohort_retention, funnel_counts, funnel_stages
+
+    ev = spark.createDataFrame(
+        [(1, "view", 1704067200000000)],
+        "user_id long, event_type string, us long",
+    ).select(
+        "user_id", "event_type", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    plans = {
+        "funnel_stages": funnel_stages(ev, ["view", "click", "purchase"]),
+        "funnel_counts": funnel_counts(ev, ["view", "click", "purchase"]),
+        "cohort": cohort_retention(ev),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{name}: window in plan"
+        assert "EvalPython" not in plan, f"{name}: Python node"
+        keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+        assert keys <= {"user_id", "cohort_day", "stage_idx"}, (
+            f"{name}: unexpected exchange keys {keys}"
+        )
+
+
 def test_lm_buckets_windows_only_the_histogram(spark):
     """lm_buckets pins: the tercile windows run over the per-(lang,
     score) HISTOGRAM, never the corpus — no exchange keyed by doc_id,

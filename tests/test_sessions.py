@@ -10,7 +10,7 @@ import re
 
 from pyspark.sql import functions as F
 
-from sagan_spark.ops.sessions import session_rollup, sessionize
+from sagan_spark.ops.sessions import session_rollup, session_rollup_native, sessionize
 
 US = 1_000_000
 
@@ -110,6 +110,14 @@ def test_sessionize_fuzz_and_rollup(spark):
         for r in session_rollup(df, gap_sec=gap, bucket_sec=bucket).collect()
     }
     assert got_roll == want_roll
+
+    # engine-native spelling: Spark's session_window must agree on the
+    # same fuzz corpus (incl. its <=-gap merge boundary)
+    got_native = {
+        (r.user_id, r.session_start_us): (r.n_events, r.duration_us)
+        for r in session_rollup_native(df, gap_sec=gap).collect()
+    }
+    assert got_native == want_roll
 
 
 def test_sessionize_event_windows_bucketed(spark):
