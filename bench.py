@@ -65,6 +65,12 @@ HEADLINE = [
     "domain_pagerank",
     "lm_likelihood",
     "dsir_weights",
+    # round-4 additions: bounded-window sessionization + the
+    # aggregation-chain funnel + bloom-prefiltered incremental dedup
+    "events_sessionize",
+    "events_funnel",
+    "dedup_incremental_bloom",
+    "text_readability",
 ]
 
 
