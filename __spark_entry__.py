@@ -1777,6 +1777,25 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_ev(spark, sf_dir))
 
 
+def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key event-rate burst detection (daily buckets, trailing
+    7-day baseline, factor 2.0, min 3 events): the adaptive-baseline
+    generalization of the reference's fixed `threshold: count N,
+    seconds T` counters.  Events collapse map-side to one row per
+    (key, non-empty bucket); the only window is an integer RANGE
+    frame over that counts frame, so a hot key's partition is its
+    non-empty-bucket count, never its event count."""
+    from sagan_spark.ops.bursts import detect_bursts
+
+    return detect_bursts(
+        _ev(spark, sf_dir),
+        bucket_sec=86400,
+        trailing_buckets=7,
+        factor_milli=2000,
+        min_count=3,
+    )
+
+
 def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over CCNet-normalized text.  The corpus is the
     documents table UNION a mangled twin per doc (uppercased, digits
@@ -2237,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_funnel_counts": q_events_funnel_counts,
         "events_cohort_retention": q_events_cohort_retention,
+        "events_bursts": q_events_bursts,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "text_readability": q_text_readability,
         "corpus_prep": q_corpus_prep,
@@ -4017,6 +4037,23 @@ def oracle_sql() -> dict[str, str]:
             " SELECT cohort_day, d - cohort_day AS day_offset,"
             " count(*) AS active_keys FROM days JOIN firsts USING"
             " (user_id) GROUP BY 1, 2"
+        ),
+        # burst rule replayed integer-exact: n*1000*k >= factor_milli
+        # * trailing_sum, RANGE frame over the bucket index so empty
+        # buckets count as zero on both sides
+        "events_bursts": (
+            "WITH c AS (SELECT user_id,"
+            " epoch_us(ts) // 86400000000 AS b, count(*) AS n_events"
+            " FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),"
+            " t AS (SELECT user_id, b, n_events,"
+            " sum(n_events) OVER (PARTITION BY user_id ORDER BY b"
+            " RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)"
+            " AS trailing_sum FROM c)"
+            " SELECT user_id, b * 86400000000 AS bucket_start_us,"
+            " n_events, trailing_sum,"
+            " CASE WHEN trailing_sum IS NOT NULL AND n_events >= 3"
+            " AND n_events * 7000 >= 2000 * trailing_sum"
+            " THEN 1 ELSE 0 END AS is_burst FROM t"
         ),
         "text_readability": (
             "SELECT doc_id, n_words,"
