@@ -1796,6 +1796,19 @@ def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of `value` per event_type via the value
+    histogram: the cumulative window runs over one row per (key,
+    distinct value), never the raw events, and the quantile is the
+    integer-exact lower empirical quantile (cum * 1e6 >= q_ppm * n)
+    — always an observed value, no float interpolation."""
+    from sagan_spark.ops.quantiles import quantile_rollup
+
+    return quantile_rollup(
+        _ev(spark, sf_dir), quantiles_ppm=(500000, 950000, 990000)
+    )
+
+
 def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over CCNet-normalized text.  The corpus is the
     documents table UNION a mangled twin per doc (uppercased, digits
@@ -2257,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_counts": q_events_funnel_counts,
         "events_cohort_retention": q_events_cohort_retention,
         "events_bursts": q_events_bursts,
+        "events_quantiles": q_events_quantiles,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "text_readability": q_text_readability,
         "corpus_prep": q_corpus_prep,
@@ -4054,6 +4068,22 @@ def oracle_sql() -> dict[str, str]:
             " CASE WHEN trailing_sum IS NOT NULL AND n_events >= 3"
             " AND n_events * 7000 >= 2000 * trailing_sum"
             " THEN 1 ELSE 0 END AS is_burst FROM t"
+        ),
+        # lower empirical quantile off the per-key value histogram:
+        # smallest value with cum*1e6 >= q_ppm*n, replayed exactly
+        "events_quantiles": (
+            "WITH h AS (SELECT event_type, value, count(*) AS c"
+            " FROM events WHERE value IS NOT NULL GROUP BY 1, 2),"
+            " cum AS (SELECT event_type, value,"
+            " sum(c) OVER (PARTITION BY event_type ORDER BY value"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS cum,"
+            " sum(c) OVER (PARTITION BY event_type) AS n FROM h),"
+            " q AS (SELECT unnest([500000, 950000, 990000]) AS q_ppm)"
+            " SELECT event_type, q_ppm,"
+            " CAST(max(n) AS BIGINT) AS n_events,"
+            " min(value) AS q_value FROM cum CROSS JOIN q"
+            " WHERE cum * 1000000 >= q_ppm * n GROUP BY 1, 2"
         ),
         "text_readability": (
             "SELECT doc_id, n_words,"

@@ -1,0 +1,81 @@
+"""Exact per-key quantiles without a per-key corpus sort.
+
+The log-analytics staple: p50/p95/p99 of a measure per key (latency
+per endpoint, bytes per host, score per rule).  The naive spelling —
+``percentile(value) OVER (PARTITION BY key)`` or a per-key sort —
+funnels a hot key's full event set into one task, the skew class this
+repo eliminates everywhere (dedup_paragraphs, stratified_sample,
+sessionize).
+
+Shape here (the lm_buckets histogram idiom, `ops/lmscore.py`,
+generalized to arbitrary quantiles):
+
+1. events collapse map-side to a VALUE HISTOGRAM — one row per
+   (key, distinct value) via ``groupBy().count()`` — so a hot key is
+   partial-aggregated before the shuffle and the frame is bounded by
+   per-key value cardinality, not event count;
+2. a cumulative window runs over that histogram only (ordered by
+   value — unique within a key by construction, so the frame is
+   deterministic);
+3. each requested quantile is the classic lower empirical quantile
+   (inverse CDF, type 1): the SMALLEST value whose ascending
+   cumulative count ``cum`` satisfies ``cum >= ceil(q * n)`` —
+   integer-exact as ``cum * 1_000_000 >= q_ppm * n`` (no float
+   interpolation, so the result is always an observed value and the
+   DuckDB oracle replays it bit-for-bit).  ``q_ppm = 1_000_000`` is
+   the max, ``500_000`` the median.
+
+Quantiles arrive as a tiny literal frame and broadcast-join onto the
+histogram, so N quantiles cost one scan, not N.  Overflow headroom:
+``cum * 10^6`` stays under int64 through 9 x 10^12 events per key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantile_rollup(events: DataFrame,
+                    quantiles_ppm: Sequence[int] = (500000, 950000, 990000),
+                    key_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """One row per (key, q_ppm): (key, q_ppm, n_events, q_value) where
+    ``q_value`` is the lower empirical quantile of ``value_col`` and
+    ``n_events`` the key's non-NULL value count.  NULL values are
+    dropped; a key with no non-NULL values is absent."""
+    spark = events.sparkSession
+    hist = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_sg_c"))
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key_col)
+    cum = hist.select(
+        key_col,
+        value_col,
+        F.sum("_sg_c").over(w_cum).alias("_sg_cum"),
+        F.sum("_sg_c").over(w_all).alias("_sg_n"),
+    )
+    qs = spark.createDataFrame(
+        [(int(q),) for q in quantiles_ppm], "q_ppm long"
+    )
+    return (
+        cum.join(F.broadcast(qs))
+        .filter(
+            F.col("_sg_cum") * F.lit(1_000_000)
+            >= F.col("q_ppm") * F.col("_sg_n")
+        )
+        .groupBy(key_col, "q_ppm")
+        .agg(
+            F.max("_sg_n").alias("n_events"),
+            F.min(value_col).alias("q_value"),
+        )
+    )
