@@ -1422,6 +1422,17 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, top_n=100)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by linear-idf TF-IDF
+    over a frequency-capped (broadcastable) corpus vocabulary; the
+    IEEE double chain is replayed operation-for-operation in the
+    oracle (the `sample_temperature` precedent)."""
+    from sagan_spark.ops.tfidf import tfidf_topk
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_topk(docs, k=5, max_vocab=65536)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.packing import pack_sequences
 
@@ -2242,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "vocab_stats": q_vocab_stats,
+        "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
         "pack_chunk_stats": q_pack_chunk_stats,
         "multimodal_meta": q_multimodal_meta,
@@ -3809,6 +3821,28 @@ def oracle_sql() -> dict[str, str]:
             " SELECT token, CAST(sum(tf) AS BIGINT) AS term_freq,"
             " count(*) AS doc_freq FROM pd GROUP BY 1"
             " ORDER BY term_freq DESC, token ASC LIMIT 100"
+        ),
+        # linear-idf TF-IDF replayed operation-for-operation:
+        # ((tf*1000.0) * n_docs / doc_freq) / in-vocab doc length,
+        # rank ties broken by token ascending
+        "tfidf_topk": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM documents),"
+            " pd AS (SELECT doc_id, token, count(*) AS tf FROM toks"
+            "  GROUP BY 1, 2),"
+            " vocab AS (SELECT token, count(*) AS doc_freq FROM pd"
+            "  GROUP BY 1 ORDER BY CAST(sum(tf) AS BIGINT) DESC, token ASC"
+            "  LIMIT 65536),"
+            " nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM pd),"
+            " scored AS (SELECT pd.doc_id, pd.token, pd.tf, v.doc_freq,"
+            "  (CAST(pd.tf AS DOUBLE) * 1000.0) * (SELECT n_docs FROM nd)"
+            "  / v.doc_freq / CAST(sum(pd.tf) OVER (PARTITION BY pd.doc_id)"
+            "   AS BIGINT) AS tfidf_milli"
+            "  FROM pd JOIN vocab v USING (token))"
+            " SELECT doc_id, token, tf, doc_freq AS df, tfidf_milli, rank"
+            " FROM (SELECT *, row_number() OVER (PARTITION BY doc_id"
+            "  ORDER BY tfidf_milli DESC, token ASC) AS rank FROM scored)"
+            " WHERE rank <= 5"
         ),
         "pack_sequences": f"{_pack_cte} SELECT * FROM packed",
         "pack_chunk_stats": (
