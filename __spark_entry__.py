@@ -1433,6 +1433,28 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=5, max_vocab=65536)
 
 
+# BM25 gate workload: fixed query strings over the documents table's
+# vocabulary (mix of hot tokens, rare tokens, and one absent token so
+# the zero-df / no-match paths are exercised); the oracle VALUES list
+# is generated from this same constant with the same tokenizer.
+BM25_QUERIES = [
+    (1, "fast hash join"),
+    (2, "window agg scan"),
+    (3, "slow vector stream"),
+    (4, "customer order warehouse"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval, linear-idf, integer-milli term scores,
+    skew-safe two-stage per-query top-k (salted local rank, then the
+    global rank over the bounded survivor set)."""
+    from sagan_spark.ops.tfidf import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(docs, BM25_QUERIES, k=10)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.packing import pack_sequences
 
@@ -2254,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "vocab_stats": q_vocab_stats,
         "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
         "pack_sequences": q_pack_sequences,
         "pack_chunk_stats": q_pack_chunk_stats,
         "multimodal_meta": q_multimodal_meta,
@@ -2650,6 +2673,51 @@ def _bpe_pair_sql() -> str:
         " SELECT tok_left, tok_right, count(*) AS pair_count FROM p"
         " WHERE tok_right IS NOT NULL GROUP BY 1, 2"
         " ORDER BY pair_count DESC, tok_left ASC, tok_right ASC LIMIT 100"
+    )
+
+
+def _bm25_sql() -> str:
+    """bm25_topk oracle: the query-token VALUES list is generated from
+    BM25_QUERIES with the op's own tokenizer, and the IEEE double chain
+    (linear idf x saturation, floored to milli BEFORE the per-(query,
+    doc) sum) is replayed operation-for-operation; the per-query top-k
+    is the plain single global window the two-stage form is provably
+    equivalent to."""
+    import re
+
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    tok_re = re.compile(TOKEN_RE)
+    vals = ", ".join(
+        f"({qid}, '{tok}')"
+        for qid, qtext in BM25_QUERIES
+        for tok in dict.fromkeys(tok_re.findall(qtext))
+    )
+    return (
+        f"WITH qt AS (SELECT * FROM (VALUES {vals}) AS t(query_id, token)),"
+        " toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM documents),"
+        " pd AS (SELECT doc_id, token, count(*) AS tf FROM toks"
+        "  GROUP BY 1, 2),"
+        " dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM pd"
+        "  GROUP BY 1),"
+        " corpus AS (SELECT count(*) AS n_docs,"
+        "  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlen),"
+        " qdf AS (SELECT token, count(*) AS df FROM pd"
+        "  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),"
+        " m AS (SELECT qt.query_id, pd.doc_id,"
+        "  CAST(floor(1000.0 * (CAST(c.n_docs AS DOUBLE) / qdf.df)"
+        "   * (CAST(pd.tf AS DOUBLE) * 2.2 / (CAST(pd.tf AS DOUBLE)"
+        "      + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / c.avgdl))))"
+        "   AS BIGINT) AS tm"
+        "  FROM pd JOIN qt USING (token) JOIN qdf USING (token)"
+        "  JOIN dlen d USING (doc_id) CROSS JOIN corpus c),"
+        " s AS (SELECT query_id, doc_id, CAST(sum(tm) AS BIGINT)"
+        "  AS score_milli FROM m GROUP BY 1, 2)"
+        " SELECT query_id, doc_id, score_milli, rank FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY score_milli DESC, doc_id ASC) AS rank FROM s)"
+        " WHERE rank <= 10"
     )
 
 
@@ -3844,6 +3912,7 @@ def oracle_sql() -> dict[str, str]:
             "  ORDER BY tfidf_milli DESC, token ASC) AS rank FROM scored)"
             " WHERE rank <= 5"
         ),
+        "bm25_topk": _bm25_sql(),
         "pack_sequences": f"{_pack_cte} SELECT * FROM packed",
         "pack_chunk_stats": (
             f"{_pack_cte}, ex AS (SELECT shard, tok_start, tok_end,"

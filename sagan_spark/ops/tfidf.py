@@ -35,6 +35,8 @@ idf preserves the per-document contrast this operator exists for.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,4 +99,110 @@ def tfidf_topk(docs: DataFrame, k: int = 5, max_vocab: int = 65536,
             "tfidf_milli",
             "rank",
         )
+    )
+
+
+def bm25_topk(docs: DataFrame, queries: Sequence[tuple[int, str]],
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              salt_buckets: int = 64) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents per query as
+    (query_id, doc_id, score_milli, rank).
+
+    ``queries`` is a driver-side list of (query_id, query_text) —
+    a query workload is small by definition, so the query-token table
+    is broadcast and ONLY tokens that appear in some query ever leave
+    the per-doc aggregation: df/idf are computed on the semi-joined
+    sliver, never the full vocabulary.
+
+    Scoring uses the linear idf ``n_docs / df`` (same cross-engine
+    rationale as :func:`tfidf_topk`; the classic
+    ``ln((N-df+0.5)/(df+0.5)+1)`` is a one-line swap) and the standard
+    saturation ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.  Each
+    (query, doc, token) term is floored to integer milli-units BEFORE
+    the per-(query, doc) sum, so the sum is order-independent — the
+    float-summation nondeterminism fix from `ops/lmscore.py`.
+
+    The per-query top-k is the skew-safe two-stage form: a query whose
+    tokens hit 10^11 documents must not funnel them into one sorting
+    task, so candidates first rank within (query_id, doc-hash salt
+    bucket) partitions — each bounded to ~1/``salt_buckets`` of the
+    candidate set — and only the <= k*salt_buckets stage-1 survivors
+    meet the global per-query window.  Any global top-k row is top-k
+    within its bucket, so the two stages are exactly equivalent to the
+    single global window the oracle runs.
+    """
+    spark = docs.sparkSession
+    qtok_rows = []
+    import re as _re
+    tok_re = _re.compile(TOKEN_RE)
+    for qid, qtext in queries:
+        for tok in dict.fromkeys(tok_re.findall(qtext)):
+            qtok_rows.append((int(qid), tok))
+    qtoks = spark.createDataFrame(qtok_rows, "query_id int, token string")
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    per_doc = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doclen = per_doc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    # df over the query-token sliver only: the broadcast semi-join
+    # keeps every non-query token out of this aggregation entirely
+    qdf = (
+        per_doc.join(F.broadcast(qtoks.select("token").distinct()), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    matched = (
+        per_doc.join(F.broadcast(qtoks), "token")
+        .join(F.broadcast(qdf), "token")
+        .join(doclen, id_col)
+        .join(F.broadcast(corpus))
+    )
+    sat = (
+        F.col("tf").cast("double") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+    )
+    term_milli = F.floor(
+        F.lit(1000.0) * (F.col("n_docs").cast("double") / F.col("df")) * sat
+    )
+    scored = matched.groupBy("query_id", id_col).agg(
+        F.sum(term_milli).alias("score_milli")
+    )
+    # stage 1: rank inside (query, salt) — bounded partitions
+    w_local = Window.partitionBy("query_id", "_sg_salt").orderBy(
+        F.desc("score_milli"), F.asc(id_col)
+    )
+    survivors = (
+        scored.withColumn(
+            "_sg_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        .withColumn("_sg_r", F.row_number().over(w_local))
+        .filter(F.col("_sg_r") <= F.lit(int(k)))
+        .drop("_sg_salt", "_sg_r")
+    )
+    # stage 2: final rank over <= k*salt_buckets survivors per query
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select("query_id", id_col, "score_milli", "rank")
     )

@@ -86,3 +86,86 @@ def test_tfidf_vocab_join_is_broadcast(spark):
     plan = tfidf_topk(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- BM25 ----
+
+from sagan_spark.ops.tfidf import bm25_topk  # noqa: E402
+
+BM25_DOCS = [
+    (0, "fast join fast join fast"),
+    (1, "the slow table scan over the big table"),
+    (2, "hash join on the hash table"),
+    (3, "fast hash"),
+    (4, "unrelated words only here"),
+    (5, ""),
+]
+BM25_QUERIES = [(1, "fast hash join"), (2, "missing token"), (3, "table")]
+
+
+def _bm25_twin(docs, queries, k, k1=1.2, b=0.75):
+    import math
+
+    tok_re = re.compile(TOKEN_RE)
+    per_doc: dict[tuple[int, str], int] = {}
+    for d, text in docs:
+        for t in tok_re.findall(text):
+            per_doc[(d, t)] = per_doc.get((d, t), 0) + 1
+    dl: dict[int, int] = {}
+    for (d, t), c in per_doc.items():
+        dl[d] = dl.get(d, 0) + c
+    n_docs = len(dl)
+    avgdl = float(sum(dl.values())) / n_docs
+    qtoks = {}
+    for qid, qtext in queries:
+        qtoks[qid] = list(dict.fromkeys(tok_re.findall(qtext)))
+    all_q = {t for ts in qtoks.values() for t in ts}
+    df = {t: sum(1 for (d, u) in per_doc if u == t) for t in all_q}
+    scores: dict[tuple[int, int], int] = {}
+    for qid, ts in qtoks.items():
+        for t in ts:
+            if df.get(t, 0) == 0:
+                continue
+            for (d, u), c in per_doc.items():
+                if u != t:
+                    continue
+                sat = (float(c) * (k1 + 1.0)) / (
+                    float(c) + k1 * ((1.0 - b) + b * float(dl[d]) / avgdl)
+                )
+                tm = math.floor(1000.0 * (float(n_docs) / df[t]) * sat)
+                scores[(qid, d)] = scores.get((qid, d), 0) + tm
+    out = []
+    by_q: dict[int, list] = {}
+    for (qid, d), s in scores.items():
+        by_q.setdefault(qid, []).append((s, d))
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        for rank, (s, d) in enumerate(rows[:k], 1):
+            out.append((qid, d, s, rank))
+    return sorted(out)
+
+
+def _bm25_run(spark, k=3, salt_buckets=64):
+    df = spark.createDataFrame(BM25_DOCS, "doc_id int, text string")
+    return sorted(
+        (r.query_id, r.doc_id, r.score_milli, r.rank)
+        for r in bm25_topk(
+            df, BM25_QUERIES, k=k, salt_buckets=salt_buckets
+        ).collect()
+    )
+
+
+def test_bm25_matches_twin(spark):
+    assert _bm25_run(spark) == _bm25_twin(BM25_DOCS, BM25_QUERIES, 3)
+
+
+def test_bm25_two_stage_equals_single_bucket(spark):
+    # salt_buckets=1 degenerates stage 1 into the global window; any
+    # other bucket count must produce the identical top-k
+    assert _bm25_run(spark, salt_buckets=1) == _bm25_run(spark, salt_buckets=7)
+
+
+def test_bm25_no_match_query_absent(spark):
+    got = _bm25_run(spark)
+    assert all(q != 2 for (q, _, _, _) in got)  # no doc has those tokens
+    assert {q for (q, _, _, _) in got} == {1, 3}
