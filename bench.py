@@ -71,6 +71,8 @@ HEADLINE = [
     "events_funnel",
     "dedup_incremental_bloom",
     "text_readability",
+    "tfidf_topk",
+    "bm25_topk",
 ]
 
 
