@@ -140,28 +140,39 @@ def bm25_topk(docs: DataFrame, queries: Sequence[tuple[int, str]],
         for tok in dict.fromkeys(tok_re.findall(qtext)):
             qtok_rows.append((int(qid), tok))
     qtoks = spark.createDataFrame(qtok_rows, "query_id int, token string")
+    qtok_set = sorted({t for _, t in qtok_rows})
 
-    toks = docs.select(
+    # doc length = the token-array size, computed WITHOUT explode or
+    # aggregation (sum-of-tf over the per-doc counts is identical by
+    # construction); dl > 0 reproduces "has at least one token"
+    doclen = docs.select(
         F.col(id_col),
-        F.explode(
+        F.size(
             F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
-        ).alias("token"),
-    )
-    per_doc = toks.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    doclen = per_doc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        ).cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
     corpus = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    # df over the query-token sliver only: the broadcast semi-join
-    # keeps every non-query token out of this aggregation entirely
-    qdf = (
-        per_doc.join(F.broadcast(qtoks.select("token").distinct()), "token")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # tf over the query-token sliver only: the literal isin filter sits
+    # directly under the explode, so the count aggregation (and every
+    # row that reaches a shuffle) covers query tokens, never the full
+    # vocabulary
+    per_doc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(TOKEN_RE), F.lit(0)
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token").isin(qtok_set))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+    qdf = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     matched = (
         per_doc.join(F.broadcast(qtoks), "token")
         .join(F.broadcast(qdf), "token")
