@@ -1956,6 +1956,53 @@ def q_sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaffolded pages for the anchor ops (q_link_extract
+    discipline): per doc — an absolute link carrying the text's first
+    12 chars as anchor, a relative link that must NOT extract, an
+    absolute link with a whitespace-padded anchor (trim path), and an
+    absolute link with an EMPTY anchor (drop path)."""
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><a href="https://'), F.col("source"),
+        F.lit(".com/p/"), (F.col("doc_id") % 7).cast("string"),
+        F.lit('" class="x">'), F.substring(F.col("text"), 1, 12),
+        F.lit('</a><a href="/rel">skip</a><a href="https://ref'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.org/">  Read More  </a><a href="https://empty'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('.net/"></a><p>'), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_url, dst_url, anchor) triples: scan-level two-group regex
+    extraction, positional zip_with pairing, empty anchors dropped."""
+    from sagan_spark.ops.anchors import extract_anchors
+
+    return extract_anchors(_anchor_pages(spark, sf_dir))
+
+
+def q_anchor_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END anchor mining: scaffolded html → anchor extraction →
+    per-target-registered-domain (lowercased) anchor counts → salted
+    two-stage top-10 (ops/topk.py) — oracle runs the plain global
+    window the two-stage form is equivalent to."""
+    from sagan_spark.ops.anchors import anchor_domain_topk, extract_anchors
+
+    return anchor_domain_topk(
+        extract_anchors(_anchor_pages(spark, sf_dir)), k=10
+    )
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """href edge extraction over scaffolded html (same deterministic
     scaffold discipline as q_text_extract: the testdata table carries
@@ -2316,6 +2363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_quota": q_sample_domain_quota,
         "sample_temperature": q_sample_temperature,
         "link_extract": q_link_extract,
+        "anchor_extract": q_anchor_extract,
+        "anchor_domain_topk": q_anchor_domain_topk,
         "domain_pagerank": q_domain_pagerank,
         "encoding_quality": q_encoding_quality,
         "lm_likelihood": q_lm_likelihood,
@@ -2719,6 +2768,56 @@ def _bm25_sql() -> str:
         "   ORDER BY score_milli DESC, doc_id ASC) AS rank FROM s)"
         " WHERE rank <= 10"
     )
+
+
+def _anchor_sqls() -> tuple[str, str]:
+    """(anchor_extract, anchor_domain_topk) oracles: the
+    _anchor_pages scaffold in || form, the SAME ANCHOR_RE capture
+    groups paired positionally via 1-based list indexing, and the
+    domain rollup through the shared PSL CASE ladder with the plain
+    global top-k window."""
+    from sagan_spark.ops.anchors import ANCHOR_RE
+    from sagan_spark.ops.psl import registered_domain_sql
+    from sagan_spark.ops.urltools import HOST_RE
+
+    scaffold = (
+        "'<html><body><a href=\"https://' || source || '.com/p/'"
+        " || CAST(doc_id % 7 AS VARCHAR) || '\" class=\"x\">'"
+        " || substr(text, 1, 12)"
+        " || '</a><a href=\"/rel\">skip</a><a href=\"https://ref'"
+        " || CAST(doc_id % 5 AS VARCHAR)"
+        " || '.org/\">  Read More  </a><a href=\"https://empty'"
+        " || CAST(doc_id % 3 AS VARCHAR)"
+        " || '.net/\"></a><p>' || text || '</p></body></html>'"
+    )
+    base = (
+        "WITH p AS (SELECT 'https://' || source || '.example/p/'"
+        " || CAST(doc_id AS VARCHAR) AS src_url,"
+        f" {scaffold} AS h FROM documents),"
+        f" e AS (SELECT src_url, regexp_extract_all(h, '{ANCHOR_RE}', 1)"
+        f" AS us, regexp_extract_all(h, '{ANCHOR_RE}', 2) AS ts FROM p),"
+        " z AS (SELECT src_url, us[CAST(i AS INT)] AS dst_url,"
+        " trim(ts[CAST(i AS INT)]) AS anchor"
+        " FROM e, LATERAL unnest(range(1, len(us) + 1)) t(i)),"
+        " a AS (SELECT src_url, dst_url, anchor FROM z WHERE anchor <> '')"
+    )
+    extract = base + " SELECT src_url, dst_url, anchor FROM a"
+    topk = (
+        base
+        + ", d AS (SELECT "
+        + registered_domain_sql("host", "hp")
+        + " AS domain, anchor FROM (SELECT host, str_split(host, '.')"
+        " AS hp, anchor FROM (SELECT"
+        f" lower(regexp_extract(dst_url, '{HOST_RE}', 1)) AS host,"
+        " lower(anchor) AS anchor FROM a))),"
+        " c AS (SELECT domain, anchor, count(*) AS n_links FROM d"
+        " GROUP BY 1, 2)"
+        " SELECT domain, anchor, n_links, rank FROM ("
+        " SELECT *, row_number() OVER (PARTITION BY domain"
+        " ORDER BY n_links DESC, anchor ASC) AS rank FROM c)"
+        " WHERE rank <= 10"
+    )
+    return extract, topk
 
 
 def _robots_sql() -> str:
@@ -4273,6 +4372,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_domain_quota": _dq_sql,
         # link-graph: href extraction over the q_link_extract scaffold
         # (same HREF_RE capture group in RE2)
+        "anchor_extract": _anchor_sqls()[0],
+        "anchor_domain_topk": _anchor_sqls()[1],
         "link_extract": (
             "SELECT 'https://' || source || '.example/p/'"
             " || CAST(doc_id AS VARCHAR) AS src_url,"

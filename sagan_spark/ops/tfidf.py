@@ -196,24 +196,10 @@ def bm25_topk(docs: DataFrame, queries: Sequence[tuple[int, str]],
     scored = matched.groupBy("query_id", id_col).agg(
         F.sum(term_milli).alias("score_milli")
     )
-    # stage 1: rank inside (query, salt) — bounded partitions
-    w_local = Window.partitionBy("query_id", "_sg_salt").orderBy(
-        F.desc("score_milli"), F.asc(id_col)
-    )
-    survivors = (
-        scored.withColumn(
-            "_sg_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
-        )
-        .withColumn("_sg_r", F.row_number().over(w_local))
-        .filter(F.col("_sg_r") <= F.lit(int(k)))
-        .drop("_sg_salt", "_sg_r")
-    )
-    # stage 2: final rank over <= k*salt_buckets survivors per query
-    w_final = Window.partitionBy("query_id").orderBy(
-        F.desc("score_milli"), F.asc(id_col)
-    )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w_final))
-        .filter(F.col("rank") <= F.lit(int(k)))
-        .select("query_id", id_col, "score_milli", "rank")
-    )
+    from sagan_spark.ops.topk import topk_per_group
+
+    return topk_per_group(
+        scored, ["query_id"],
+        [F.desc("score_milli"), F.asc(id_col)],
+        k=k, salt_on=id_col, salt_buckets=salt_buckets,
+    ).select("query_id", id_col, "score_milli", "rank")
