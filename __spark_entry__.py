@@ -2246,6 +2246,200 @@ def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_directives(pages)
 
 
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured page metadata (ops/htmlmeta.page_metadata) over a
+    BYTE html column: the deterministic scaffold injects all five
+    fields with doc_id-mod shape variation — quoted/bare/absent lang
+    attr, entity-laden title, double-quoted vs single-quoted vs absent
+    meta description, alternating og:title, quoted-absolute vs
+    bare-relative canonical — so every attr-form alternation and the
+    empty-string no-match path are exercised.  The oracle applies the
+    SAME spec (ops.htmlmeta.page_meta_sql) to the same scaffold."""
+    from sagan_spark.ops.htmlmeta import page_metadata
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    lang_tag = (
+        F.when(did % 4 == 0, F.lit('<html lang="en-GB">'))
+        .when(did % 4 == 1, F.lit("<HTML LANG=fr>"))
+        .when(did % 4 == 2, F.lit("<html data-x=1 lang='de'>"))
+        .otherwise(F.lit("<html>"))
+    )
+    title = F.concat(
+        F.lit("<title> "), F.col("source"),
+        F.lit(" &amp;lt; Home &nbsp; "), (did % 10).cast("string"),
+        F.lit(" </title>"),
+    )
+    desc = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<meta name="description" content="Desc '),
+                F.col("source"), F.lit(', page">'),
+            ),
+        )
+        .when(did % 3 == 1, F.lit("<meta NAME=description CONTENT='one two  three'>"))
+        .otherwise(F.lit(""))
+    )
+    og = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<meta property="og:title" content="OG '),
+            (did % 5).cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        did % 5 == 0, F.lit("<link REL=canonical HREF=/rel/path>")
+    ).otherwise(
+        F.concat(
+            F.lit('<link rel="canonical" href="https://'), F.col("source"),
+            F.lit(".com/c/"), (did % 50).cast("string"), F.lit('">'),
+        )
+    )
+    scaffold = F.concat(
+        lang_tag, F.lit("<head>"), title, desc, og, canon,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(scaffold, "UTF-8").alias("html"))
+    return page_metadata(pages)
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record parse (ops/warc.parse_warc) over per-row record
+    bytes built deterministically from documents: doc_id-mod classes
+    vary the WARC type, the HTTP status line (200 vs 404, HTTP/1.1 vs
+    1.0), and the payload Content-Type; the body is the document text
+    itself (NULL text → NULL record → NULL fields, the corrupt-record
+    path).  The oracle applies the SAME parse (ops.warc.warc_sql) to
+    the same record string."""
+    from sagan_spark.ops.warc import parse_warc
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    wtype = F.when(did % 6 == 0, F.lit("request")).otherwise(F.lit("response"))
+    status = F.when(did % 5 == 0, F.lit("HTTP/1.0 404 Not Found")).otherwise(
+        F.lit("HTTP/1.1 200 OK")
+    )
+    mime = (
+        F.when(did % 3 == 0, F.lit("text/html; charset=UTF-8"))
+        .when(did % 3 == 1, F.lit("text/plain"))
+        .otherwise(F.lit("application/json"))
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: "), wtype,
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:"), did.cast("string"),
+        F.lit(">\r\nWARC-Date: 2026-08-"),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T12:00:00Z\r\nWARC-Target-URI: https://"), F.col("source"),
+        F.lit(".com/p/"), (did % 50).cast("string"),
+        F.lit("\r\nContent-Type: application/http; msgtype=response"
+              "\r\nContent-Length: "),
+        (F.length("text") + F.lit(60)).cast("string"),
+        F.lit("\r\n\r\n"), status,
+        F.lit("\r\nContent-Type: "), mime,
+        F.lit("\r\nContent-Length: "), F.length("text").cast("string"),
+        F.lit("\r\n\r\n"), F.col("text"),
+    )
+    records = docs.select("doc_id", F.encode(rec, "UTF-8").alias("warc"))
+    return parse_warc(records).select(
+        "doc_id", "warc_type", "record_id", "target_uri", "warc_date",
+        "content_length", "http_status", "mime", "body_len",
+        F.substring("body", 1, 64).alias("body_prefix"),
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided shingle containment on LSH candidates
+    (ops/dedup.containment_pairs): catches the short-doc-quoted-in-
+    long-doc shape Jaccard misses.  Same candidate CTEs as the
+    ngram_jaccard oracle; containments projected instead."""
+    from sagan_spark.ops.dedup import containment_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = containment_pairs(docs, k=8, n_bands=4, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (ops/collocations.pmi_collocations):
+    adjacent-bigram lift over the corpus, min_count=5 — the word-salad
+    corpus repeats phrases heavily, so the table is dense."""
+    from sagan_spark.ops.collocations import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5)
+
+
+def _robots_body_sql_case(key: str) -> str:
+    """The three robots.txt body shapes keyed by length(source) % 3 —
+    ONE literal table drives the Spark CASE and the SQL CASE."""
+    bodies = _ROBOTS_BODIES
+    return (
+        f"CASE ({key}) % 3"
+        f" WHEN 0 THEN {_sq(bodies[0])}"
+        f" WHEN 1 THEN {_sq(bodies[1])}"
+        f" ELSE {_sq(bodies[2])} END"
+    )
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+
+# shape 0: star group after a specific-agent group (applies filtering);
+# shape 1: multi-UA run + comments + empty Disallow (dropped) + tie case;
+# shape 2: no star group at all (everything allowed for us)
+_ROBOTS_BODIES = [
+    "# robots for shape 0\nUser-agent: badbot\nDisallow: /\n\n"
+    "User-agent: *\nDisallow: /p/1\nAllow: /p/12\nDisallow: /q/\n",
+    "User-agent: googlebot\nUser-agent: *\n# mixed run\n"
+    "Disallow:\nAllow: /p/1\nDisallow: /p/12\nDisallow: /ok\n",
+    "User-agent: badbot\nDisallow: /p/\nDisallow: /ok/\n",
+]
+
+
+def q_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-permission screen (ops/robotstxt): per-domain
+    robots bodies (three shapes by length(source) % 3 — see
+    _ROBOTS_BODIES: group applicability, multi-UA runs, comments,
+    empty Disallow, longest-match ties in both directions, and a
+    domain with no applicable group) parsed into rules, then every
+    page URL screened by longest-prefix match with Allow winning
+    ties.  The oracle replays the same parse + screen
+    (ops.robotstxt.robots_rules_sql / robots_screen_sql) over the
+    same synthetic bodies and urls."""
+    from sagan_spark.ops.robotstxt import parse_robots, url_robots_screen
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    robots = (
+        docs.select(F.lower("source").alias("src")).distinct()
+        .select(
+            F.concat(F.col("src"), F.lit(".com")).alias("domain"),
+            F.when(F.length("src") % 3 == 0, F.lit(_ROBOTS_BODIES[0]))
+            .when(F.length("src") % 3 == 1, F.lit(_ROBOTS_BODIES[1]))
+            .otherwise(F.lit(_ROBOTS_BODIES[2])).alias("robots_txt"),
+        )
+    )
+    path = (
+        F.when(did % 4 == 0, F.lit("/p/1"))
+        .when(did % 4 == 1, F.lit("/p/12"))
+        .when(did % 4 == 2, F.concat(F.lit("/q/"), (did % 9).cast("string")))
+        .otherwise(F.concat(F.lit("/ok/"), (did % 9).cast("string")))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.lower("source"), F.lit(".com"), path
+        ).alias("url"),
+    )
+    rules = parse_robots(robots)
+    return url_robots_screen(pages, rules)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_pipe_decode": q_s5_pipe_decode,
@@ -2375,6 +2569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webclean_boilerplate": q_webclean_boilerplate,
         "bpe_pair_stats": q_bpe_pair_stats,
         "robots_directives": q_robots_directives,
+        "html_metadata": q_html_metadata,
+        "warc_parse": q_warc_parse,
+        "dedup_containment": q_dedup_containment,
+        "pmi_collocations": q_pmi_collocations,
+        "robots_screen": q_robots_screen,
     }
 
 
@@ -2835,6 +3034,99 @@ def _robots_sql() -> str:
         " || '</p></body></html>')"
     )
     return f"SELECT doc_id, {robots_sql(scaffold)} FROM documents"
+
+
+def _html_meta_oracle_sql() -> str:
+    """html_metadata oracle: the SAME scaffold as q_html_metadata and
+    the SAME extraction chain (ops.htmlmeta.page_meta_sql)."""
+    from sagan_spark.ops.htmlmeta import page_meta_sql
+
+    scaffold = (
+        "(CASE WHEN doc_id % 4 = 0 THEN '<html lang=\"en-GB\">'"
+        " WHEN doc_id % 4 = 1 THEN '<HTML LANG=fr>'"
+        " WHEN doc_id % 4 = 2 THEN '<html data-x=1 lang=''de''>'"
+        " ELSE '<html>' END"
+        " || '<head>' || '<title> ' || source || ' &amp;lt; Home &nbsp; '"
+        " || CAST(doc_id % 10 AS VARCHAR) || ' </title>'"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        "  '<meta name=\"description\" content=\"Desc ' || source || ', page\">'"
+        " WHEN doc_id % 3 = 1 THEN"
+        "  '<meta NAME=description CONTENT=''one two  three''>'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN"
+        "  '<meta property=\"og:title\" content=\"OG '"
+        "  || CAST(doc_id % 5 AS VARCHAR) || '\">' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN '<link REL=canonical HREF=/rel/path>'"
+        " ELSE '<link rel=\"canonical\" href=\"https://' || source"
+        "  || '.com/c/' || CAST(doc_id % 50 AS VARCHAR) || '\">' END"
+        " || '</head><body><p>x</p></body></html>')"
+    )
+    return f"SELECT doc_id, {page_meta_sql(scaffold)} FROM documents"
+
+
+def _warc_oracle_sql() -> str:
+    """warc_parse oracle: the SAME record scaffold as q_warc_parse and
+    the SAME parse (ops.warc.warc_sql)."""
+    from sagan_spark.ops.warc import warc_sql
+
+    cr = "chr(13) || chr(10)"
+    rec = (
+        f"('WARC/1.0' || {cr} || 'WARC-Type: '"
+        " || CASE WHEN doc_id % 6 = 0 THEN 'request' ELSE 'response' END"
+        f" || {cr} || 'WARC-Record-ID: <urn:uuid:'"
+        " || CAST(doc_id AS VARCHAR) || '>'"
+        f" || {cr} || 'WARC-Date: 2026-08-'"
+        " || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T12:00:00Z'"
+        f" || {cr} || 'WARC-Target-URI: https://' || source || '.com/p/'"
+        " || CAST(doc_id % 50 AS VARCHAR)"
+        f" || {cr} || 'Content-Type: application/http; msgtype=response'"
+        f" || {cr} || 'Content-Length: '"
+        " || CAST(length(text) + 60 AS VARCHAR)"
+        f" || {cr} || {cr}"
+        " || CASE WHEN doc_id % 5 = 0 THEN 'HTTP/1.0 404 Not Found'"
+        "  ELSE 'HTTP/1.1 200 OK' END"
+        f" || {cr} || 'Content-Type: '"
+        " || CASE WHEN doc_id % 3 = 0 THEN 'text/html; charset=UTF-8'"
+        "  WHEN doc_id % 3 = 1 THEN 'text/plain'"
+        "  ELSE 'application/json' END"
+        f" || {cr} || 'Content-Length: ' || CAST(length(text) AS VARCHAR)"
+        f" || {cr} || {cr} || text)"
+    )
+    return (
+        "SELECT doc_id, warc_type, record_id, target_uri, warc_date,"
+        " content_length, http_status, mime, body_len,"
+        " substring(body, 1, 64) AS body_prefix FROM"
+        f" (SELECT doc_id, {warc_sql(rec)} FROM documents)"
+    )
+
+
+def _pmi_oracle_sql() -> str:
+    from sagan_spark.ops.collocations import pmi_sql
+
+    return pmi_sql("documents", min_count=5)
+
+
+def _robots_screen_oracle_sql() -> str:
+    """robots_screen oracle: same synthetic robots bodies (the
+    _ROBOTS_BODIES table via _robots_body_sql_case) and page urls as
+    q_robots_screen; parse + screen from ops.robotstxt — one source of
+    truth."""
+    from sagan_spark.ops.robotstxt import robots_rules_sql, robots_screen_sql
+
+    robots_rel = (
+        "(SELECT lower(source) || '.com' AS domain, "
+        + _robots_body_sql_case("length(lower(source))")
+        + " AS robots_txt FROM (SELECT DISTINCT source FROM documents))"
+    )
+    pages_rel = (
+        "(SELECT doc_id, 'https://' || lower(source) || '.com' ||"
+        " CASE WHEN doc_id % 4 = 0 THEN '/p/1'"
+        " WHEN doc_id % 4 = 1 THEN '/p/12'"
+        " WHEN doc_id % 4 = 2 THEN '/q/' || CAST(doc_id % 9 AS VARCHAR)"
+        " ELSE '/ok/' || CAST(doc_id % 9 AS VARCHAR) END AS url"
+        " FROM documents)"
+    )
+    return robots_screen_sql(pages_rel, robots_rules_sql(robots_rel))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4470,4 +4762,39 @@ def oracle_sql() -> dict[str, str]:
         # q_robots_directives scaffold; the extraction fragment comes
         # from ops.htmltext.robots_sql — one source of truth
         "robots_directives": _robots_sql(),
+        # structured page metadata (ops/htmlmeta.page_metadata) over
+        # the q_html_metadata scaffold; extraction fragment from
+        # ops.htmlmeta.page_meta_sql — one source of truth
+        "html_metadata": _html_meta_oracle_sql(),
+        # WARC record parse (ops/warc.parse_warc) over the
+        # q_warc_parse record scaffold; parse fragment from
+        # ops.warc.warc_sql — one source of truth
+        "warc_parse": _warc_oracle_sql(),
+        # one-sided shingle containment on the SAME LSH candidate CTEs
+        # as dedup_ngram_jaccard; containments projected instead
+        "dedup_containment": (
+            f"{sigs}, {pairs}, "
+            "sh2 AS (SELECT DISTINCT doc_id, shingle FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-7,1)+1),"
+            " i -> substr(text, i, 8))) AS shingle FROM documents)"
+            " WHERE length(shingle) = 8), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1), "
+            "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM pairs p"
+            " JOIN sh2 a ON a.doc_id = p.doc_a JOIN sh2 b ON b.doc_id = p.doc_b"
+            " AND b.shingle = a.shingle GROUP BY 1, 2) "
+            "SELECT i.doc_a, i.doc_b,"
+            " round(CAST(i.n_inter AS DOUBLE) / na.n, 6) AS containment_a,"
+            " round(CAST(i.n_inter AS DOUBLE) / nb.n, 6) AS containment_b "
+            "FROM inter i JOIN sizes na ON na.doc_id = i.doc_a"
+            " JOIN sizes nb ON nb.doc_id = i.doc_b "
+            "WHERE CAST(i.n_inter AS DOUBLE) / na.n >= 0.5"
+            " OR CAST(i.n_inter AS DOUBLE) / nb.n >= 0.5"
+        ),
+        # PMI collocation lift (ops/collocations.pmi_collocations):
+        # same TOKEN_RE, lead()-formed pairs, pinned double chain
+        "pmi_collocations": _pmi_oracle_sql(),
+        # robots.txt rule parse + longest-prefix URL screen
+        # (ops/robotstxt): rules/screen fragments from
+        # ops.robotstxt.robots_rules_sql / robots_screen_sql
+        "robots_screen": _robots_screen_oracle_sql(),
     }

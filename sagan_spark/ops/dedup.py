@@ -311,16 +311,21 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
-                        threshold: float = 0.5, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
-    """Exact n-gram Jaccard on LSH candidate pairs only (scale path:
-    the O(n^2) similarity is bounded by bucket collisions, not corpus
-    size).  Returns (doc_a, doc_b, jaccard) above threshold.
+def _candidate_overlap_counts(docs: DataFrame, k: int, n_bands: int,
+                              text_col: str, id_col: str) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) over LSH candidate pairs —
+    the shared exact-overlap core of :func:`ngram_jaccard_pairs` and
+    :func:`containment_pairs` (scale path: the O(n^2) work is bounded
+    by bucket collisions, not corpus size).
 
     The corpus is shingled ONCE: the distinct shingle frame feeds the
     LSH candidate generation, the per-doc sizes, and the intersection
-    join."""
+    join.  The result is localCheckpointed so the corpus-sized shingle
+    cache can be RELEASED before returning — without that every call
+    leaked the explode-of-all-k-grams frame into the block manager for
+    the session lifetime (localCheckpoint blocks are context-cleaned
+    when the result is garbage-collected, unlike persist()'s registry
+    pin)."""
     # persist: three consumers (signatures, sizes, intersection) would
     # otherwise each re-run the explode+distinct; LRU eviction reclaims it
     sh = shingle_df(docs, k, text_col, id_col, distinct=True).persist()
@@ -348,23 +353,63 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     out = (
-        inter_counts.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn(
+        inter_counts.join(na, "doc_a").join(nb, "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return out
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
+                        threshold: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard on LSH candidate pairs only.  Returns
+    (doc_a, doc_b, jaccard) above threshold."""
+    counts = _candidate_overlap_counts(docs, k, n_bands, text_col, id_col)
+    return (
+        counts.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    # materialize (and cut lineage) so the corpus-sized shingle cache
-    # can be RELEASED before returning — without this every call leaked
-    # the explode-of-all-k-grams frame into the block manager for the
-    # session lifetime.  localCheckpoint blocks are context-cleaned when
-    # the result is garbage-collected, unlike persist()'s registry pin.
-    out = out.localCheckpoint(eager=True)
-    sh.unpersist()
-    return out
+
+
+def containment_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
+                      threshold: float = 0.8, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """One-sided shingle containment on LSH candidate pairs:
+    ``containment(A in B) = |A ∩ B| / |A|`` — the asymmetric
+    near-duplicate signal Jaccard misses.  A short document quoted
+    wholesale inside a long one (syndicated article + boilerplate
+    wrapper, quoted post + thread) has high containment in ONE
+    direction but a small Jaccard (the union is dominated by the long
+    side), so a Jaccard-thresholded dedup keeps both copies (Broder
+    1997 §2 defines both resemblance and containment for exactly this
+    reason).
+
+    Returns (doc_a, doc_b, containment_a, containment_b) for candidate
+    pairs where EITHER direction is >= ``threshold``; ``containment_a``
+    is how much of doc_a's shingle set lies inside doc_b's.  Candidate
+    recall comes from the same MinHash band scheme as the Jaccard path
+    (a fully-contained SHORT doc can evade band collision when the
+    long side's extra shingles steal every band minimum — the standard
+    LSH-for-containment caveat; raise ``n_bands`` to tighten recall).
+    Same scale shape as :func:`ngram_jaccard_pairs`: one shingle
+    frame, candidate semi-join, exact counts only on collisions."""
+    counts = _candidate_overlap_counts(docs, k, n_bands, text_col, id_col)
+    ca = F.col("n_inter") / F.col("n_a")
+    cb = F.col("n_inter") / F.col("n_b")
+    return (
+        counts.withColumn("containment_a", ca)
+        .withColumn("containment_b", cb)
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("doc_a", "doc_b", "containment_a", "containment_b")
+    )
 
 
 SIMHASH_TYPE = T.LongType()

@@ -1,0 +1,137 @@
+"""Structured page-metadata extraction over the ``html`` byte column.
+
+A web-corpus pipeline wants more than visible text from a page: the
+<title>, the meta description, the canonical URL (the dedup key
+publishers themselves declare), the Open Graph title, and the declared
+document language all feed curation decisions (title/description go to
+quality scoring and search indexing, rel=canonical collapses syndicated
+copies before any content dedup runs, html lang seeds language ID).
+The reference engine's analogous stage is its normalize step — pulling
+typed fields out of unstructured input before matching
+(/root/reference/src/parsers/*.c) — re-expressed here over markup.
+
+Same discipline as :mod:`sagan_spark.ops.htmltext` (this module reuses
+its entity table, whitespace collapse, and attr-extraction idiom):
+
+- every pattern sits in the RE2 ∩ Java-regex subset — no ``\\s``/``\\b``,
+  no backreferences, no lookahead — so the Spark column expression and
+  the generated DuckDB SQL (one source of truth: :func:`page_meta_sql`)
+  compute byte-identical output;
+- attribute values are matched as an explicit alternation of the
+  double-quoted, single-quoted, and bare forms (bare terminated by
+  whitespace, '/', or the tag's own '>'), so ``name="descriptionx"``
+  can never match;
+- the whole op is regexp_extract chains over one decoded string —
+  scan-level whole-stage codegen, no shuffle, no Python; at 10^12
+  pages AQE folds it into the scan.
+
+Declared-spec limitations (documented, same class as the text
+extractor's): leftmost tag wins, attribute order inside a tag is free
+but the attr name must precede its value, and a quoted value may not
+contain the quote character (true of serialized HTML attributes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sagan_spark.ops.htmltext import ENTITIES, WS_RE, _sql_quote
+
+_WS = r"[ \t\r\n\f]"
+
+
+def _attr_tag_re(tag: str, attr: str, value: str) -> str:
+    """Leftmost <tag ... attr=value ...> — the robots-tag idiom
+    generalized: the value in double-quoted / single-quoted / bare
+    form (bare terminated by whitespace, '/', or '>')."""
+    v = value  # values used here contain no regex metachars (':' is literal)
+    return (
+        rf"(?i)<{tag}[^>]*{attr}{_WS}*={_WS}*"
+        rf"(?:\"{v}\"[^>]*|'{v}'[^>]*|{v}{_WS}[^>]*|{v}/[^>]*|{v})>"
+    )
+
+
+TITLE_RE = r"(?is)<title[^>]*>([^<]*)"
+META_DESC_TAG_RE = _attr_tag_re("meta", "name", "description")
+OG_TITLE_TAG_RE = _attr_tag_re("meta", "property", "og:title")
+CANONICAL_TAG_RE = _attr_tag_re("link", "rel", "canonical")
+CONTENT_ATTR_RE = r"(?i)content[ \t\r\n\f]*=[ \t\r\n\f]*[\"']?([^\"'>]*)"
+HREF_ATTR_RE = r"(?i)href[ \t\r\n\f]*=[ \t\r\n\f]*[\"']?([^\"'> ]*)"
+# lang attr must be preceded by whitespace so xml:lang / a hypothetical
+# data-lang can't bleed in via the [^>]* prefix eating too little; the
+# BCP-47-ish value charset stops at the first non-tag character either way
+HTML_LANG_RE = (
+    r"(?i)<html[^>]*[ \t\r\n\f]lang[ \t\r\n\f]*=[ \t\r\n\f]*"
+    r"[\"']?([A-Za-z][A-Za-z0-9-]*)"
+)
+
+
+def _clean_text_expr(col):
+    """Entity-decode + whitespace-collapse + trim a captured fragment
+    (the title cleanup): same ENTITIES order as the text extractor —
+    ``&amp;`` last."""
+    out = col
+    for ent, ch in ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, WS_RE, " "))
+
+
+def _clean_text_sql(expr: str) -> str:
+    out = expr
+    for ent, ch in ENTITIES:
+        out = f"replace({out}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    return f"trim(regexp_replace({out}, {_sql_quote(WS_RE)}, ' ', 'g'))"
+
+
+def page_metadata(pages: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, title, meta_description, canonical_url, og_title,
+    html_lang) per page.  Missing fields come back as the empty string
+    (regexp_extract's no-match value in BOTH engines — kept as-is
+    rather than NULLed so the sink schema is total)."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    title = _clean_text_expr(F.regexp_extract(s, TITLE_RE, 1))
+    desc = _clean_text_expr(
+        F.regexp_extract(
+            F.regexp_extract(s, META_DESC_TAG_RE, 0), CONTENT_ATTR_RE, 1
+        )
+    )
+    og = _clean_text_expr(
+        F.regexp_extract(
+            F.regexp_extract(s, OG_TITLE_TAG_RE, 0), CONTENT_ATTR_RE, 1
+        )
+    )
+    canonical = F.regexp_extract(
+        F.regexp_extract(s, CANONICAL_TAG_RE, 0), HREF_ATTR_RE, 1
+    )
+    lang = F.lower(F.regexp_extract(s, HTML_LANG_RE, 1))
+    return pages.select(
+        F.col(id_col),
+        title.alias("title"),
+        desc.alias("meta_description"),
+        canonical.alias("canonical_url"),
+        og.alias("og_title"),
+        lang.alias("html_lang"),
+    )
+
+
+def page_meta_sql(expr: str) -> str:
+    """The SAME extraction as :func:`page_metadata` in ANSI SQL over an
+    html STRING expression — one source of truth for the oracle.
+    Emits a SELECT-list fragment (without the id column)."""
+    def x(pat: str, grp: int, src: str) -> str:
+        return f"regexp_extract({src}, {_sql_quote(pat)}, {grp})"
+
+    title = _clean_text_sql(x(TITLE_RE, 1, expr))
+    desc = _clean_text_sql(
+        x(CONTENT_ATTR_RE, 1, x(META_DESC_TAG_RE, 0, expr))
+    )
+    og = _clean_text_sql(x(CONTENT_ATTR_RE, 1, x(OG_TITLE_TAG_RE, 0, expr)))
+    canonical = x(HREF_ATTR_RE, 1, x(CANONICAL_TAG_RE, 0, expr))
+    lang = f"lower({x(HTML_LANG_RE, 1, expr)})"
+    return (
+        f"{title} AS title, {desc} AS meta_description,"
+        f" {canonical} AS canonical_url, {og} AS og_title,"
+        f" {lang} AS html_lang"
+    )

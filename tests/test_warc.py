@@ -1,0 +1,85 @@
+"""parse_warc spec: typed fields from crafted records, including the
+degenerate shapes a real crawl file contains (no blank line, missing
+headers, bodies containing the record separator, NULL records)."""
+
+from __future__ import annotations
+
+from sagan_spark.ops.warc import parse_warc
+
+
+def _rec(headers: str, payload: str) -> bytes:
+    return (headers + "\r\n\r\n" + payload).encode("utf-8")
+
+
+FULL = _rec(
+    "WARC/1.0\r\nWARC-Type: response\r\n"
+    "WARC-Record-ID: <urn:uuid:42>\r\n"
+    "WARC-Date: 2026-08-19T12:00:00Z\r\n"
+    "WARC-Target-URI: https://example.com/a\r\n"
+    "Content-Type: application/http; msgtype=response\r\n"
+    "Content-Length: 78",
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+    "Content-Length: 11\r\n\r\nhello world",
+)
+
+# body itself contains \r\n\r\n — must split on the FIRST blank line only
+TRICKY_BODY = _rec(
+    "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 10",
+    "HTTP/1.1 404 Not Found\r\n\r\npart1\r\n\r\npart2",
+)
+
+NO_BLANK = "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 0".encode()
+
+LOWERCASE_HDRS = _rec(
+    "WARC/1.0\r\nwarc-type: request\r\nwarc-target-uri: http://x.y/",
+    "GET / HTTP/1.1\r\nHost: x.y\r\n\r\n",
+)
+
+
+def _parse(spark, recs):
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(recs)], "doc_id long, warc binary"
+    )
+    return {r["doc_id"]: r for r in parse_warc(df).collect()}
+
+
+def test_full_record(spark):
+    r = _parse(spark, [FULL])[0]
+    assert r["warc_type"] == "response"
+    assert r["record_id"] == "<urn:uuid:42>"
+    assert r["target_uri"] == "https://example.com/a"
+    assert r["warc_date"] == "2026-08-19T12:00:00Z"
+    assert r["content_length"] == 78
+    assert r["http_status"] == 200
+    assert r["mime"] == "text/html"
+    assert r["body"] == "hello world"
+    assert r["body_len"] == 11
+
+
+def test_body_containing_separator_splits_on_first_blank_line(spark):
+    r = _parse(spark, [TRICKY_BODY])[0]
+    assert r["http_status"] == 404
+    assert r["body"] == "part1\r\n\r\npart2"
+
+
+def test_no_blank_line_yields_empty_payload(spark):
+    r = _parse(spark, [NO_BLANK])[0]
+    assert r["warc_type"] == "metadata"
+    assert r["content_length"] == 0
+    assert r["http_status"] is None
+    assert r["body"] == "" and r["body_len"] == 0
+
+
+def test_header_names_case_insensitive(spark):
+    r = _parse(spark, [LOWERCASE_HDRS])[0]
+    assert r["warc_type"] == "request"
+    assert r["target_uri"] == "http://x.y/"
+    # request payload has no HTTP status line
+    assert r["http_status"] is None
+    assert r["content_length"] is None  # header absent entirely
+
+
+def test_null_record_propagates(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, warc binary")
+    r = parse_warc(df).collect()[0]
+    assert r["warc_type"] is None and r["body_len"] is None
