@@ -2440,6 +2440,16 @@ def q_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_robots_screen(pages, rules)
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index materialization (ops/invindex.inverted_index),
+    max_postings=10 so the word-salad corpus exercises the hot-term
+    cap: df_count keeps the TRUE document frequency while postings
+    keep only the top-10 by (tf DESC, doc_id)."""
+    from sagan_spark.ops.invindex import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), max_postings=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s5_pipe_decode": q_s5_pipe_decode,
@@ -2574,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "pmi_collocations": q_pmi_collocations,
         "robots_screen": q_robots_screen,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -3098,6 +3109,12 @@ def _warc_oracle_sql() -> str:
         " substring(body, 1, 64) AS body_prefix FROM"
         f" (SELECT doc_id, {warc_sql(rec)} FROM documents)"
     )
+
+
+def _inverted_index_oracle_sql() -> str:
+    from sagan_spark.ops.invindex import inverted_index_sql
+
+    return inverted_index_sql("documents", max_postings=10)
 
 
 def _pmi_oracle_sql() -> str:
@@ -4797,4 +4814,8 @@ def oracle_sql() -> dict[str, str]:
         # (ops/robotstxt): rules/screen fragments from
         # ops.robotstxt.robots_rules_sql / robots_screen_sql
         "robots_screen": _robots_screen_oracle_sql(),
+        # inverted-index postings (ops/invindex): same TOKEN_RE, same
+        # (tf DESC, doc_id) total order, plain-window cap the salted
+        # two-stage rank is provably equivalent to
+        "inverted_index": _inverted_index_oracle_sql(),
     }

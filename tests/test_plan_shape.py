@@ -425,3 +425,82 @@ def test_pagerank_lineage_is_cut_per_iteration(spark):
     p4 = pagerank(edges, iterations=4)._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in p4 or "RDDScanExec" in p4
     assert len(p4) < 2 * len(p2), (len(p2), len(p4))
+
+
+def test_scan_level_page_ops_no_exchange_no_python(spark):
+    """page_metadata / parse_warc pins: both are declared scan-level
+    projections — a shuffle or Python node anywhere means the codegen
+    regex chain silently fell off the fast path (at 10^12 pages these
+    ops must fold into the scan stage)."""
+    from sagan_spark.ops.htmlmeta import page_metadata
+    from sagan_spark.ops.warc import parse_warc
+
+    pages = spark.createDataFrame(
+        [(1, b"<html lang=en><title>t</title></html>")],
+        "doc_id long, html binary",
+    )
+    recs = spark.createDataFrame(
+        [(1, b"WARC/1.0\r\nWARC-Type: response\r\n\r\nHTTP/1.1 200 OK\r\n\r\nx")],
+        "doc_id long, warc binary",
+    )
+    for name, df in {
+        "page_metadata": page_metadata(pages),
+        "parse_warc": parse_warc(recs),
+    }.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name}: shuffle in a projection"
+        assert "EvalPython" not in plan, f"{name}: Python node"
+        # '*(n)' node prefixes mark whole-stage-codegen spans in
+        # executedPlan().toString()
+        assert "*(1)" in plan, f"{name}: fell out of codegen:\n{plan[:800]}"
+
+
+def test_inverted_index_cap_uses_group_limit_no_python(spark):
+    """inverted_index pin: the hot-term cap must run as the salted
+    two-stage rank with Spark's WindowGroupLimit pushed below each
+    sort (a stop word matching 10^11 docs must never funnel one
+    sorting task), and the whole op stays JVM-side."""
+    from sagan_spark.ops.invindex import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a")], "doc_id long, text string"
+    )
+    plan = (
+        inverted_index(docs, max_postings=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "WindowGroupLimit" in plan, "k-limit not pushed below the sorts"
+    assert "_sg_salt" in plan, "stage-1 salt partition missing"
+
+
+def test_pmi_and_robots_screen_no_python_no_corpus_window(spark):
+    """pmi_collocations / url_robots_screen pins: pure
+    aggregation/join plans — no Python, no window over any corpus-
+    sized input (pmi has no window at all; robots' parse windows run
+    per robots.txt FILE, which is bounded data, but the screen itself
+    must aggregate, not rank)."""
+    from sagan_spark.ops.collocations import pmi_collocations
+    from sagan_spark.ops.robotstxt import parse_robots, url_robots_screen
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = (
+        pmi_collocations(docs, min_count=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "Window" not in plan, "pmi must be aggregation-only"
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\n")],
+        "domain string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://a.com/x")], "doc_id long, url string"
+    )
+    screen = url_robots_screen(pages, parse_robots(robots))
+    plan = screen._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # the verdict is an algebraic max: partial_max must appear before
+    # the exchange (map-side combine of the rule fan-out)
+    assert "partial_max" in plan or "partial max" in plan.lower(), plan[:2000]
