@@ -2440,6 +2440,55 @@ def q_robots_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_robots_screen(pages, rules)
 
 
+def _snapshots(spark: SparkSession, sf_dir: str):
+    """Two synthetic crawl snapshots from documents: old drops
+    doc_id%10==0, new drops doc_id%7==0 and rewrites text for
+    doc_id%3==0; urls collide (doc_id % 400) so the min-digest
+    multi-capture collapse is exercised.  SAME expressions in the
+    oracle."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".com/p/"),
+        (did % 400).cast("string"),
+    )
+    base = docs.select(url.alias("url"), "text", "doc_id")
+    old = base.filter(did % 10 != 0).select("url", "text")
+    new = base.filter(did % 7 != 0).select(
+        "url",
+        F.when(did % 3 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return old, new
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL crawl-snapshot delta (ops/crawldiff.snapshot_diff):
+    added/removed/changed/unchanged verdicts over two synthetic
+    snapshots."""
+    from sagan_spark.ops.crawldiff import snapshot_diff
+
+    old, new = _snapshots(spark, sf_dir)
+    return snapshot_diff(old, new)
+
+
+def q_crawl_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict rollup of the snapshot diff (ops/crawldiff.diff_counts)."""
+    from sagan_spark.ops.crawldiff import diff_counts
+
+    old, new = _snapshots(spark, sf_dir)
+    return diff_counts(old, new)
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH precision calibration (ops/dedup.minhash_calibration): the
+    (n_shared_bands × exact-jaccard-decile) joint over candidate
+    pairs — integer decile, map-side rollup."""
+    from sagan_spark.ops.dedup import minhash_calibration
+
+    return minhash_calibration(_docs(spark, sf_dir), k=8, n_bands=4)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index materialization (ops/invindex.inverted_index),
     max_postings=10 so the word-salad corpus exercises the hot-term
@@ -2585,6 +2634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "robots_screen": q_robots_screen,
         "inverted_index": q_inverted_index,
+        "crawl_diff": q_crawl_diff,
+        "crawl_diff_counts": q_crawl_diff_counts,
+        "minhash_calibration": q_minhash_calibration,
     }
 
 
@@ -3109,6 +3161,25 @@ def _warc_oracle_sql() -> str:
         " substring(body, 1, 64) AS body_prefix FROM"
         f" (SELECT doc_id, {warc_sql(rec)} FROM documents)"
     )
+
+
+_SNAP_OLD_REL = (
+    "(SELECT 'https://' || source || '.com/p/'"
+    " || CAST(doc_id % 400 AS VARCHAR) AS url, text"
+    " FROM documents WHERE doc_id % 10 <> 0)"
+)
+_SNAP_NEW_REL = (
+    "(SELECT 'https://' || source || '.com/p/'"
+    " || CAST(doc_id % 400 AS VARCHAR) AS url,"
+    " CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text"
+    " FROM documents WHERE doc_id % 7 <> 0)"
+)
+
+
+def _crawl_diff_oracle_sql() -> str:
+    from sagan_spark.ops.crawldiff import snapshot_diff_sql
+
+    return snapshot_diff_sql(_SNAP_OLD_REL, _SNAP_NEW_REL)
 
 
 def _inverted_index_oracle_sql() -> str:
@@ -4818,4 +4889,33 @@ def oracle_sql() -> dict[str, str]:
         # (tf DESC, doc_id) total order, plain-window cap the salted
         # two-stage rank is provably equivalent to
         "inverted_index": _inverted_index_oracle_sql(),
+        # crawl-snapshot diff (ops/crawldiff): same synthetic
+        # snapshots (_SNAP_*_REL), same min-digest collapse + full
+        # outer join; the counts gate rolls the same relation up
+        "crawl_diff": _crawl_diff_oracle_sql(),
+        "crawl_diff_counts": (
+            f"SELECT verdict, CAST(count(*) AS BIGINT) AS n_urls"
+            f" FROM ({_crawl_diff_oracle_sql()}) GROUP BY 1"
+        ),
+        # LSH calibration joint (ops/dedup.minhash_calibration): same
+        # candidate CTEs as the jaccard oracle; integer decile via //
+        "minhash_calibration": (
+            f"{sigs}, {pairs}, "
+            "sh2 AS (SELECT DISTINCT doc_id, shingle FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-7,1)+1),"
+            " i -> substr(text, i, 8))) AS shingle FROM documents)"
+            " WHERE length(shingle) = 8), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1), "
+            "inter AS (SELECT p.doc_a, p.doc_b, p.n_shared_bands,"
+            " count(*) AS n_inter FROM pairs p"
+            " JOIN sh2 a ON a.doc_id = p.doc_a JOIN sh2 b ON b.doc_id = p.doc_b"
+            " AND b.shingle = a.shingle GROUP BY 1, 2, 3) "
+            "SELECT n_shared_bands,"
+            " CAST((10 * i.n_inter) // (na.n + nb.n - i.n_inter) AS BIGINT)"
+            "  AS jaccard_decile,"
+            " CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM inter i JOIN sizes na ON na.doc_id = i.doc_a"
+            " JOIN sizes nb ON nb.doc_id = i.doc_b"
+            " GROUP BY 1, 2"
+        ),
     }

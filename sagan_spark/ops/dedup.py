@@ -313,10 +313,11 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
 
 def _candidate_overlap_counts(docs: DataFrame, k: int, n_bands: int,
                               text_col: str, id_col: str) -> DataFrame:
-    """(doc_a, doc_b, n_inter, n_a, n_b) over LSH candidate pairs —
-    the shared exact-overlap core of :func:`ngram_jaccard_pairs` and
-    :func:`containment_pairs` (scale path: the O(n^2) work is bounded
-    by bucket collisions, not corpus size).
+    """(doc_a, doc_b, n_shared_bands, n_inter, n_a, n_b) over LSH
+    candidate pairs — the shared exact-overlap core of
+    :func:`ngram_jaccard_pairs`, :func:`containment_pairs`, and
+    :func:`minhash_calibration` (scale path: the O(n^2) work is
+    bounded by bucket collisions, not corpus size).
 
     The corpus is shingled ONCE: the distinct shingle frame feeds the
     LSH candidate generation, the per-doc sizes, and the intersection
@@ -329,9 +330,7 @@ def _candidate_overlap_counts(docs: DataFrame, k: int, n_bands: int,
     # persist: three consumers (signatures, sizes, intersection) would
     # otherwise each re-run the explode+distinct; LRU eviction reclaims it
     sh = shingle_df(docs, k, text_col, id_col, distinct=True).persist()
-    pairs = minhash_lsh_pairs(
-        docs, k, n_bands, text_col, id_col, shingles=sh
-    ).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, k, n_bands, text_col, id_col, shingles=sh)
     # only docs that appear in a candidate pair matter downstream: on a
     # realistic corpus candidates are a sliver of the corpus, so the
     # semi-join cuts the intersection-join input by orders of magnitude
@@ -345,9 +344,11 @@ def _candidate_overlap_counts(docs: DataFrame, k: int, n_bands: int,
     # intersection size via join on shingle, restricted to candidate pairs
     sa = sh_cand.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
     sb = sh_cand.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    # n_shared_bands rides in the grouping key (functionally dependent
+    # on the pair — same group cardinality, no extra join)
     inter_counts = (
         pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
@@ -373,6 +374,35 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_calibration(docs: DataFrame, k: int = 8, n_bands: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Measure-don't-guess for the LSH knobs: the joint distribution
+    of band agreement vs EXACT similarity over candidate pairs —
+    (n_shared_bands, jaccard_decile, n_pairs).
+
+    Reading it: rows with high band agreement but low jaccard deciles
+    are the false-positive cost (wasted exact-verify work — lengthen
+    shingles or require more shared bands); a pile-up at decile 9-10
+    with 1 shared band says the bands are redundant and fewer would
+    do.  Recall beyond candidates is invisible by construction (pairs
+    sharing NO band never materialize) — that side is tuned
+    analytically from the (1-(1-s^r)^b) curve, this table calibrates
+    the precision side with corpus-real data.
+
+    ``jaccard_decile = (10·n_inter) div (n_a + n_b - n_inter)`` —
+    64-bit integer division, exact in both engines (10 = identical
+    jaccard 1.0; no float boundary).  Output is at most
+    ``n_bands × 11`` rows; the rollup combines map-side."""
+    counts = _candidate_overlap_counts(docs, k, n_bands, text_col, id_col)
+    decile = F.expr("(10 * n_inter) div (n_a + n_b - n_inter)")
+    return (
+        counts.select("n_shared_bands", decile.alias("jaccard_decile"))
+        .groupBy("n_shared_bands", "jaccard_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 
