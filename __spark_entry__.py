@@ -1829,6 +1829,39 @@ def q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming burst detection (applyInPandasWithState trailing-k
+    ring state, event-time timeout eviction) drained over the events
+    table with availableNow — a FULL-oracle gate: one drained batch
+    holds each key's whole bucket history, so the flags must equal
+    the batch RANGE-frame oracle bit-for-bit (same SQL as
+    events_bursts).  Cross-chunk/eviction parity is pinned in
+    tests/test_bursts_streaming.py."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from sagan_spark.streaming.bursts import start_burst_query
+
+    work = tempfile.mkdtemp(prefix="sagan_burst_contract_")
+    try:
+        inp = f"{work}/in"
+        os.makedirs(inp)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{inp}/events.parquet")
+        q = start_burst_query(
+            spark, inp, f"{work}/out", f"{work}/ckpt",
+            bucket_sec=86400, trailing_buckets=7,
+            factor_milli=2000, min_count=3,
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("streaming drain did not finish in 180s")
+        out = spark.read.parquet(f"{work}/out")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95/p99 of `value` per event_type via the value
     histogram: the cumulative window runs over one row per (key,
@@ -2637,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "crawl_diff_counts": q_crawl_diff_counts,
         "minhash_calibration": q_minhash_calibration,
+        "streaming_bursts": q_streaming_bursts,
     }
 
 
@@ -3097,6 +3131,22 @@ def _robots_sql() -> str:
         " || '</p></body></html>')"
     )
     return f"SELECT doc_id, {robots_sql(scaffold)} FROM documents"
+
+
+_BURSTS_ORACLE_SQL = (
+    "WITH c AS (SELECT user_id,"
+    " epoch_us(ts) // 86400000000 AS b, count(*) AS n_events"
+    " FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),"
+    " t AS (SELECT user_id, b, n_events,"
+    " sum(n_events) OVER (PARTITION BY user_id ORDER BY b"
+    " RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)"
+    " AS trailing_sum FROM c)"
+    " SELECT user_id, b * 86400000000 AS bucket_start_us,"
+    " n_events, trailing_sum,"
+    " CASE WHEN trailing_sum IS NOT NULL AND n_events >= 3"
+    " AND n_events * 7000 >= 2000 * trailing_sum"
+    " THEN 1 ELSE 0 END AS is_burst FROM t"
+)
 
 
 def _html_meta_oracle_sql() -> str:
@@ -4637,20 +4687,11 @@ def oracle_sql() -> dict[str, str]:
         # burst rule replayed integer-exact: n*1000*k >= factor_milli
         # * trailing_sum, RANGE frame over the bucket index so empty
         # buckets count as zero on both sides
-        "events_bursts": (
-            "WITH c AS (SELECT user_id,"
-            " epoch_us(ts) // 86400000000 AS b, count(*) AS n_events"
-            " FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),"
-            " t AS (SELECT user_id, b, n_events,"
-            " sum(n_events) OVER (PARTITION BY user_id ORDER BY b"
-            " RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)"
-            " AS trailing_sum FROM c)"
-            " SELECT user_id, b * 86400000000 AS bucket_start_us,"
-            " n_events, trailing_sum,"
-            " CASE WHEN trailing_sum IS NOT NULL AND n_events >= 3"
-            " AND n_events * 7000 >= 2000 * trailing_sum"
-            " THEN 1 ELSE 0 END AS is_burst FROM t"
-        ),
+        "events_bursts": _BURSTS_ORACLE_SQL,
+        # the streaming drain must equal the batch RANGE-frame oracle
+        # bit-for-bit (one availableNow batch holds each key's whole
+        # bucket history) — SAME SQL as events_bursts
+        "streaming_bursts": _BURSTS_ORACLE_SQL,
         # lower empirical quantile off the per-key value histogram:
         # smallest value with cum*1e6 >= q_ppm*n, replayed exactly
         "events_quantiles": (
