@@ -2522,6 +2522,17 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_calibration(_docs(spark, sf_dir), k=8, n_bands=4)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training (ops/bpetrain.bpe_train): 8
+    greedy merge rounds over the corpus's word-type frame — the
+    double-space rendering makes literal replace() exactly Sennrich's
+    left-to-right pairing, so the unrolled-CTE oracle reproduces the
+    whole run bit-for-bit."""
+    from sagan_spark.ops.bpetrain import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), rounds=8)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index materialization (ops/invindex.inverted_index),
     max_postings=10 so the word-salad corpus exercises the hot-term
@@ -2671,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff_counts": q_crawl_diff_counts,
         "minhash_calibration": q_minhash_calibration,
         "streaming_bursts": q_streaming_bursts,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -3224,6 +3236,12 @@ _SNAP_NEW_REL = (
     " CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text"
     " FROM documents WHERE doc_id % 7 <> 0)"
 )
+
+
+def _bpe_train_oracle_sql() -> str:
+    from sagan_spark.ops.bpetrain import bpe_train_sql
+
+    return bpe_train_sql("documents", rounds=8)
 
 
 def _crawl_diff_oracle_sql() -> str:
@@ -4938,6 +4956,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT verdict, CAST(count(*) AS BIGINT) AS n_urls"
             f" FROM ({_crawl_diff_oracle_sql()}) GROUP BY 1"
         ),
+        # iterative BPE training (ops/bpetrain): 8 unrolled CTE layers
+        # replaying pair counts, (count DESC, left, right) argmax, and
+        # the double-space greedy merge per round
+        "bpe_train": _bpe_train_oracle_sql(),
         # LSH calibration joint (ops/dedup.minhash_calibration): same
         # candidate CTEs as the jaccard oracle; integer decile via //
         "minhash_calibration": (
