@@ -73,6 +73,14 @@ HEADLINE = [
     "text_readability",
     "tfidf_topk",
     "bm25_topk",
+    # round-4 late additions: web-ingest scan ops + corpus statistics
+    "warc_parse",
+    "html_metadata",
+    "robots_screen",
+    "pmi_collocations",
+    "inverted_index",
+    "bpe_train",
+    "crawl_diff",
 ]
 
 
