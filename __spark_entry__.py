@@ -2533,6 +2533,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), rounds=8)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding under the corpus-trained tokenizer
+    (ops/bpetrain.bpe_encode): per-doc word and piece counts via ONE
+    join against the vocab-bounded segmentation table — the sizing
+    statistic packing/cost estimation need."""
+    from sagan_spark.ops.bpetrain import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), rounds=8)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index materialization (ops/invindex.inverted_index),
     max_postings=10 so the word-salad corpus exercises the hot-term
@@ -2683,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "streaming_bursts": q_streaming_bursts,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -3242,6 +3253,12 @@ def _bpe_train_oracle_sql() -> str:
     from sagan_spark.ops.bpetrain import bpe_train_sql
 
     return bpe_train_sql("documents", rounds=8)
+
+
+def _bpe_encode_oracle_sql() -> str:
+    from sagan_spark.ops.bpetrain import bpe_encode_sql
+
+    return bpe_encode_sql("documents", rounds=8)
 
 
 def _crawl_diff_oracle_sql() -> str:
@@ -4960,6 +4977,9 @@ def oracle_sql() -> dict[str, str]:
         # replaying pair counts, (count DESC, left, right) argmax, and
         # the double-space greedy merge per round
         "bpe_train": _bpe_train_oracle_sql(),
+        # encode side: same CTE tower, final segmentation joined back
+        # to the corpus token stream
+        "bpe_encode": _bpe_encode_oracle_sql(),
         # LSH calibration joint (ops/dedup.minhash_calibration): same
         # candidate CTEs as the jaccard oracle; integer decile via //
         "minhash_calibration": (

@@ -143,14 +143,100 @@ def bpe_train(docs: DataFrame, rounds: int = 8,
     return out
 
 
-def bpe_train_sql(table: str = "documents", rounds: int = 8) -> str:
-    """The SAME training run in ANSI SQL: R unrolled CTE layers, each
-    computing the pair counts, the (count DESC, left, right) argmax,
-    and the double-space greedy replace — byte-identical merges."""
+def bpe_train_seqs(docs: DataFrame, rounds: int = 8,
+                   text_col: str = "text") -> DataFrame:
+    """The final word-type segmentation table after ``rounds`` merges:
+    (word, seq, n_pieces) — the applying side of the tokenizer.  The
+    per-word piece sequence IS the encoding of every occurrence of
+    that word, so encoding a corpus is a broadcast/shuffle join
+    against this vocab-bounded table, never a per-document merge
+    walk."""
+    seqs = _word_seqs(docs, text_col).localCheckpoint(eager=True)
+    for _ in range(int(rounds)):
+        best = (
+            _pair_counts(seqs)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("left").alias("left"),
+                        F.col("right").alias("right"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("m.left").alias("left"), F.col("m.right").alias("right")
+            )
+            .localCheckpoint(eager=True)
+        )
+        seqs = _apply_merge(seqs, best).localCheckpoint(eager=True)
+    # recover the surface word from its segmentation: pieces joined,
+    # end-of-word marker dropped (cheaper than threading the word
+    # column through the merge rounds)
+    word = F.replace(
+        F.replace(F.col("seq"), F.lit(" "), F.lit("")), F.lit(END_OF_WORD),
+        F.lit(""),
+    )
+    return seqs.select(
+        word.alias("word"),
+        F.col("seq"),
+        F.size(F.split(F.col("seq"), " ")).cast("long").alias("n_pieces"),
+    )
+
+
+def bpe_encode(docs: DataFrame, rounds: int = 8, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, n_words, n_pieces): per-document BPE token counts under a
+    tokenizer trained on the SAME corpus — the sizing statistic
+    sequence-packing and cost estimation need.  One corpus-sized
+    explode + ONE join against the vocab-bounded segmentation table
+    (broadcastable for real vocabularies) + a map-side-combining
+    rollup."""
+    seg = bpe_train_seqs(docs, rounds, text_col)
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("word"),
+    )
+    return (
+        toks.join(seg.select("word", "n_pieces"), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+    )
+
+
+def bpe_encode_sql(table: str = "documents", rounds: int = 8) -> str:
+    """:func:`bpe_encode` in ANSI SQL: the shared CTE tower's final
+    segmentation layer joined back to the corpus token stream."""
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    return (
+        f"{_bpe_cte_tower(table, rounds)},"
+        f" seg AS (SELECT replace(replace(seq, ' ', ''), '</w>', '')"
+        f" AS word, CAST(len(str_split(seq, ' ')) AS BIGINT) AS n_pieces"
+        f" FROM s{int(rounds)}),"
+        " tk AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+        f" '{TOKEN_RE}')) AS word FROM {table})"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+        " CAST(sum(n_pieces) AS BIGINT) AS n_pieces"
+        " FROM tk JOIN seg ON tk.word = seg.word GROUP BY doc_id"
+    )
+
+
+def _bpe_cte_tower(table: str, rounds: int) -> str:
+    """The R unrolled training layers (shared by train and encode
+    oracles): per round, pair counts, the (count DESC, left, right)
+    argmax, and the double-space greedy replace."""
     from sagan_spark.ops.textstats import TOKEN_RE
 
     parts = [
-        "WITH s0 AS (SELECT"
+        "WITH s0 AS MATERIALIZED (SELECT"
         " regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seq,"
         " CAST(count(*) AS BIGINT) AS cnt FROM ("
         f"SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word"
@@ -159,7 +245,7 @@ def bpe_train_sql(table: str = "documents", rounds: int = 8) -> str:
     for r in range(1, int(rounds) + 1):
         p, prev = f"p{r}", f"s{r - 1}"
         parts.append(
-            f"{p} AS (SELECT u.a AS left_s, u.b AS right_s,"
+            f"{p} AS MATERIALIZED (SELECT u.a AS left_s, u.b AS right_s,"
             " CAST(sum(cnt) AS BIGINT) AS c FROM ("
             " SELECT cnt, unnest(list_transform(range(1, len(l)),"
             "  i -> struct_pack(a := l[i], b := l[i+1]))) AS u"
@@ -168,20 +254,25 @@ def bpe_train_sql(table: str = "documents", rounds: int = 8) -> str:
             " GROUP BY 1, 2)"
         )
         parts.append(
-            f"b{r} AS (SELECT left_s, right_s, c FROM {p}"
+            f"b{r} AS MATERIALIZED (SELECT left_s, right_s, c FROM {p}"
             " ORDER BY c DESC, left_s, right_s LIMIT 1)"
         )
         parts.append(
-            f"s{r} AS (SELECT trim(replace(replace("
+            f"s{r} AS MATERIALIZED (SELECT trim(replace(replace("
             " ' ' || replace(seq, ' ', '  ') || ' ',"
             f" (SELECT ' ' || left_s || '  ' || right_s || ' ' FROM b{r}),"
             f" (SELECT ' ' || left_s || right_s || ' ' FROM b{r})),"
             " '  ', ' ')) AS seq, cnt"
             f" FROM {prev})"
         )
+    return ", ".join(parts)
+
+
+def bpe_train_sql(table: str = "documents", rounds: int = 8) -> str:
+    """The SAME training run in ANSI SQL — byte-identical merges."""
     unions = " UNION ALL ".join(
         f"SELECT {r} AS merge_round, left_s AS merge_left,"
         f" right_s AS merge_right, c AS pair_count FROM b{r}"
         for r in range(1, int(rounds) + 1)
     )
-    return ", ".join(parts) + " " + unions
+    return _bpe_cte_tower(table, rounds) + " " + unions

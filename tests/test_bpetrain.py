@@ -82,3 +82,36 @@ def test_tie_breaks_lexicographic(spark):
     texts = ["xy xy ab ab"]
     got = _train(spark, texts, 1)
     assert got[0][1:3] == ("a", "b")
+
+
+def test_encode_piece_counts_match_reference(spark):
+    from sagan_spark.ops.bpetrain import bpe_encode
+
+    texts = ["low lower lowest", "new newer newest newest", "low new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in bpe_encode(docs, rounds=4).collect()
+    }
+
+    # reference: train with py_bpe, segment each word, count pieces
+    tok = re.compile(TOKEN_RE)
+    merges = py_bpe(texts, 4)
+    def seg(word):
+        s = list(word) + ["</w>"]
+        for _, a, b, _c in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            s = out
+        return len(s)
+    want = {}
+    for i, t in enumerate(texts):
+        ws = tok.findall(t)
+        want[i] = (len(ws), sum(seg(w) for w in ws))
+    assert got == want
