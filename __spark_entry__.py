@@ -2533,6 +2533,46 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), rounds=8)
 
 
+def q_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WARC→page ingest (ops/webpipeline.ingest_pipeline):
+    framing parse, HTTP/MIME route flags, robots meta screen, text +
+    metadata extraction, and the first-failing-reason keep verdict —
+    ONE codegen pass.  The record scaffold varies status (404s), MIME
+    (application/pdf rows), robots (noindex rows), and body length
+    (short texts) so every reason branch fires; NULL text exercises
+    the corrupt-record path.  The oracle composes the per-stage
+    fragments (warc_sql / html_text_sql / meta_field_sqls /
+    robots_noindex_sql) over the same scaffold."""
+    from sagan_spark.ops.webpipeline import ingest_pipeline
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    robots = F.when(
+        did % 7 == 0, F.lit('<meta name="robots" content="noindex">')
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('<html lang="en"><head><title>T '), F.col("source"),
+        F.lit("</title>"), robots,
+        F.lit("</head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    status = F.when(did % 5 == 0, F.lit("HTTP/1.0 404 Not Found")).otherwise(
+        F.lit("HTTP/1.1 200 OK")
+    )
+    mime = F.when(did % 3 == 2, F.lit("application/pdf")).otherwise(
+        F.lit("text/html")
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
+        F.col("source"), F.lit(".com/p/"), (did % 50).cast("string"),
+        F.lit("\r\n\r\n"), status,
+        F.lit("\r\nContent-Type: "), mime,
+        F.lit("\r\n\r\n"), body,
+    )
+    records = docs.select("doc_id", F.encode(rec, "UTF-8").alias("warc"))
+    return ingest_pipeline(records)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding under the corpus-trained tokenizer
     (ops/bpetrain.bpe_encode): per-doc word and piece counts via ONE
@@ -2694,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bursts": q_streaming_bursts,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "web_ingest": q_web_ingest,
     }
 
 
@@ -3253,6 +3294,33 @@ def _bpe_train_oracle_sql() -> str:
     from sagan_spark.ops.bpetrain import bpe_train_sql
 
     return bpe_train_sql("documents", rounds=8)
+
+
+def _web_ingest_oracle_sql() -> str:
+    """web_ingest oracle: the q_web_ingest record scaffold through the
+    composed per-stage fragments (ops.webpipeline.ingest_pipeline_sql)."""
+    from sagan_spark.ops.webpipeline import ingest_pipeline_sql
+
+    cr = "chr(13) || chr(10)"
+    body = (
+        "'<html lang=\"en\"><head><title>T ' || source || '</title>'"
+        " || CASE WHEN doc_id % 7 = 0 THEN"
+        " '<meta name=\"robots\" content=\"noindex\">' ELSE '' END"
+        " || '</head><body><p>' || text || '</p></body></html>'"
+    )
+    rec = (
+        f"('WARC/1.0' || {cr} || 'WARC-Type: response'"
+        f" || {cr} || 'WARC-Target-URI: https://' || source || '.com/p/'"
+        " || CAST(doc_id % 50 AS VARCHAR)"
+        f" || {cr} || {cr}"
+        " || CASE WHEN doc_id % 5 = 0 THEN 'HTTP/1.0 404 Not Found'"
+        "  ELSE 'HTTP/1.1 200 OK' END"
+        f" || {cr} || 'Content-Type: '"
+        " || CASE WHEN doc_id % 3 = 2 THEN 'application/pdf'"
+        "  ELSE 'text/html' END"
+        f" || {cr} || {cr} || ({body}))"
+    )
+    return ingest_pipeline_sql(rec, "documents")
 
 
 def _bpe_encode_oracle_sql() -> str:
@@ -4980,6 +5048,9 @@ def oracle_sql() -> dict[str, str]:
         # encode side: same CTE tower, final segmentation joined back
         # to the corpus token stream
         "bpe_encode": _bpe_encode_oracle_sql(),
+        # end-to-end WARC->page ingest: per-stage oracle fragments
+        # composed over the q_web_ingest scaffold
+        "web_ingest": _web_ingest_oracle_sql(),
         # LSH calibration joint (ops/dedup.minhash_calibration): same
         # candidate CTEs as the jaccard oracle; integer decile via //
         "minhash_calibration": (

@@ -84,54 +84,67 @@ def _clean_text_sql(expr: str) -> str:
     return f"trim(regexp_replace({out}, {_sql_quote(WS_RE)}, ' ', 'g'))"
 
 
+def meta_exprs(s) -> dict:
+    """The five extraction Columns over an html STRING expression —
+    the composable form :func:`page_metadata` and the ingest pipeline
+    (ops/webpipeline.py) both build on."""
+    return {
+        "title": _clean_text_expr(F.regexp_extract(s, TITLE_RE, 1)),
+        "meta_description": _clean_text_expr(
+            F.regexp_extract(
+                F.regexp_extract(s, META_DESC_TAG_RE, 0), CONTENT_ATTR_RE, 1
+            )
+        ),
+        "canonical_url": F.regexp_extract(
+            F.regexp_extract(s, CANONICAL_TAG_RE, 0), HREF_ATTR_RE, 1
+        ),
+        "og_title": _clean_text_expr(
+            F.regexp_extract(
+                F.regexp_extract(s, OG_TITLE_TAG_RE, 0), CONTENT_ATTR_RE, 1
+            )
+        ),
+        "html_lang": F.lower(F.regexp_extract(s, HTML_LANG_RE, 1)),
+    }
+
+
 def page_metadata(pages: DataFrame, html_col: str = "html",
                   id_col: str = "doc_id") -> DataFrame:
     """(id, title, meta_description, canonical_url, og_title,
     html_lang) per page.  Missing fields come back as the empty string
     (regexp_extract's no-match value in BOTH engines — kept as-is
     rather than NULLed so the sink schema is total)."""
-    s = F.decode(F.col(html_col), "UTF-8")
-    title = _clean_text_expr(F.regexp_extract(s, TITLE_RE, 1))
-    desc = _clean_text_expr(
-        F.regexp_extract(
-            F.regexp_extract(s, META_DESC_TAG_RE, 0), CONTENT_ATTR_RE, 1
-        )
-    )
-    og = _clean_text_expr(
-        F.regexp_extract(
-            F.regexp_extract(s, OG_TITLE_TAG_RE, 0), CONTENT_ATTR_RE, 1
-        )
-    )
-    canonical = F.regexp_extract(
-        F.regexp_extract(s, CANONICAL_TAG_RE, 0), HREF_ATTR_RE, 1
-    )
-    lang = F.lower(F.regexp_extract(s, HTML_LANG_RE, 1))
+    exprs = meta_exprs(F.decode(F.col(html_col), "UTF-8"))
     return pages.select(
         F.col(id_col),
-        title.alias("title"),
-        desc.alias("meta_description"),
-        canonical.alias("canonical_url"),
-        og.alias("og_title"),
-        lang.alias("html_lang"),
+        *[c.alias(name) for name, c in exprs.items()],
     )
+
+
+def meta_field_sqls(expr: str) -> dict[str, str]:
+    """Per-field SQL expressions over an html STRING expression —
+    the composable form :func:`page_meta_sql` and the ingest-pipeline
+    oracle both build on (one source of truth with
+    :func:`meta_exprs`)."""
+    def x(pat: str, grp: int, src: str) -> str:
+        return f"regexp_extract({src}, {_sql_quote(pat)}, {grp})"
+
+    return {
+        "title": _clean_text_sql(x(TITLE_RE, 1, expr)),
+        "meta_description": _clean_text_sql(
+            x(CONTENT_ATTR_RE, 1, x(META_DESC_TAG_RE, 0, expr))
+        ),
+        "canonical_url": x(HREF_ATTR_RE, 1, x(CANONICAL_TAG_RE, 0, expr)),
+        "og_title": _clean_text_sql(
+            x(CONTENT_ATTR_RE, 1, x(OG_TITLE_TAG_RE, 0, expr))
+        ),
+        "html_lang": f"lower({x(HTML_LANG_RE, 1, expr)})",
+    }
 
 
 def page_meta_sql(expr: str) -> str:
     """The SAME extraction as :func:`page_metadata` in ANSI SQL over an
     html STRING expression — one source of truth for the oracle.
     Emits a SELECT-list fragment (without the id column)."""
-    def x(pat: str, grp: int, src: str) -> str:
-        return f"regexp_extract({src}, {_sql_quote(pat)}, {grp})"
-
-    title = _clean_text_sql(x(TITLE_RE, 1, expr))
-    desc = _clean_text_sql(
-        x(CONTENT_ATTR_RE, 1, x(META_DESC_TAG_RE, 0, expr))
-    )
-    og = _clean_text_sql(x(CONTENT_ATTR_RE, 1, x(OG_TITLE_TAG_RE, 0, expr)))
-    canonical = x(HREF_ATTR_RE, 1, x(CANONICAL_TAG_RE, 0, expr))
-    lang = f"lower({x(HTML_LANG_RE, 1, expr)})"
-    return (
-        f"{title} AS title, {desc} AS meta_description,"
-        f" {canonical} AS canonical_url, {og} AS og_title,"
-        f" {lang} AS html_lang"
+    return ", ".join(
+        f"{sql} AS {name}" for name, sql in meta_field_sqls(expr).items()
     )

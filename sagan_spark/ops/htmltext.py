@@ -148,6 +148,18 @@ def robots_directives(
     )
 
 
+def robots_noindex_sql(expr: str) -> str:
+    """The noindex predicate alone over an html STRING expression —
+    the composable piece the ingest-pipeline oracle needs."""
+    tag = f"regexp_extract({expr}, {_sql_quote(ROBOTS_TAG_RE)}, 0)"
+    content = f"regexp_extract({tag}, {_sql_quote(ROBOTS_CONTENT_RE)}, 1)"
+    dirs = f"list_transform(str_split({content}, ','), x -> lower(trim(x)))"
+    return (
+        f"(list_contains({dirs}, 'noindex')"
+        f" OR list_contains({dirs}, 'none'))"
+    )
+
+
 def robots_sql(expr: str) -> str:
     """The SAME robots extraction as ``robots_directives`` in ANSI SQL
     over an html STRING expression — one source of truth for the

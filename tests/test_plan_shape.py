@@ -504,3 +504,23 @@ def test_pmi_and_robots_screen_no_python_no_corpus_window(spark):
     # the verdict is an algebraic max: partial_max must appear before
     # the exchange (map-side combine of the rule fan-out)
     assert "partial_max" in plan or "partial max" in plan.lower(), plan[:2000]
+
+
+def test_web_ingest_single_codegen_projection(spark):
+    """ingest_pipeline pin: the entire WARC->verdict chain must stay
+    ONE scan-level codegen projection — no shuffle, no Python (at
+    10^12 records AQE folds it into the scan)."""
+    from sagan_spark.ops.webpipeline import ingest_pipeline
+
+    recs = spark.createDataFrame(
+        [(1, b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+             b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+             b"<html lang=en><title>t</title><p>hello world text</p></html>")],
+        "doc_id long, warc binary",
+    )
+    plan = (
+        ingest_pipeline(recs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "shuffle in the ingest projection"
+    assert "EvalPython" not in plan, "Python node"
+    assert "*(1)" in plan, f"fell out of codegen:\n{plan[:800]}"

@@ -83,3 +83,38 @@ def test_null_record_propagates(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, warc binary")
     r = parse_warc(df).collect()[0]
     assert r["warc_type"] is None and r["body_len"] is None
+
+
+def test_ingest_pipeline_reason_branches(spark):
+    from sagan_spark.ops.webpipeline import ingest_pipeline
+
+    def rec(status, mime, body):
+        return (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://x.y/\r\n\r\n"
+            f"{status}\r\nContent-Type: {mime}\r\n\r\n{body}"
+        ).encode()
+
+    long_html = (
+        '<html lang="de"><head><title> Big &amp; Bold </title></head>'
+        "<body><p>enough visible text to pass the minimum easily</p></body>"
+        "</html>"
+    )
+    rows = [
+        (0, rec("HTTP/1.1 200 OK", "text/html", long_html)),          # ok
+        (1, rec("HTTP/1.0 404 Not Found", "text/html", long_html)),   # http
+        (2, rec("HTTP/1.1 200 OK", "application/pdf", long_html)),    # mime
+        (3, rec("HTTP/1.1 200 OK", "text/html",
+                '<meta name="robots" content="noindex">' + long_html)),
+        (4, rec("HTTP/1.1 200 OK", "text/html", "<p>tiny</p>")),      # short
+        (5, None),                                                    # corrupt
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, warc binary")
+    got = {r["doc_id"]: r for r in ingest_pipeline(df).collect()}
+    assert got[0]["keep"] and got[0]["reason"] == "ok"
+    assert got[0]["title"] == "Big & Bold" and got[0]["html_lang"] == "de"
+    assert got[1]["reason"] == "http_status"
+    assert got[2]["reason"] == "mime"
+    assert got[3]["reason"] == "robots"
+    assert got[4]["reason"] == "too_short"
+    assert got[5]["reason"] == "http_status" and not got[5]["keep"]
