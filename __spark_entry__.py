@@ -2533,6 +2533,24 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), rounds=8)
 
 
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch calibration (ops/sketch.cm_heavy_hitters):
+    estimates vs exact counts over the corpus token stream, width 512
+    so collisions actually occur (est > exact rows prove the sketch is
+    doing sketch things); probes = the distinct tokens of every 101st
+    document."""
+    from sagan_spark.ops.sketch import cm_heavy_hitters
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    docs = _docs(spark, sf_dir)
+    toks = F.explode(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    ).alias("key")
+    items = docs.select(toks)
+    probes = docs.filter(F.col("doc_id") % 101 == 0).select(toks).distinct()
+    return cm_heavy_hitters(items, probes, width=512, depth=4)
+
+
 def q_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end WARC→page ingest (ops/webpipeline.ingest_pipeline):
     framing parse, HTTP/MIME route flags, robots meta screen, text +
@@ -2735,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "web_ingest": q_web_ingest,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
     }
 
 
@@ -3294,6 +3313,21 @@ def _bpe_train_oracle_sql() -> str:
     from sagan_spark.ops.bpetrain import bpe_train_sql
 
     return bpe_train_sql("documents", rounds=8)
+
+
+def _cm_oracle_sql() -> str:
+    from sagan_spark.ops.sketch import cm_heavy_hitters_sql
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    items = (
+        "(SELECT unnest(regexp_extract_all(text,"
+        f" '{TOKEN_RE}')) AS key FROM documents)"
+    )
+    probes = (
+        "(SELECT DISTINCT unnest(regexp_extract_all(text,"
+        f" '{TOKEN_RE}')) AS key FROM documents WHERE doc_id % 101 = 0)"
+    )
+    return cm_heavy_hitters_sql(items, probes, width=512, depth=4)
 
 
 def _web_ingest_oracle_sql() -> str:
@@ -5051,6 +5085,9 @@ def oracle_sql() -> dict[str, str]:
         # end-to-end WARC->page ingest: per-stage oracle fragments
         # composed over the q_web_ingest scaffold
         "web_ingest": _web_ingest_oracle_sql(),
+        # count-min sketch build + estimate + exact comparison: same
+        # md5-salted cells, same min-over-depth, replayed exactly
+        "cm_heavy_hitters": _cm_oracle_sql(),
         # LSH calibration joint (ops/dedup.minhash_calibration): same
         # candidate CTEs as the jaccard oracle; integer decile via //
         "minhash_calibration": (
