@@ -2551,6 +2551,23 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_heavy_hitters(items, probes, width=512, depth=4)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source
+    (ops/sketch.hll_distinct, p=10) calibrated against the exact
+    distinct — integer-only registers and estimate, no IEEE chain."""
+    from sagan_spark.ops.sketch import hll_distinct
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    docs = _docs(spark, sf_dir)
+    items = docs.select(
+        F.col("source").alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("key"),
+    )
+    return hll_distinct(items, p=10)
+
+
 def q_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end WARC→page ingest (ops/webpipeline.ingest_pipeline):
     framing parse, HTTP/MIME route flags, robots meta screen, text +
@@ -2754,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "web_ingest": q_web_ingest,
         "cm_heavy_hitters": q_cm_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -3328,6 +3346,17 @@ def _cm_oracle_sql() -> str:
         f" '{TOKEN_RE}')) AS key FROM documents WHERE doc_id % 101 = 0)"
     )
     return cm_heavy_hitters_sql(items, probes, width=512, depth=4)
+
+
+def _hll_oracle_sql() -> str:
+    from sagan_spark.ops.sketch import hll_distinct_sql
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    items = (
+        "(SELECT source AS grp, unnest(regexp_extract_all(text,"
+        f" '{TOKEN_RE}')) AS key FROM documents)"
+    )
+    return hll_distinct_sql(items, p=10)
 
 
 def _web_ingest_oracle_sql() -> str:
@@ -5088,6 +5117,9 @@ def oracle_sql() -> dict[str, str]:
         # count-min sketch build + estimate + exact comparison: same
         # md5-salted cells, same min-over-depth, replayed exactly
         "cm_heavy_hitters": _cm_oracle_sql(),
+        # HLL registers + integer estimate replayed exactly (bin()
+        # string-length ranks, one integer division, no floats)
+        "hll_distinct": _hll_oracle_sql(),
         # LSH calibration joint (ops/dedup.minhash_calibration): same
         # candidate CTEs as the jaccard oracle; integer decile via //
         "minhash_calibration": (

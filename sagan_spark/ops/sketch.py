@@ -118,6 +118,110 @@ def cm_heavy_hitters(items: DataFrame, probes: DataFrame,
     )
 
 
+def _hll_params(p: int) -> tuple[int, int, int]:
+    """(m, W, NUM): bucket count, remainder bit width, and the exact
+    integer numerator ``alpha_ppm · m² · 2^(W+1)`` — computed ONCE in
+    Python and injected as the same literal on both engines, so the
+    only runtime arithmetic is integer sum + one integer division."""
+    m = 1 << p
+    w = 60 - p
+    alpha_ppm = int(1_000_000 * 0.7213 / (1 + 1.079 / m))
+    return m, w, alpha_ppm * m * m * (1 << (w + 1))
+
+
+def hll_distinct(items: DataFrame, key_col: str = "key",
+                 group_col: str = "grp", p: int = 10) -> DataFrame:
+    """(group, est, exact, n_zero_buckets): HyperLogLog distinct-count
+    estimate per group (Flajolet et al. 2007) next to the exact
+    distinct for calibration.
+
+    Determinism contract (the count-min discipline): the 60-bit hash
+    is the md5 prefix, bucket = top ``p`` bits, and the register rank
+    is derived from ``bin()``'s string length — integer/string ops
+    only, no float ``log2`` whose last-ulp could flip a register.
+    The estimate itself is one exact integer division
+    ``NUM div (S · 10^6)`` where ``S = Σ 2^((W+1) - M_j)`` over all m
+    registers (empty registers contribute ``2^(W+1)``) — byte-exact in
+    DuckDB, no IEEE chain at all.  The small-range linear-counting
+    correction needs ``ln`` (not cross-engine exact), so it is NOT
+    folded in; ``n_zero_buckets`` is emitted for callers who want it.
+
+    Scale shape: one map-side-combining max per (group, bucket) —
+    state bounded by groups × m regardless of corpus size — then a
+    per-group sum over ≤ m rows.  The exact side is the usual
+    count-distinct (itself a two-phase agg); at true 100 TB scale a
+    user runs the sketch ALONE and skips that column."""
+    m, w, num = _hll_params(p)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), F.col(key_col))), 1, 15),
+        16, 10,
+    ).cast("long")
+    bucket = F.shiftright(h, w)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    rank = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(rem)) + F.lit(1)
+    )
+    regs = (
+        items.select(F.col(group_col).alias("grp"), bucket.alias("bucket"),
+                     rank.alias("rank"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("mx"))
+    )
+    # SQL form: pyspark's shiftleft only takes a literal int bit count
+    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - mx)")
+    per_group = regs.groupBy("grp").agg(
+        F.sum(pow2).alias("s_present"),
+        F.count(F.lit(1)).alias("v_used"),
+    )
+    s = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("v_used")) * F.lit(1 << (w + 1)).cast("long")
+    )
+    est = F.expr(
+        f"CAST({num} AS DECIMAL(38,0))"
+        " div (CAST(_sg_s AS DECIMAL(38,0)) * 1000000)"
+    )
+    ests = per_group.withColumn("_sg_s", s).select(
+        "grp",
+        est.alias("est"),
+        (F.lit(m) - F.col("v_used")).cast("long").alias("n_zero_buckets"),
+    )
+    exact = items.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(F.col(key_col)).alias("exact")
+    )
+    return ests.join(exact, "grp").select(
+        "grp", "est", "exact", "n_zero_buckets"
+    )
+
+
+def hll_distinct_sql(items_rel: str, p: int = 10) -> str:
+    """The SAME registers and integer estimate in ANSI SQL over a
+    relation exposing (grp, key)."""
+    m, w, num = _hll_params(p)
+    return (
+        "WITH h AS (SELECT grp,"
+        " ('0x' || substr(md5('hll|' || key), 1, 15))::BIGINT AS hv"
+        f" FROM {items_rel}),"
+        f" r AS (SELECT grp, hv >> {w} AS bucket,"
+        f" CASE WHEN (hv & {(1 << w) - 1}) = 0 THEN {w + 1}"
+        f" ELSE {w} - length(bin(hv & {(1 << w) - 1})) + 1 END AS rank"
+        " FROM h),"
+        " regs AS (SELECT grp, bucket, max(rank) AS mx FROM r"
+        "  GROUP BY 1, 2),"
+        " pg AS (SELECT grp,"
+        f" CAST(sum(1::BIGINT << ({w + 1} - mx)) AS BIGINT) AS s_present,"
+        " count(*) AS v_used FROM regs GROUP BY 1),"
+        f" ests AS (SELECT grp, CAST({num}::HUGEINT //"
+        f" ((s_present + ({m} - v_used) * {1 << (w + 1)}::BIGINT)::HUGEINT"
+        " * 1000000) AS BIGINT) AS est,"
+        f" CAST({m} - v_used AS BIGINT) AS n_zero_buckets FROM pg),"
+        f" ex AS (SELECT grp, CAST(count(DISTINCT key) AS BIGINT) AS exact"
+        f" FROM {items_rel} GROUP BY 1)"
+        " SELECT ests.grp, est, exact, n_zero_buckets"
+        " FROM ests JOIN ex ON ests.grp = ex.grp"
+    )
+
+
 def cm_heavy_hitters_sql(items_rel: str, probes_rel: str,
                          key_expr: str = "key", width: int = 2048,
                          depth: int = 4) -> str:

@@ -73,3 +73,49 @@ def test_plan_probe_join_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan, "sketch join must broadcast"
     assert "EvalPython" not in plan
+
+
+def py_hll_rank(key: str, p: int = 10):
+    h = int(hashlib.md5(f"hll|{key}".encode()).hexdigest()[:15], 16)
+    w = 60 - p
+    bucket = h >> w
+    rem = h & ((1 << w) - 1)
+    rank = (w + 1) if rem == 0 else w - rem.bit_length() + 1
+    return bucket, rank
+
+
+def test_hll_registers_match_python_twin(spark):
+    from sagan_spark.ops.sketch import hll_distinct
+
+    keys = [f"tok{i}" for i in range(200)]
+    items = spark.createDataFrame(
+        [("g", k) for k in keys], "grp string, key string"
+    )
+    row = hll_distinct(items, p=10).collect()[0]
+    # python replay of the estimate
+    regs = {}
+    for k in keys:
+        b, r = py_hll_rank(k)
+        regs[b] = max(regs.get(b, 0), r)
+    m, w = 1 << 10, 50
+    alpha_ppm = int(1_000_000 * 0.7213 / (1 + 1.079 / m))
+    num = alpha_ppm * m * m * (1 << (w + 1))
+    s = sum(1 << (w + 1 - mx) for mx in regs.values()) + (
+        m - len(regs)
+    ) * (1 << (w + 1))
+    assert row["est"] == num // (s * 1_000_000)
+    assert row["exact"] == 200
+    assert row["n_zero_buckets"] == m - len(regs)
+
+
+def test_hll_estimate_accuracy(spark):
+    from sagan_spark.ops.sketch import hll_distinct
+
+    n = 5000
+    items = spark.createDataFrame(
+        [("g", f"k{i % n}") for i in range(2 * n)], "grp string, key string"
+    )
+    row = hll_distinct(items, p=10).collect()[0]
+    # standard error ~ 1.04/sqrt(1024) ~ 3.3%; allow 4 sigma
+    assert abs(row["est"] - n) < 0.14 * n
+    assert row["exact"] == n
