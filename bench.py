@@ -81,6 +81,8 @@ HEADLINE = [
     "inverted_index",
     "bpe_train",
     "crawl_diff",
+    "web_ingest",
+    "hll_distinct",
 ]
 
 
