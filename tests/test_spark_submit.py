@@ -132,3 +132,55 @@ def test_vars_conf_matches_vars_py():
             k, _, v = line.partition("=")
             parsed[k.strip()] = v.strip()
     assert parsed == VARIABLES
+
+
+def test_spark_submit_py_files_corpus_job(tmp_path):
+    """The curation entry point, deployed the same way: pages in,
+    curated corpus + per-stage yield ledger out, resume marker
+    honored on re-run."""
+    from sagan_spark.data.pages import generate_pages
+
+    pq.write_table(generate_pages(n_rows=400), str(tmp_path / "pages.parquet"))
+    zpath = _zip_package(tmp_path)
+    job = tmp_path / "run_corpus.py"
+    shutil.copy(REPO / "jobs" / "run_corpus.py", job)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [
+        "spark-submit",
+        "--master", "local[2]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zpath),
+        str(job),
+        "--input", str(tmp_path / "pages.parquet"),
+        "--output", str(tmp_path / "corpus"),
+        "--metrics", str(tmp_path / "metrics"),
+        "--min-chars", "10",
+        "--domain-cap", "50",
+        "--sample", "0.9",
+        "--run-id", "corpussmoke",
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=tmp_path, env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+
+    corpus = pq.read_table(str(tmp_path / "corpus"))
+    assert 0 < corpus.num_rows <= 400
+    assert "doc_id" in corpus.column_names and "url" in corpus.column_names
+    stages = pq.read_table(str(tmp_path / "metrics" / "stages"))
+    names = set(stages.column("stage").to_pylist())
+    assert names == {"ingest", "screen", "dedup", "quota", "sample"}
+    # counts are monotonically non-increasing through the funnel
+    by = {r["stage"]: r["n_rows"] for r in stages.to_pylist()}
+    assert by["ingest"] >= by["screen"] >= by["dedup"] >= by["quota"] >= by["sample"]
+
+    # resume: second run with the same run-id must no-op
+    out2 = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=tmp_path, env=env,
+        timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    assert "already completed" in out2.stdout
