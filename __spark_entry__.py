@@ -2533,6 +2533,44 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), rounds=8)
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template census (ops/urltools.url_template_mining):
+    id-like segments collapse to {n}/{hex} placeholders; synthetic
+    paths exercise numeric ids, hex ids, literal pages, multi-id
+    paths, and the empty path; domains vary by doc_id%3 TLD so
+    n_domains counts real PSL registered domains."""
+    from sagan_spark.ops.urltools import url_template_mining
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    tld = (
+        F.when(did % 3 == 0, F.lit(".co.uk"))
+        .when(did % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".org"))
+    )
+    path = (
+        F.when(did % 6 == 0,
+               F.concat(F.lit("/product/"), (did % 40).cast("string"),
+                        F.lit("/view")))
+        .when(did % 6 == 1,
+              F.concat(F.lit("/product/"), (did % 40).cast("string")))
+        .when(did % 6 == 2,
+              F.concat(F.lit("/u/"),
+                       F.substring(F.md5(did.cast("string")), 1, 12)))
+        .when(did % 6 == 3, F.lit("/about"))
+        .when(did % 6 == 4,
+              F.concat(F.lit("/blog/"), (did % 5).cast("string"),
+                       F.lit("/"), (did % 97).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), tld, path
+        ).alias("url")
+    )
+    return url_template_mining(pages, min_urls=2)
+
+
 def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch calibration (ops/sketch.cm_heavy_hitters):
     estimates vs exact counts over the corpus token stream, width 512
@@ -2772,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_ingest": q_web_ingest,
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "hll_distinct": q_hll_distinct,
+        "url_templates": q_url_templates,
     }
 
 
@@ -3346,6 +3385,56 @@ def _cm_oracle_sql() -> str:
         f" '{TOKEN_RE}')) AS key FROM documents WHERE doc_id % 101 = 0)"
     )
     return cm_heavy_hitters_sql(items, probes, width=512, depth=4)
+
+
+def _url_templates_oracle_sql() -> str:
+    from sagan_spark.ops.psl import registered_domain_sql
+    from sagan_spark.ops.urltools import (
+        HOST_RE,
+        PATH_RE,
+        TEMPLATE_HEX_RE,
+        TEMPLATE_NUM_RE,
+    )
+
+    urls = (
+        "SELECT 'https://' || source ||"
+        " (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'"
+        "  WHEN doc_id % 3 = 1 THEN '.com' ELSE '.org' END) ||"
+        " (CASE WHEN doc_id % 6 = 0 THEN"
+        "   '/product/' || CAST(doc_id % 40 AS VARCHAR) || '/view'"
+        "  WHEN doc_id % 6 = 1 THEN"
+        "   '/product/' || CAST(doc_id % 40 AS VARCHAR)"
+        "  WHEN doc_id % 6 = 2 THEN"
+        "   '/u/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)"
+        "  WHEN doc_id % 6 = 3 THEN '/about'"
+        "  WHEN doc_id % 6 = 4 THEN"
+        "   '/blog/' || CAST(doc_id % 5 AS VARCHAR) || '/'"
+        "   || CAST(doc_id % 97 AS VARCHAR)"
+        "  ELSE '' END) AS url FROM documents"
+    )
+    seg = (
+        f"x -> CASE WHEN regexp_matches(x, '{TEMPLATE_NUM_RE}') THEN '{{n}}'"
+        f" WHEN regexp_matches(x, '{TEMPLATE_HEX_RE}') THEN '{{hex}}'"
+        " ELSE x END"
+    )
+    return (
+        f"WITH u AS ({urls}),"
+        " parts AS (SELECT"
+        f" array_to_string(list_transform(str_split("
+        f"  CASE WHEN regexp_extract(url, '{PATH_RE}', 1) = '' THEN '/'"
+        f"  ELSE regexp_extract(url, '{PATH_RE}', 1) END, '/'), {seg}), '/')"
+        "  AS template,"
+        f" lower(regexp_extract(url, '{HOST_RE}', 1)) AS host FROM u),"
+        " dom AS (SELECT template, "
+        + registered_domain_sql("host", "hp")
+        + " AS domain FROM (SELECT template, host,"
+        " str_split(host, '.') AS hp FROM parts)),"
+        " pd AS (SELECT template, domain, count(*) AS n FROM dom"
+        "  GROUP BY 1, 2)"
+        " SELECT template, CAST(sum(n) AS BIGINT) AS n_urls,"
+        " CAST(count(*) AS BIGINT) AS n_domains FROM pd GROUP BY 1"
+        " HAVING sum(n) >= 2"
+    )
 
 
 def _hll_oracle_sql() -> str:
@@ -5120,6 +5209,9 @@ def oracle_sql() -> dict[str, str]:
         # HLL registers + integer estimate replayed exactly (bin()
         # string-length ranks, one integer division, no floats)
         "hll_distinct": _hll_oracle_sql(),
+        # URL path-template census: same TEMPLATE_* constants, same
+        # per-segment CASE, same two-level (template, domain) rollup
+        "url_templates": _url_templates_oracle_sql(),
         # LSH calibration joint (ops/dedup.minhash_calibration): same
         # candidate CTEs as the jaccard oracle; integer decile via //
         "minhash_calibration": (

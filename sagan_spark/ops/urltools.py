@@ -205,3 +205,58 @@ def blocklist_filter(docs: DataFrame, blocked, url_col: str = "url",
         cond = F.col("_sg_domain").isin(*list(blocked))
         out = d.filter(cond if keep else ~cond)
     return out.drop("_sg_domain")
+
+
+# path-template segment classes: pure-numeric ids and long hex-ish ids
+# collapse to placeholders; everything else is a literal segment.  Both
+# patterns sit in the RE2 ∩ Java subset (anchored, explicit classes).
+TEMPLATE_NUM_RE = r"^[0-9]+$"
+TEMPLATE_HEX_RE = r"^[0-9a-f]{8,}$"
+
+
+def url_path_template(url: Column) -> Column:
+    """The URL's path with id-like segments collapsed —
+    '/product/12345/view' and '/product/99/view' both become
+    '/product/{n}/view'.  Pure codegen: split, per-segment CASE,
+    rejoin."""
+    path_raw = F.regexp_extract(url, PATH_RE, 1)
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    seg = lambda x: (  # noqa: E731
+        F.when(x.rlike(TEMPLATE_NUM_RE), F.lit("{n}"))
+        .when(x.rlike(TEMPLATE_HEX_RE), F.lit("{hex}"))
+        .otherwise(x)
+    )
+    return F.array_join(F.transform(F.split(path, "/"), seg), "/")
+
+
+def url_template_mining(docs: DataFrame, url_col: str = "url",
+                        min_urls: int = 2) -> DataFrame:
+    """(template, n_urls, n_domains): the URL-shape census of a crawl
+    — which path templates dominate ('/product/{n}', '/user/{hex}'),
+    and whether a shape is one site's artifact or web-wide.  Crawl
+    frontiers read this to cap template explosions (calendar pages,
+    session-id labyrinths) before they eat the fetch budget; the
+    reference's analog is its own repeating-pattern ignore list
+    (src/sagan-config.c ignore_list).
+
+    Scale shape: one scan-level template projection, then the
+    domain_rollup two-level aggregation — the (template, domain)
+    partial bounds per-task state so a web-wide template ('/{n}')
+    never accumulates distinct-domain state in one task; the template
+    rollup sums tiny rows.  ``min_urls`` prunes the hapax tail AFTER
+    counting (counts stay exact)."""
+    t = url_path_template(F.col(url_col))
+    d = registered_domain(url_host(F.col(url_col)))
+    per_dom = (
+        docs.select(t.alias("template"), d.alias("_sg_domain"))
+        .groupBy("template", "_sg_domain")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        per_dom.groupBy("template")
+        .agg(
+            F.sum("_n").cast("long").alias("n_urls"),
+            F.count(F.lit(1)).cast("long").alias("n_domains"),
+        )
+        .filter(F.col("n_urls") >= F.lit(int(min_urls)))
+    )
