@@ -2089,6 +2089,32 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(domain_edges(extract_links(pages)), iterations=5)
 
 
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer HITS over the same scaffolded domain
+    graph as domain_pagerank: href extraction → registered-domain
+    collapse → 3 L-infinity-normalized hub/authority iterations
+    (ops/linkgraph.hits).  The oracle rebuilds the edge multiset from
+    the doc_id arithmetic and replays the integer recurrence as
+    unrolled CTEs with scalar-subquery maxima — exact BIGINT
+    equality."""
+    from sagan_spark.ops.linkgraph import domain_edges, extract_links, hits
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<a href="https://src'), (F.col("doc_id") % 13).cast("string"),
+        F.lit('.example/x">a</a><a href="https://ref'),
+        (F.col("doc_id") % 5).cast("string"), F.lit('.org/">b</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return hits(domain_edges(extract_links(pages)), iterations=3)
+
+
 def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-health screen over documents with a deterministic
     defect scaffold (the synthetic text is clean ASCII, so each
@@ -2786,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_extract": q_anchor_extract,
         "anchor_domain_topk": q_anchor_domain_topk,
         "domain_pagerank": q_domain_pagerank,
+        "link_hits": q_link_hits,
         "encoding_quality": q_encoding_quality,
         "lm_likelihood": q_lm_likelihood,
         "lm_buckets": q_lm_buckets,
@@ -2949,6 +2976,50 @@ def _pagerank_sql(iterations: int = 5, damping_milli: int = 850,
             f" ON n.node = c.node),"
         )
     return sql.rstrip(",") + f" SELECT node, rank FROM r{iterations}"
+
+
+def _hits_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
+    """link_hits oracle: the q_link_hits edge multiset rebuilt from
+    doc_id arithmetic, then ops/linkgraph.hits's integer recurrence
+    unrolled — per iteration a raw-sum CTE and an L-infinity rescale
+    CTE (scalar-subquery max) for each of authority and hub.  DuckDB
+    `//` and Spark `div` agree exactly on the non-negative BIGINTs."""
+    sql = (
+        "WITH e AS ("
+        " SELECT source || '.example' AS src,"
+        "  'src' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS dst"
+        "  FROM documents"
+        " UNION ALL SELECT source || '.example',"
+        "  'ref' || CAST(doc_id % 5 AS VARCHAR) || '.org' FROM documents),"
+        " ef AS (SELECT src, dst FROM e WHERE src != dst),"
+        " nodes AS (SELECT src AS node FROM ef UNION SELECT dst FROM ef),"
+        f" h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes),"
+    )
+    for i in range(iterations):
+        sql += (
+            f" a{i + 1}r AS (SELECT n.node,"
+            f" CAST(coalesce(c.s, 0) AS BIGINT) AS auth"
+            f" FROM nodes n LEFT JOIN ("
+            f"  SELECT ef.dst AS node, sum(h.hub) AS s"
+            f"  FROM ef JOIN h{i} h ON ef.src = h.node GROUP BY 1) c"
+            f" ON n.node = c.node),"
+            f" a{i + 1} AS (SELECT node, CAST((auth * {scale}) //"
+            f"  greatest((SELECT max(auth) FROM a{i + 1}r), 1)"
+            f"  AS BIGINT) AS auth FROM a{i + 1}r),"
+            f" h{i + 1}r AS (SELECT n.node,"
+            f" CAST(coalesce(c.s, 0) AS BIGINT) AS hub"
+            f" FROM nodes n LEFT JOIN ("
+            f"  SELECT ef.src AS node, sum(a.auth) AS s"
+            f"  FROM ef JOIN a{i + 1} a ON ef.dst = a.node GROUP BY 1) c"
+            f" ON n.node = c.node),"
+            f" h{i + 1} AS (SELECT node, CAST((hub * {scale}) //"
+            f"  greatest((SELECT max(hub) FROM h{i + 1}r), 1)"
+            f"  AS BIGINT) AS hub FROM h{i + 1}r),"
+        )
+    return sql.rstrip(",") + (
+        f" SELECT h.node AS node, h.hub AS hub, a.auth AS auth"
+        f" FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"
+    )
 
 
 def _encoding_quality_sql() -> str:
@@ -5063,6 +5134,7 @@ def oracle_sql() -> dict[str, str]:
             " || '.org/\">y</a></body></html>' AS h FROM documents)"
         ),
         "domain_pagerank": _pagerank_sql(),
+        "link_hits": _hits_sql(),
         # encoding-health screen (ops/webclean.encoding_quality) over
         # the q_encoding_quality defect scaffold; regexes generated
         # from the SAME module constants as the Spark op

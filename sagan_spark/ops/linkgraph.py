@@ -134,3 +134,83 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(edges: DataFrame, iterations: int = 3, scale: int = 1_000_000,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Deterministic integer HITS (Kleinberg 1999): returns
+    (node, hub, auth) with both scores in units of ``scale``.
+
+    The float algorithm L2-normalizes each half-step; no two engines
+    sum the squares identically, so this implementation normalizes by
+    the MAXIMUM instead (L-infinity): after each raw sum the scores
+    are rescaled ``raw * scale div max(raw)`` — max and sum of 64-bit
+    integers are exact in any aggregation order, so the result is
+    bit-identical across partitionings and cluster sizes (the same
+    contract as :func:`pagerank`, replayed by the DuckDB oracle as
+    unrolled CTEs with scalar-subquery maxima).  The L-inf-normalized
+    iteration converges to the same principal eigenvectors, just
+    scaled so the top hub / top authority sit at exactly ``scale``.
+
+    Overflow bound: a raw sum is at most ``n_edges * scale`` — with
+    the default micro-unit scale, safe to ~9 * 10^12 edges; lower
+    ``scale`` for denser graphs.
+
+    Scale shape (100 TB posture): per iteration the authority step is
+    one join (hubs on src) + one partial-aggregating groupBy(dst) and
+    the hub step mirrors it on the other key — four shuffles per
+    iteration on unbucketed input (bucket the edge list by src to
+    halve that).  The per-step maximum is a global scalar aggregate
+    whose 1-row result is broadcast back — no driver round-trip in
+    the plan beyond the scalar itself.  Hot authorities (every page
+    links to the same domain) partial-aggregate map-side.  Duplicate
+    (src,dst) pairs act as edge weights, as in :func:`pagerank`;
+    ``localCheckpoint`` per iteration cuts lineage.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("_sg_src"), dst.alias("_sg_dst"))
+    if iterations > 1:
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_sg_src").alias("node"))
+        .union(e.select(F.col("_sg_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _rescale(raw: DataFrame, col: str) -> DataFrame:
+        # raw * scale div max(raw): the 1-row max is broadcast, never
+        # collected; greatest(1) guards the all-zero edgeless corner
+        mx = raw.agg(F.greatest(F.max(col), F.lit(1).cast("long")).alias("_sg_mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node", F.expr(f"({col} * {scale}L) div _sg_mx").alias(col)
+        )
+
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auths = nodes.select("node", F.lit(0).cast("long").alias("auth"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "_sg_src"), "_sg_src")
+            .groupBy(F.col("_sg_dst").alias("node"))
+            .agg(F.sum("hub").alias("_sg_a"))
+        )
+        auths = _rescale(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce(F.col("_sg_a"), F.lit(0).cast("long")).alias("auth")
+            ),
+            "auth",
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "_sg_dst"), "_sg_dst")
+            .groupBy(F.col("_sg_src").alias("node"))
+            .agg(F.sum("auth").alias("_sg_h"))
+        )
+        hubs = _rescale(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce(F.col("_sg_h"), F.lit(0).cast("long")).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=True)
+    return hubs.join(auths, "node").select("node", "hub", "auth")

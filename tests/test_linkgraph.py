@@ -107,3 +107,68 @@ def test_domain_edges_collapses_and_drops_self_loops(spark):
     )
     got = [(r.src, r.dst) for r in domain_edges(links).collect()]
     assert got == [("a.com", "b.co.uk")]
+
+
+def _twin_hits(edges, iterations=3, scale=1_000_000):
+    """ops/linkgraph.hits integer recurrence in plain Python dicts."""
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    hubs = {n: scale for n in nodes}
+    auths = {n: 0 for n in nodes}
+
+    def rescale(raw):
+        mx = max(max(raw.values()), 1)
+        return {n: (v * scale) // mx for n, v in raw.items()}
+
+    for _ in range(iterations):
+        a_raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            a_raw[d] += hubs[s]
+        auths = rescale(a_raw)
+        h_raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            h_raw[s] += auths[d]
+        hubs = rescale(h_raw)
+    return {n: (hubs[n], auths[n]) for n in nodes}
+
+
+def test_hits_matches_python_twin(spark):
+    from sagan_spark.ops.linkgraph import hits
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: (r.hub, r.auth) for r in hits(df, iterations=3).collect()}
+    assert got == _twin_hits(EDGES, iterations=3)
+
+
+def test_hits_partitioning_invariance(spark):
+    from sagan_spark.ops.linkgraph import hits
+
+    df1 = spark.createDataFrame(EDGES, "src string, dst string")
+    r1 = {r.node: (r.hub, r.auth) for r in hits(df1, iterations=2).collect()}
+    r8 = {r.node: (r.hub, r.auth)
+          for r in hits(df1.repartition(8), iterations=2).collect()}
+    assert r1 == r8
+
+
+def test_hits_star_topology(spark):
+    """Star graph: the centre is the unique top authority (score =
+    scale); every spoke is a top hub (score = scale); the centre has
+    hub 0 and the spokes authority 0."""
+    from sagan_spark.ops.linkgraph import hits
+
+    star = [(f"s{i}", "hub") for i in range(6)]
+    df = spark.createDataFrame(star, "src string, dst string")
+    got = {r.node: (r.hub, r.auth) for r in hits(df, iterations=3).collect()}
+    assert got["hub"] == (0, 1_000_000)
+    for i in range(6):
+        assert got[f"s{i}"] == (1_000_000, 0)
+
+
+def test_hits_guards(spark):
+    from sagan_spark.ops.linkgraph import hits
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError):
+        hits(df, iterations=-1)
+    # zero iterations: initial state (hub=scale, auth=0) for all nodes
+    got = {r.node: (r.hub, r.auth) for r in hits(df, iterations=0).collect()}
+    assert all(v == (1_000_000, 0) for v in got.values())
