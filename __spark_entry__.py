@@ -2115,6 +2115,27 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(domain_edges(extract_links(pages)), iterations=3)
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level corpus profiling (ops/profile.py) over documents
+    with a deterministic defect scaffold (the synthetic table has no
+    nulls, so doc_id%7 injects them: 0 → NULL text, 1 → empty text) —
+    per-column null/empty counts, exact distinct cardinality, and
+    integer milli-character length stats in ONE map-side-combining
+    scan."""
+    from sagan_spark.ops.profile import profile_columns
+
+    docs = _docs(spark, sf_dir)
+    scaffold = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 7 == 1, F.lit(""))
+        .otherwise(F.col("text"))
+        .alias("text_s"),
+        "lang",
+    )
+    return profile_columns(scaffold, ["doc_id", "text_s", "lang"])
+
+
 def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-health screen over documents with a deterministic
     defect scaffold (the synthetic text is clean ASCII, so each
@@ -2813,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_domain_topk": q_anchor_domain_topk,
         "domain_pagerank": q_domain_pagerank,
         "link_hits": q_link_hits,
+        "corpus_profile": q_corpus_profile,
         "encoding_quality": q_encoding_quality,
         "lm_likelihood": q_lm_likelihood,
         "lm_buckets": q_lm_buckets,
@@ -3019,6 +3041,41 @@ def _hits_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
     return sql.rstrip(",") + (
         f" SELECT h.node AS node, h.hub AS hub, a.auth AS auth"
         f" FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"
+    )
+
+
+def _corpus_profile_sql() -> str:
+    """corpus_profile oracle: the q_corpus_profile null/empty scaffold,
+    then ops/profile.profile_columns replayed as one SELECT per
+    profiled column UNION ALLed — the same string-cast lengths,
+    NULL-skipping distinct, and (sum*1000) // n_nonnull milli-mean."""
+
+    def one(col: str) -> str:
+        e = f"CAST({col} AS VARCHAR)"
+        return (
+            f"SELECT '{col}' AS col_name, count(*) AS n_rows,"
+            f" CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+            f"  AS BIGINT) AS n_null,"
+            f" CAST(sum(CASE WHEN {e} = '' THEN 1 ELSE 0 END)"
+            f"  AS BIGINT) AS n_empty,"
+            f" count(DISTINCT {col}) AS n_distinct,"
+            f" min(length({e})) AS len_min,"
+            f" max(length({e})) AS len_max,"
+            f" CAST(CASE WHEN count(*) >"
+            f"  sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+            f" THEN (sum(coalesce(length({e}), 0)) * 1000) //"
+            f"  (count(*) -"
+            f"   sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END))"
+            f" END AS BIGINT) AS len_avg_milli"
+            f" FROM d"
+        )
+
+    return (
+        "WITH d AS (SELECT doc_id,"
+        " CASE WHEN doc_id % 7 = 0 THEN NULL"
+        "  WHEN doc_id % 7 = 1 THEN '' ELSE text END AS text_s,"
+        " lang FROM documents) "
+        + " UNION ALL ".join(one(c) for c in ["doc_id", "text_s", "lang"])
     )
 
 
@@ -5135,6 +5192,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "domain_pagerank": _pagerank_sql(),
         "link_hits": _hits_sql(),
+        "corpus_profile": _corpus_profile_sql(),
         # encoding-health screen (ops/webclean.encoding_quality) over
         # the q_encoding_quality defect scaffold; regexes generated
         # from the SAME module constants as the Spark op

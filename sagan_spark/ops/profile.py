@@ -1,0 +1,96 @@
+"""Corpus column profiling — the data-quality health check a 100 TB
+ingest runs before (and after) every curation stage: per-column null /
+empty counts, distinct cardinality, and character-length extremes and
+mean, emitted as one row per column.
+
+The reference engine's analog is its per-run statistics output
+(src/sagan-stats.c prints events/dropped/matched counters per
+processor); here the SAME discipline is applied to the *input table*
+columns rather than the processor counters (which live in
+pipeline/metrics.py, gate a11_stats_json).
+
+Determinism: counts and sums of 64-bit integers are exact in any
+aggregation order; the mean is integer milli-units
+``(sum_len * 1000) div n_nonnull`` — one rounding at the end, so the
+profile is bit-identical across partitionings and replayable by a
+per-column UNION ALL in the DuckDB oracle.
+
+Scale shape (100 TB posture): ONE full-scan aggregation — every
+per-column statistic partial-aggregates map-side, so the shuffle is a
+single row per partition regardless of input size.  The exception is
+exact ``count_distinct`` over k columns, which Spark executes via an
+Expand (k+1 copies of every row feeding the partial aggregate) —
+acceptable to ~a few profiled columns, the wrong tool at petabyte
+width.  ``exact_distinct=False`` swaps in ``approx_count_distinct``
+(HyperLogLog++, rsd 1.5 %) which keeps the single-pass no-Expand
+shape; the repo's integer-exact HLL (ops/sketch.py) is the third
+option when the estimate itself must be engine-reproducible.  The
+final ``stack`` unpivot runs on a one-row frame — free.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str] | None = None,
+                    exact_distinct: bool = True) -> DataFrame:
+    """One row per profiled column:
+    (col_name, n_rows, n_null, n_empty, n_distinct, len_min, len_max,
+    len_avg_milli).  Lengths are character counts of the value cast to
+    string; ``len_*`` are NULL for an all-null column; ``n_empty``
+    counts zero-length strings (never null).  ``len_avg_milli`` is the
+    integer milli-character mean over non-null values."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+
+    ndistinct = (
+        F.count_distinct if exact_distinct
+        else lambda c: F.approx_count_distinct(c).cast("long")
+    )
+    aggs = [F.count(F.lit(1)).alias("_sg_n")]
+    for i, c in enumerate(cols):
+        s = F.col(c).cast("string")
+        ln = F.length(s).cast("long")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"_nn_{i}"),
+            F.sum(F.when(s == "", 1).otherwise(0))
+            .cast("long").alias(f"_ne_{i}"),
+            ndistinct(F.col(c)).alias(f"_nd_{i}"),
+            F.min(ln).alias(f"_mn_{i}"),
+            F.max(ln).alias(f"_mx_{i}"),
+            F.sum(F.coalesce(ln, F.lit(0).cast("long"))).alias(f"_sl_{i}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _nn_{i}, _ne_{i}, _nd_{i}, _mn_{i}, _mx_{i}, _sl_{i}"
+        for i, c in enumerate(cols)
+    )
+    out = row.select(
+        "_sg_n",
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS"
+            " (col_name, n_null, n_empty, n_distinct, len_min, len_max, _sl)"
+        ),
+    )
+    return out.select(
+        "col_name",
+        F.col("_sg_n").alias("n_rows"),
+        "n_null",
+        "n_empty",
+        "n_distinct",
+        "len_min",
+        "len_max",
+        F.when(
+            F.col("_sg_n") > F.col("n_null"),
+            F.expr("(_sl * 1000) div (_sg_n - n_null)"),
+        ).alias("len_avg_milli"),
+    )
