@@ -1904,6 +1904,15 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(_docs(spark, sf_dir))
 
 
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-unique-shingle census
+    (ops/textstats.novelty_scores): two map-side-combining aggs off
+    the shared shingle frame, no fact-fact join, no window."""
+    from sagan_spark.ops.textstats import novelty_scores
+
+    return novelty_scores(_docs(spark, sf_dir), k=8)
+
+
 def _docs_with_messy_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a deliberately messy synthetic url (mixed-case
     scheme/host, default and non-default ports, tracking params,
@@ -2822,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "dedup_exact_normalized": q_dedup_exact_normalized,
         "text_readability": q_text_readability,
+        "text_novelty": q_text_novelty,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_yield": q_corpus_prep_yield,
         "sample_deterministic": q_sample_deterministic,
@@ -5090,6 +5100,24 @@ def oracle_sql() -> dict[str, str]:
             " CAST(max(n) AS BIGINT) AS n_events,"
             " min(value) AS q_value FROM cum CROSS JOIN q"
             " WHERE cum * 1000000 >= q_ppm * n GROUP BY 1, 2"
+        ),
+        "text_novelty": (
+            f"WITH sh AS ({shingles}),"
+            " per_sh AS (SELECT shingle, count(*) AS df,"
+            "  min(doc_id) AS owner FROM sh GROUP BY shingle),"
+            " novel AS (SELECT owner AS doc_id, count(*) AS n"
+            "  FROM per_sh WHERE df = 1 GROUP BY owner),"
+            " totals AS (SELECT doc_id, count(*) AS n"
+            "  FROM sh GROUP BY doc_id)"
+            " SELECT d.doc_id,"
+            " CAST(coalesce(t.n, 0) AS BIGINT) AS n_shingles,"
+            " CAST(CASE WHEN t.n IS NOT NULL THEN coalesce(v.n, 0) END"
+            "  AS BIGINT) AS n_novel,"
+            " CAST(CASE WHEN t.n IS NOT NULL THEN"
+            "  (1000000 * coalesce(v.n, 0)) // t.n END AS BIGINT)"
+            "  AS novelty_ppm"
+            " FROM documents d LEFT JOIN totals t ON t.doc_id = d.doc_id"
+            " LEFT JOIN novel v ON v.doc_id = d.doc_id"
         ),
         "text_readability": (
             "SELECT doc_id, n_words,"

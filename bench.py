@@ -71,6 +71,7 @@ HEADLINE = [
     "events_funnel",
     "dedup_incremental_bloom",
     "text_readability",
+    "text_novelty",
     "tfidf_topk",
     "bm25_topk",
     # round-4 late additions: web-ingest scan ops + corpus statistics
