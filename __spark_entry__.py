@@ -1965,6 +1965,16 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_url(_docs_with_messy_url(spark, sf_dir))
 
 
+def q_url_surt_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-key shard census (ops/urltools.surt_shard_census): host
+    labels reversed behind the index sort key, md5-hash shard
+    assignment, no-authority URLs audited in shard -1.  One scan +
+    one n_shards-row map-side-combining agg."""
+    from sagan_spark.ops.urltools import surt_shard_census
+
+    return surt_shard_census(_docs_with_messy_url(spark, sf_dir), n_shards=8)
+
+
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.sampling import deterministic_sample
 
@@ -2870,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "hll_distinct": q_hll_distinct,
         "url_templates": q_url_templates,
+        "url_surt_shards": q_url_surt_shards,
     }
 
 
@@ -5370,6 +5381,27 @@ def oracle_sql() -> dict[str, str]:
         # URL path-template census: same TEMPLATE_* constants, same
         # per-segment CASE, same two-level (template, domain) rollup
         "url_templates": _url_templates_oracle_sql(),
+        "url_surt_shards": (
+            f"WITH u AS ({_messy_url}),"
+            " parts AS (SELECT url,"
+            f"  coalesce(lower(regexp_extract(url, '{HOST_RE}', 1)), '')"
+            "   AS host,"
+            f"  coalesce(regexp_extract(url, '{PATH_RE}', 1), '') AS path"
+            "  FROM u),"
+            " s AS (SELECT CASE WHEN host = '' THEN NULL ELSE"
+            "  array_to_string(list_reverse(str_split("
+            "   regexp_replace(host, '^www\\.', ''), '.')), ',')"
+            "  || ')' ||"
+            "  (CASE WHEN path = '' THEN '/' ELSE lower(path) END)"
+            "  END AS surt FROM parts),"
+            " sh AS (SELECT surt, CASE WHEN surt IS NULL THEN -1 ELSE"
+            "  ('0x' || substr(md5(surt), 1, 15))::BIGINT % 8 END AS shard"
+            "  FROM s)"
+            " SELECT CAST(shard AS BIGINT) AS shard,"
+            " CAST(count(*) AS BIGINT) AS n_urls,"
+            " min(surt) AS surt_min, max(surt) AS surt_max"
+            " FROM sh GROUP BY shard"
+        ),
         # LSH calibration joint (ops/dedup.minhash_calibration): same
         # candidate CTEs as the jaccard oracle; integer decile via //
         "minhash_calibration": (

@@ -260,3 +260,68 @@ def url_template_mining(docs: DataFrame, url_col: str = "url",
         )
         .filter(F.col("n_urls") >= F.lit(int(min_urls)))
     )
+
+
+def url_surt(url: Column) -> Column:
+    """SURT (Sort-Friendly URI Reordering Transform) key — the web
+    archive community's canonical index-sort key (the public
+    convention behind Common Crawl's CDX index and the Internet
+    Archive's surt library): host labels reversed and comma-joined,
+    one leading 'www.' label stripped, then ')' plus the lower-cased
+    path — 'https://www.News.Example.co.uk/A/b' ->
+    'uk,co,example,news)/a/b'.  All pages of a site (and of a
+    registrable-domain subtree) are CONTIGUOUS under the key's sort
+    order, which is what makes range-sharded crawl indexes scan a
+    domain with one bounded seek instead of a full-index filter.
+    Query strings are deliberately excluded (the key names the page
+    slot, not the variant; canonicalize first if variants matter).
+    NULL for URLs with no authority (mailto:).  Pure codegen: two
+    regexp extracts, split, reverse, array_join."""
+    host = url_host(url)
+    h = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(h, r"\.")), ",")
+    path_raw = F.regexp_extract(url, PATH_RE, 1)
+    path = F.when(path_raw == "", F.lit("/")).otherwise(F.lower(path_raw))
+    return F.when(host == F.lit(""), F.lit(None).cast("string")).otherwise(
+        F.concat(rev, F.lit(")"), path)
+    )
+
+
+def surt_shard_census(docs: DataFrame, n_shards: int = 16,
+                      url_col: str = "url") -> DataFrame:
+    """(shard, n_urls, surt_min, surt_max): the shard-assignment
+    census for writing a crawl index.  Shard = md5-hash of the SURT
+    key mod n_shards (deterministic everywhere — the same page lands
+    in the same shard on any cluster, so incremental index builds
+    append without reshuffling history); per-shard min/max SURT keys
+    are what a reader consults to prune shards.  No-authority URLs
+    land in shard -1 (the reject bucket, kept so reject counts are
+    audited rather than dropped — the k7 fan-out discipline).
+
+    Scale shape (100 TB posture): one scan-level projection + one
+    groupBy(shard) whose count/min/max all partial-aggregate
+    map-side — the shuffle is n_shards rows per task regardless of
+    corpus size.  Hash sharding cannot skew beyond md5 uniformity;
+    the SURT ORDER survives within each shard via the min/max fences
+    (a full range-sharded layout would sort by the key itself —
+    that's a writer concern, repartitionByRange(surt), same column)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = F.when(
+        F.col("_sg_surt").isNull(), F.lit(-1)
+    ).otherwise(
+        F.expr(
+            "pmod(cast(conv(substr(md5(_sg_surt), 1, 15), 16, 10) as bigint),"
+            f" {int(n_shards)})"
+        )
+    ).cast("long")
+    return (
+        docs.select(url_surt(F.col(url_col)).alias("_sg_surt"))
+        .select(F.col("_sg_surt"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("_sg_surt").alias("surt_min"),
+            F.max("_sg_surt").alias("surt_max"),
+        )
+    )
