@@ -13,12 +13,13 @@ kernels ship here as real, importable defaults:
   decode/features in Spark with zero native deps.
 - **WAV/PCM audio** (RIFF): stdlib :mod:`wave` + numpy DSP (RMS,
   zero-crossing rate, FFT band energies).
-- **PNG images** (8-bit grey / grey+alpha / RGB / RGBA,
-  non-interlaced): stdlib :mod:`zlib` inflate + numpy per-scanline
-  unfiltering (all five PNG filter types) — the most common web image
-  format, real end-to-end with zero native deps.  Palette, 16-bit and
-  Adam7-interlaced PNGs raise ValueError (rare on the web; transcode
-  upstream or plug a codec in).
+- **PNG images** (8-bit grey / grey+alpha / RGB / RGBA / palette
+  incl. tRNS alpha, non-interlaced): stdlib :mod:`zlib` inflate +
+  numpy per-scanline unfiltering (all five PNG filter types) — the
+  most common web image format, real end-to-end with zero native
+  deps.  16-bit, sub-byte-depth and Adam7-interlaced PNGs raise
+  ValueError (rare on the web; transcode upstream or plug a codec
+  in).
 
 Other compressed formats (JPEG/MP3/H.264) still need their codecs —
 that remains the disclosed stub/plug-in surface.
@@ -111,8 +112,9 @@ def ppm_features(raw: bytes, bins: int = 8) -> list:
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: color type -> channel count (3 = palette, unsupported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: color type -> bytes per pixel in the FILTERED stream (palette
+#: pixels are 1-byte indices; the palette lookup happens post-unfilter)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_chunks(raw: bytes):
@@ -143,9 +145,11 @@ def _png_chunks(raw: bytes):
     raise ValueError("PNG missing IEND")
 
 
-def _png_ihdr(raw: bytes) -> tuple[int, int, int, int]:
-    """(width, height, channels, bit_depth) from IHDR, rejecting the
-    unsupported shapes (palette / 16-bit / interlaced)."""
+def _png_ihdr(raw: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, stream_channels, bit_depth, color_type) from
+    IHDR, rejecting the unsupported shapes (16-bit / sub-byte depths /
+    interlaced).  Palette (color type 3) is supported at depth 8: the
+    filtered stream carries 1-byte indices, resolved post-unfilter."""
     import struct
 
     for ctype, data in _png_chunks(raw):
@@ -164,14 +168,40 @@ def _png_ihdr(raw: bytes) -> tuple[int, int, int, int]:
             raise ValueError(f"unsupported PNG color type {color}")
         if interlace != 0:
             raise ValueError("Adam7-interlaced PNG unsupported")
-        return w, h, _PNG_CHANNELS[color], depth
+        return w, h, _PNG_CHANNELS[color], depth, color
     raise ValueError("empty PNG")
 
 
 def png_decode(raw: bytes) -> dict:
     """DecodeKernel for PNG: header-only parse (IHDR), no inflate."""
-    w, h, _ch, _d = _png_ihdr(raw)
+    w, h, _ch, _d, _color = _png_ihdr(raw)
     return {"width": w, "height": h, "n_frames": 1}
+
+
+def _png_palette(raw: bytes):
+    """(palette, trns): the PLTE chunk as an (n, 3) uint8 array plus
+    the optional tRNS alpha bytes (padded to 255 = opaque).  Raises
+    when a palette image has no PLTE or the chunk is malformed."""
+    import numpy as np
+
+    plte = trns = None
+    for ctype, data in _png_chunks(raw):
+        if ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if len(plte) == 0 or len(plte) % 3 != 0 or len(plte) > 256 * 3:
+        raise ValueError(f"bad PLTE length {len(plte)}")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if trns is None:
+        return pal, None
+    if len(trns) > pal.shape[0]:
+        raise ValueError("tRNS longer than palette")
+    alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+    alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    return pal, alpha
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -195,7 +225,7 @@ def png_pixels(raw: bytes):
 
     import numpy as np
 
-    w, h, ch, _depth = _png_ihdr(raw)
+    w, h, ch, _depth, color = _png_ihdr(raw)
     idat = b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT")
     if not idat:
         raise ValueError("PNG has no IDAT data")
@@ -238,6 +268,17 @@ def png_pixels(raw: bytes):
                 rec[i] = (int(row[i]) + pred) & 0xFF
         out[y] = rec
         prev = rec
+    if color == 3:  # palette: resolve indices to RGB(A) post-unfilter
+        pal, alpha = _png_palette(raw)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError(
+                f"palette index {int(idx.max())} >= palette size {pal.shape[0]}"
+            )
+        rgb = pal[idx]  # (h, w, 3)
+        if alpha is None:
+            return rgb
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
     return out.reshape(h, w, ch)
 
 

@@ -268,7 +268,7 @@ def test_png_rejects_unsupported_and_corrupt():
         c = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
             ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
         return b"\x89PNG\r\n\x1a\n" + c
-    for kw in ({"depth": 16}, {"color": 3}, {"interlace": 1}):
+    for kw in ({"depth": 16}, {"color": 5}, {"interlace": 1}):
         with pytest.raises(ValueError):
             png_decode(ihdr_png(**kw))
 
@@ -317,3 +317,78 @@ def test_registry_dispatch_mixed_media(spark):
     )
     with pytest.raises(Exception, match="image/jpeg"):
         decode_metadata(bad, kernel="registry").collect()
+
+
+def _palettize(png_grey: bytes, pal: np.ndarray, trns: bytes | None = None) -> bytes:
+    """Rewrite an 8-bit greyscale PNG (from _png_encode) into a palette
+    PNG with the SAME filtered index stream: flip the IHDR color byte
+    to 3 and splice PLTE (+ optional tRNS) in front of IDAT — so the
+    palette path exercises the identical all-five-filters stream."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    sig, ihdr_chunk, rest = png_grey[:8], png_grey[8:33], png_grey[33:]
+    assert ihdr_chunk[4:8] == b"IHDR"
+    ihdr = bytearray(ihdr_chunk[8:21])
+    ihdr[9] = 3  # color type byte (after w:4 h:4 depth:1)
+    out = sig + chunk(b"IHDR", bytes(ihdr)) + chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + rest
+
+
+def test_png_palette_roundtrip_all_filters():
+    from sagan_spark.ops.kernels import png_decode, png_pixels
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, size=(5, 6, 1), dtype=np.uint8)
+    raw = _palettize(_png_encode(idx, filters=[0, 1, 2, 3, 4]), pal)
+    assert png_decode(raw) == {"width": 6, "height": 5, "n_frames": 1}
+    got = png_pixels(raw)
+    assert got.shape == (5, 6, 3)
+    assert np.array_equal(got, pal[idx.reshape(5, 6)])
+
+
+def test_png_palette_trns_alpha_padded():
+    from sagan_spark.ops.kernels import png_pixels
+
+    pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]], np.uint8).reshape(2, 2, 1)
+    # tRNS covers only entry 0 -> entries 1,2 opaque (255)
+    raw = _palettize(_png_encode(idx), pal, trns=bytes([128]))
+    got = png_pixels(raw)
+    assert got.shape == (2, 2, 4)
+    assert np.array_equal(got[..., :3], pal[idx.reshape(2, 2)])
+    assert got[0, 0, 3] == 128 and got[0, 1, 3] == 255 and got[1, 0, 3] == 255
+
+
+def test_png_palette_malformed_rejected():
+    from sagan_spark.ops.kernels import png_pixels
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    idx_ok = np.zeros((2, 2, 1), np.uint8)
+    grey = _png_encode(idx_ok)
+    # index out of palette range
+    oob = np.array([[0, 1], [1, 199]], np.uint8).reshape(2, 2, 1)
+    with pytest.raises(ValueError, match="palette index"):
+        png_pixels(_palettize(_png_encode(oob), pal))
+    # missing PLTE: flip color byte without splicing the chunk
+    import struct
+    import zlib
+
+    ihdr = bytearray(grey[16:29])
+    ihdr[9] = 3
+    no_plte = (grey[:8]
+               + struct.pack(">I", 13) + b"IHDR" + bytes(ihdr)
+               + struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
+               + grey[33:])
+    with pytest.raises(ValueError, match="PLTE"):
+        png_pixels(no_plte)
+    # tRNS longer than the palette
+    with pytest.raises(ValueError, match="tRNS"):
+        png_pixels(_palettize(_png_encode(idx_ok), pal, trns=bytes([1, 2, 3])))
