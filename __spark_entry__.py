@@ -1975,6 +1975,24 @@ def q_url_surt_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surt_shard_census(_docs_with_messy_url(spark, sf_dir), n_shards=8)
 
 
+def q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection (ops/sampling.budget_select): best
+    scores first until the token budget fills, exact boundary via the
+    (score, hash-cell) histogram — never a corpus-global sort.  The
+    synthetic score (doc_id mod 7) is tie-heavy on purpose so the
+    boundary cell machinery is exercised."""
+    from sagan_spark.ops.sampling import budget_select
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("long").alias("score"),
+        F.length("text").cast("long").alias("n_tokens"),
+    )
+    return budget_select(docs, token_budget=25_000).select(
+        "doc_id", "score", "n_tokens"
+    )
+
+
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.sampling import deterministic_sample
 
@@ -2845,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "corpus_prep_yield": q_corpus_prep_yield,
         "sample_deterministic": q_sample_deterministic,
+        "sample_budget": q_sample_budget,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
         "sample_domain_quota": q_sample_domain_quota,
@@ -5190,6 +5209,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # deterministic md5-keyed sampling: same hex-threshold /
         # hash-order expressions on both sides (ops/sampling.py)
+        "sample_budget": (
+            "WITH d AS (SELECT doc_id,"
+            " CAST(doc_id % 7 AS BIGINT) AS score,"
+            " CAST(length(text) AS BIGINT) AS n_tokens FROM documents),"
+            " o AS (SELECT *, substr(md5('budget|' ||"
+            "  CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM d),"
+            " c AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC,"
+            "  h ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "  CURRENT ROW) AS cum FROM o)"
+            " SELECT doc_id, score, n_tokens FROM c WHERE cum <= 25000"
+        ),
         "sample_deterministic": (
             "SELECT doc_id, lang FROM documents"
             f" WHERE substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8)"

@@ -72,6 +72,8 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "text_readability",
     "text_novelty",
+    "sample_budget",
+    "url_surt_shards",
     "tfidf_topk",
     "bm25_topk",
     # round-4 late additions: web-ingest scan ops + corpus statistics

@@ -278,3 +278,101 @@ def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.5,
     )
     joined = docs.join(F.broadcast(rates), source_col)
     return joined.filter(_hash8(F.col(id_col), salt) < F.col("_sg_th")).drop("_sg_th")
+
+
+def budget_select(docs: DataFrame, token_budget: int,
+                  score_col: str = "score", token_col: str = "n_tokens",
+                  id_col: str = "doc_id", salt: str = "budget",
+                  cell_chars: int = 2) -> DataFrame:
+    """Fill a token budget with the best-scoring documents — the
+    "give me the top 1T tokens by quality" selection every
+    fixed-compute training run starts from (dsir_select picks a DOC
+    count; real budgets are in tokens).  Selection order is
+    (score desc, md5-hash asc, id asc) — deterministic, reproducible
+    across runs/engines/cluster sizes — and a document is kept iff the
+    cumulative token count through it (in that order) is <= the
+    budget (strict fill: the budget is never exceeded; a single
+    over-budget giant at the front selects nothing before it).
+
+    Scale shape (100 TB posture) — the naive spelling is a corpus-
+    global ORDER BY score DESC with a running sum: one sorting task
+    over everything, the exact anti-pattern this repo pins against.
+    Instead the rank key is decomposed digit-by-digit:
+
+    1. (score, hash-prefix cell) histogram: one map-side-combining
+       aggregation; ``16^cell_chars`` cells per distinct score value.
+    2. ONE cumulative window over that histogram (bounded by
+       #distinct-scores x 256 rows with the default — never corpus
+       size) yields per-cell verdicts: fully-kept / fully-dropped /
+       THE single boundary cell where the budget runs out.
+    3. verdicts broadcast back on (score, cell); only boundary-cell
+       rows (an expected ``1/16^cell_chars`` of their score bucket —
+       a tie-heavy score never funnels its whole bucket) pay the
+       exact within-cell cumulative window, seeded with the exact
+       token mass already consumed before the cell.
+
+    Both windows sort composite-rank PREFIXES of the same total
+    order, so the result is provably identical to the naive global
+    window — which is exactly how the DuckDB oracle replays it.
+    Rows with NULL score or NULL/negative tokens are rejected up
+    front (fail-loud: a silent drop would mis-ration the budget)."""
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if not 1 <= cell_chars <= 8:
+        raise ValueError(f"cell_chars must be in [1, 8], got {cell_chars}")
+    score, tok = F.col(score_col), F.col(token_col).cast("long")
+    # fail-loud validation: evaluated inside the histogram aggregation,
+    # which scans every input row before any pruning can skip one
+    checked = F.coalesce(
+        F.when(score.isNotNull() & (tok >= 0), tok),
+        F.raise_error(
+            F.concat(
+                F.lit("budget_select: NULL score or NULL/negative "
+                      f"{token_col} at {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    )
+    h = _hash8(F.col(id_col), salt)
+    base = (
+        docs.withColumn("_sg_h", h)
+        .withColumn("_sg_cell", F.substring(F.col("_sg_h"), 1, cell_chars))
+        .withColumn("_sg_tokc", checked)
+    )
+    cells = (
+        base.groupBy(score_col, "_sg_cell")
+        .agg(F.sum("_sg_tokc").alias("_sg_tok"))
+    )
+    cum_before = F.coalesce(
+        F.sum("_sg_tok").over(
+            Window.orderBy(score.desc(), F.col("_sg_cell").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    verdicts = cells.select(
+        score_col,
+        "_sg_cell",
+        cum_before.alias("_sg_before"),
+        (cum_before + F.col("_sg_tok")).alias("_sg_through"),
+    ).filter(F.col("_sg_before") <= F.lit(token_budget))
+    # fully-kept cells: whole cell fits; boundary cells: budget runs
+    # out inside them.  <= (not <) so zero-token documents sitting
+    # exactly AT the budget line (cum == budget) survive into the
+    # refinement, as the naive rule keeps them; cells strictly past
+    # the budget can never contribute (tokens >= 0 => cum monotone)
+    joined = base.join(
+        F.broadcast(verdicts), [score_col, "_sg_cell"], "inner"
+    )
+    kept_whole = joined.filter(F.col("_sg_through") <= F.lit(token_budget))
+    boundary = joined.filter(F.col("_sg_through") > F.lit(token_budget))
+    cum_doc = F.sum("_sg_tokc").over(
+        Window.partitionBy(score_col, "_sg_cell")
+        .orderBy(F.col("_sg_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary_kept = boundary.withColumn("_sg_cum", cum_doc).filter(
+        F.col("_sg_before") + F.col("_sg_cum") <= F.lit(token_budget)
+    ).drop("_sg_cum")
+    drop = ["_sg_h", "_sg_cell", "_sg_tokc", "_sg_before", "_sg_through"]
+    return kept_whole.unionByName(boundary_kept).drop(*drop)
