@@ -1469,6 +1469,20 @@ def q_pack_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunk_stats(docs, max_tokens=2048, n_shards=32)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping retrieval chunks
+    (ops/packing.chunk_documents): scan-level sequence/explode/substr,
+    no shuffle.  Chunks are md5'd so the compare stays narrow; start
+    offsets + lengths pin the window arithmetic exactly."""
+    from sagan_spark.ops.packing import chunk_documents
+
+    ch = chunk_documents(_docs(spark, sf_dir), chunk_chars=200, overlap=40)
+    return ch.select(
+        "doc_id", "chunk_id", "char_start", "chunk_len",
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: payload byte length + content digest
     (decode kernels stubbed; batch plumbing real, see ops/multimodal.py)."""
@@ -2829,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
         "pack_sequences": q_pack_sequences,
+        "doc_chunks": q_doc_chunks,
         "pack_chunk_stats": q_pack_chunk_stats,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -4866,6 +4881,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": _bm25_sql(),
         "pack_sequences": f"{_pack_cte} SELECT * FROM packed",
+        "doc_chunks": (
+            # W=200, S=160: n = 1 for len<=W else 1+ceil((len-W)/S)
+            "WITH n AS (SELECT doc_id, text, length(text) AS ln,"
+            " CASE WHEN length(text) <= 200 THEN 1"
+            "  ELSE 1 + (length(text) - 200 + 159) // 160 END AS nc"
+            " FROM documents),"
+            " e AS (SELECT doc_id, text,"
+            "  unnest(range(0, nc)) AS chunk_id FROM n WHERE ln > 0)"
+            " SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,"
+            " CAST(chunk_id * 160 AS BIGINT) AS char_start,"
+            " CAST(length(substr(text, CAST(chunk_id * 160 + 1 AS INT),"
+            "  200)) AS BIGINT) AS chunk_len,"
+            " md5(substr(text, CAST(chunk_id * 160 + 1 AS INT), 200))"
+            "  AS chunk_md5"
+            " FROM e"
+        ),
         "pack_chunk_stats": (
             f"{_pack_cte}, ex AS (SELECT shard, tok_start, tok_end,"
             " unnest(range(chunk_first, chunk_last + 1)) AS chunk_id"

@@ -73,6 +73,7 @@ HEADLINE = [
     "text_readability",
     "text_novelty",
     "sample_budget",
+    "doc_chunks",
     "url_surt_shards",
     "tfidf_topk",
     "bm25_topk",

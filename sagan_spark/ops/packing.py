@@ -120,3 +120,57 @@ def pack_chunk_stats(docs: DataFrame, max_tokens: int = 2048,
             F.sum("cov").alias("n_tokens"),
         )
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_chars: int = 512,
+                    overlap: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Overlapping retrieval chunks — the RAG-indexing split (fixed
+    window, fixed overlap so no boundary sentence is lost to both
+    neighbors), the counterpart of :func:`pack_sequences`' training
+    split.  Chunk i covers characters ``[i*stride, i*stride +
+    chunk_chars)`` with ``stride = chunk_chars - overlap``; the last
+    chunk starts at the final stride where the window still reaches
+    text that no earlier chunk covered (``1 + ceil((len - W) / S)``
+    chunks for len > W, one chunk otherwise), so every character lands
+    in >= 1 chunk and no chunk is a strict suffix of its predecessor.
+    Empty/NULL text yields no chunks.
+
+    Returns (id, chunk_id, char_start, chunk_len, chunk).
+
+    Scale shape (100 TB posture): pure scan-level codegen — sequence /
+    transform / explode / substring, no shuffle, no Python; chunk
+    count is data-derived per row, never a driver-side loop.  The
+    explode fan-out is ~len/stride rows per doc, the same output the
+    sink must hold anyway."""
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(
+            f"overlap must be in [0, chunk_chars), got {overlap}"
+        )
+    stride = chunk_chars - overlap
+    ln = F.length(F.col(text_col)).cast("long")
+    n_chunks = F.when(ln <= chunk_chars, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.expr(
+            f"(length({text_col}) - {chunk_chars} + {stride} - 1)"
+            f" div {stride}"
+        )
+    )
+    ids = F.when(
+        ln > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = docs.select(
+        F.col(id_col), F.col(text_col), F.explode(ids).alias("chunk_id")
+    )
+    start = F.col("chunk_id") * stride
+    chunk = F.col(text_col).substr(
+        (start + 1).cast("int"), F.lit(int(chunk_chars))
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        start.alias("char_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        chunk.alias("chunk"),
+    )
