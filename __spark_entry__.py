@@ -1233,6 +1233,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (ops/dedup.soft_dedup_weights, exact mode): every
+    doc kept, weighted 1e6 div copies — one map-side-combining digest
+    count + one join back."""
+    from sagan_spark.ops.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.dedup import minhash_lsh_pairs
 
@@ -2818,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_stats_json": q_a11_stats_json,
         "streaming_threshold": q_streaming_threshold,
         "dedup_exact": q_dedup_exact,
+        "dedup_soft_weights": q_dedup_soft_weights,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster_canonical": q_dedup_cluster_canonical,
@@ -4754,6 +4764,14 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT 'fast', event_id FROM events WHERE event_type = 'error'"
             " UNION ALL SELECT 'syslog', event_id FROM events WHERE value > 150)"
             " GROUP BY 1"
+        ),
+        "dedup_soft_weights": (
+            "WITH d AS (SELECT doc_id, md5(text) AS dig FROM documents),"
+            " s AS (SELECT dig, CAST(count(*) AS BIGINT) AS n_copies"
+            "  FROM d GROUP BY dig)"
+            " SELECT d.doc_id, s.n_copies,"
+            " CAST(1000000 // s.n_copies AS BIGINT) AS weight_ppm"
+            " FROM d JOIN s ON s.dig = d.dig"
         ),
         "dedup_exact": (
             "SELECT count(*) AS n_dup_groups,"

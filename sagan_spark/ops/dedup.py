@@ -917,6 +917,56 @@ def near_dup_drop_list(docs: DataFrame, k: int = 8, n_bands: int = 4,
     )
 
 
+def soft_dedup_weights(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       clusters: DataFrame | None = None) -> DataFrame:
+    """Per-document sampling weight ``1e6 / n_copies`` — SOFT dedup:
+    instead of dropping duplicates (the drop-list ops), keep every row
+    and downweight it so a document duplicated a million times
+    contributes the same expected training mass as a unique one.  The
+    standard alternative when the sampler (not the corpus writer)
+    owns the distribution — e.g. feeding :func:`~sagan_spark.ops.
+    sampling.temperature_mix`-style pipelines, where dropping would
+    discard provenance variety the mixer may still want.
+
+    Default counts EXACT copies (md5 digest groups, the
+    :func:`exact_dup_groups` key); pass ``clusters`` — any
+    (node, comp) frame, e.g. :func:`connected_components` over
+    verified near-dup pairs — to weight by NEAR-dup cluster size
+    instead (docs absent from ``clusters`` count as singletons).
+    Returns the input ids plus (n_copies, weight_ppm); weights are
+    integer ppm (1e6 div n), exact in any engine.
+
+    Scale shape (100 TB posture): one map-side-combining count (hot
+    digests absorb before the shuffle) + one join back on the digest
+    (exact mode: AQE-splittable; cluster mode: two id-keyed joins,
+    co-partitioned with the corpus)."""
+    if clusters is None:
+        digest = F.md5(F.col(text_col))
+        d = docs.select(F.col(id_col), digest.alias("_sg_dig"))
+        sizes = d.groupBy("_sg_dig").agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies")
+        )
+        out = d.join(sizes, "_sg_dig").drop("_sg_dig")
+    else:
+        sizes = clusters.groupBy("comp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies")
+        )
+        membership = clusters.join(sizes, "comp").select(
+            F.col("node").alias(id_col), "n_copies"
+        )
+        out = (
+            docs.select(id_col)
+            .join(membership, id_col, "left")
+            .withColumn("n_copies", F.coalesce("n_copies", F.lit(1).cast("long")))
+        )
+    return out.select(
+        F.col(id_col),
+        F.col("n_copies"),
+        F.expr("1000000 div n_copies").cast("long").alias("weight_ppm"),
+    )
+
+
 def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", sep: str = "\n\n") -> DataFrame:
     """Corpus-wide EXACT paragraph dedup (the inter-document repetition
