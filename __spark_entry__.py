@@ -1726,6 +1726,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novel_docs(batch, seen)
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental NEAR-dup screen
+    (ops/dedup.novel_docs_minhash): the new batch (doc_id % 3 != 0)
+    anti-joins the seen corpus's persisted (band, sig) table — no
+    re-pairing of history.  Short docs carry no signatures and pass."""
+    from sagan_spark.ops.dedup import minhash_signatures, novel_docs_minhash
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return novel_docs_minhash(batch, minhash_signatures(seen)).select("doc_id")
+
+
 def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental dedup: the same seen/batch split
     as dedup_incremental, but the batch probes a bounded Bloom 1-bit
@@ -2872,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": q_dedup_span_removal,
         "dedup_span_removal_keepone": q_dedup_span_removal_keepone,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_minhash": q_dedup_incremental_minhash,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "events_sessionize": q_events_sessionize,
         "events_session_rollup": q_events_session_rollup,
@@ -5104,6 +5118,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_span_removal": _rm_sql,
         "dedup_span_removal_keepone": _rm_keepone_sql,
         "dedup_incremental": _incremental_sql,
+        "dedup_incremental_minhash": (
+            f"WITH sh AS ({shingles}),"
+            " w AS (SELECT doc_id,"
+            "  ('0x'||substr(min(md5('b0|' || shingle)),1,15))::BIGINT AS sig0,"
+            "  ('0x'||substr(min(md5('b1|' || shingle)),1,15))::BIGINT AS sig1,"
+            "  ('0x'||substr(min(md5('b2|' || shingle)),1,15))::BIGINT AS sig2,"
+            "  ('0x'||substr(min(md5('b3|' || shingle)),1,15))::BIGINT AS sig3"
+            "  FROM sh GROUP BY doc_id),"
+            " seen AS (SELECT * FROM w WHERE doc_id % 3 = 0),"
+            " batch AS (SELECT * FROM w WHERE doc_id % 3 <> 0),"
+            " hit AS (SELECT n.doc_id FROM batch n WHERE EXISTS ("
+            "  SELECT 1 FROM seen s WHERE s.sig0 = n.sig0 OR s.sig1 = n.sig1"
+            "   OR s.sig2 = n.sig2 OR s.sig3 = n.sig3))"
+            " SELECT d.doc_id FROM documents d WHERE d.doc_id % 3 <> 0"
+            " AND d.doc_id NOT IN (SELECT doc_id FROM hit)"
+        ),
         # the Bloom pre-filter is exact (no false negatives when the
         # filter is built from `seen` itself), so the bloom gate
         # replays the SAME oracle — equality with it IS the claim.

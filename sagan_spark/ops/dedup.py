@@ -284,6 +284,54 @@ def minhash_band_signatures(shingles: DataFrame, n_bands: int = 4,
     return stacked
 
 
+def minhash_signatures(docs: DataFrame, k: int = 8, n_bands: int = 4,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, sig) minhash-LSH signature table for a corpus —
+    the artifact a snapshot pipeline PERSISTS between rounds (union
+    each round's table; n_bands longs per doc, orders of magnitude
+    smaller than the text).  Composition of the shared shingle frame
+    (distinct skipped — the min-agg is duplicate-insensitive) and
+    :func:`minhash_band_signatures`."""
+    return minhash_band_signatures(
+        shingle_df(docs, k, text_col, id_col, distinct=False),
+        n_bands, id_col,
+    )
+
+
+def novel_docs_minhash(new_docs: DataFrame, seen_sigs: DataFrame,
+                       k: int = 8, n_bands: int = 4,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Snapshot-incremental NEAR-dup screen: keep only new documents
+    that do not LSH-collide (share >= 1 band signature) with the
+    carried seen-corpus signature table — the near-dup completion of
+    the exact-digest :func:`novel_docs` / :func:`novel_docs_bloom`
+    family.  A crawl's next snapshot runs this against last round's
+    persisted :func:`minhash_signatures` output instead of
+    re-pairing the whole history.
+
+    One-sided errors mirror LSH itself: a band collision is only a
+    CANDIDATE signal, so this screen over-drops near-miss collisions
+    at the usual LSH false-positive rate (tune k/n_bands with
+    :func:`minhash_calibration`); docs shorter than k chars carry no
+    signatures and always pass.
+
+    Scale shape (100 TB posture): the batch side is O(new batch), the
+    history side O(seen corpus) but 8-byte rows keyed (band, sig) —
+    the join is AQE-splittable on hot signatures (boilerplate bands),
+    and the id-keyed anti-join back is co-partitioned with the
+    batch."""
+    sigs = minhash_signatures(new_docs, k, n_bands, text_col, id_col)
+    # no distinct() anywhere: semi- and anti-joins are insensitive to
+    # right-side duplicates, so deduplicating (band, sig) or the hit
+    # ids would only add corpus-sized shuffles
+    hits = sigs.join(
+        seen_sigs.select("band", "sig"), ["band", "sig"], "left_semi"
+    ).select(id_col)
+    return new_docs.join(hits, id_col, "left_anti")
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, n_bands: int = 4,
                       text_col: str = "text", id_col: str = "doc_id",
                       shingles: DataFrame | None = None) -> DataFrame:

@@ -468,3 +468,44 @@ def test_novel_docs_bloom_exact(spark):
         novel_docs_bloom(new, seen, m_bits=8, k=3, bits=bits).collect()
     )
     assert got_pre == want
+
+
+def test_novel_docs_minhash_screen(spark):
+    """Incremental near-dup: exact copy and heavy-overlap docs collide
+    with the seen signature table; unrelated and sub-k docs pass."""
+    from sagan_spark.ops.dedup import minhash_signatures, novel_docs_minhash
+
+    seen_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight!!"),
+            (3, "completely different content about spark aggregation"),
+            (4, "short"),  # < k=8 chars: no signatures, always passes
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(seen_docs)
+    got = {r["doc_id"] for r in novel_docs_minhash(new_docs, sigs).collect()}
+    assert 1 not in got          # exact copy: every band collides
+    assert 2 not in got          # prefix-heavy near-dup: >=1 band collides
+    assert {3, 4} <= got
+    # empty history: everything is novel
+    empty = sigs.filter(F.lit(False))
+    assert {r["doc_id"] for r in
+            novel_docs_minhash(new_docs, empty).collect()} == {1, 2, 3, 4}
+
+
+def test_novel_docs_minhash_no_distinct_shuffles(spark):
+    """Semi/anti joins ignore right-side duplicates — the plan must
+    not pay dedup shuffles for them."""
+    from sagan_spark.ops.dedup import minhash_signatures, novel_docs_minhash
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnop")], "doc_id long, text string")
+    plan = (novel_docs_minhash(docs, minhash_signatures(docs))
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "Deduplicate" not in plan
