@@ -1242,6 +1242,26 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedup_weights(_docs(spark, sf_dir))
 
 
+def q_dedup_paragraphs_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc paragraph dedup (ops/dedup.dedup_paragraphs_within):
+    scan-level array codegen, first occurrence kept in order.  Each
+    doc gets a copy of its first paragraph appended so the drop path
+    is exercised on every row."""
+    from sagan_spark.ops.dedup import dedup_paragraphs_within
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n", F.col("text"), F.split(F.col("text"), "\n\n")[0]
+        ).alias("text"),
+    )
+    out = dedup_paragraphs_within(docs)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"),
+        "n_paragraphs", "n_dropped",
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.dedup import minhash_lsh_pairs
 
@@ -2841,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_threshold": q_streaming_threshold,
         "dedup_exact": q_dedup_exact,
         "dedup_soft_weights": q_dedup_soft_weights,
+        "dedup_paragraphs_within": q_dedup_paragraphs_within,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster_canonical": q_dedup_cluster_canonical,
@@ -4778,6 +4799,23 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT 'fast', event_id FROM events WHERE event_type = 'error'"
             " UNION ALL SELECT 'syslog', event_id FROM events WHERE value > 150)"
             " GROUP BY 1"
+        ),
+        "dedup_paragraphs_within": (
+            "WITH d AS (SELECT doc_id,"
+            " text || chr(10) || chr(10) ||"
+            " str_split(text, chr(10) || chr(10))[1] AS text"
+            " FROM documents),"
+            " s AS (SELECT doc_id, text,"
+            "  str_split(text, chr(10) || chr(10)) AS l FROM d),"
+            " k AS (SELECT doc_id, l,"
+            "  list_filter(range(1, len(l) + 1),"
+            "   i -> list_position(l, l[i]) = i) AS keep FROM s)"
+            " SELECT doc_id,"
+            " md5(array_to_string(list_transform(keep, i -> l[i]),"
+            "  chr(10) || chr(10))) AS clean_md5,"
+            " CAST(len(l) AS BIGINT) AS n_paragraphs,"
+            " CAST(len(l) - len(keep) AS BIGINT) AS n_dropped"
+            " FROM k"
         ),
         "dedup_soft_weights": (
             "WITH d AS (SELECT doc_id, md5(text) AS dig FROM documents),"

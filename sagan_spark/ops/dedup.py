@@ -965,6 +965,37 @@ def near_dup_drop_list(docs: DataFrame, k: int = 8, n_bands: int = 4,
     )
 
 
+def dedup_paragraphs_within(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            sep: str = "\n\n") -> DataFrame:
+    """WITHIN-document paragraph dedup: drop repeats of a paragraph
+    inside the same document, keeping each first occurrence in order —
+    the intra-doc boilerplate collapse (repeated nav blocks, cookie
+    banners pasted per section) that runs BEFORE the corpus-wide pass
+    (:func:`dedup_paragraphs`), shrinking what that pass must shuffle.
+
+    Returns (doc_id, clean_text, n_paragraphs, n_dropped); NULL text
+    keeps the :func:`dedup_paragraphs` convention (NULL clean_text,
+    zero counts).
+
+    Scale shape (100 TB posture): pure scan-level array codegen — no
+    shuffle, no window, no Python.  ``array_distinct`` preserves
+    first-occurrence order in Spark (pinned by test) and is O(n) per
+    row; the whole operator rides the corpus scan."""
+    import re as _re
+
+    paras = F.split(F.col(text_col), _re.escape(sep))
+    kept = F.array_distinct(paras)
+    return docs.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNotNull(), F.array_join(kept, sep))
+        .alias("clean_text"),
+        F.coalesce(F.size(paras), F.lit(0)).cast("long").alias("n_paragraphs"),
+        F.coalesce(F.size(paras) - F.size(kept), F.lit(0))
+        .cast("long").alias("n_dropped"),
+    )
+
+
 def soft_dedup_weights(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        clusters: DataFrame | None = None) -> DataFrame:

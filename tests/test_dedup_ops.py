@@ -509,3 +509,34 @@ def test_novel_docs_minhash_no_distinct_shuffles(spark):
     plan = (novel_docs_minhash(docs, minhash_signatures(docs))
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "Deduplicate" not in plan
+
+
+def test_dedup_paragraphs_within_order_and_counts(spark):
+    """array_distinct preserves FIRST-occurrence order (the property
+    the op's correctness rides on) and NULL text keeps the
+    dedup_paragraphs convention."""
+    from sagan_spark.ops.dedup import dedup_paragraphs_within
+
+    rows = [
+        (1, "b\n\na\n\nb\n\nc\n\na"),   # repeats out of sorted order
+        (2, "only one paragraph"),
+        (3, None),
+        (4, "x\n\nx\n\nx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_paragraphs"], r["n_dropped"])
+           for r in dedup_paragraphs_within(df).collect()}
+    assert got[1] == ("b\n\na\n\nc", 5, 2)   # first-occurrence order kept
+    assert got[2] == ("only one paragraph", 1, 0)
+    assert got[3] == (None, 0, 0)
+    assert got[4] == ("x", 3, 2)
+
+
+def test_dedup_paragraphs_within_plan_scan_level(spark):
+    from sagan_spark.ops.dedup import dedup_paragraphs_within
+
+    df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    plan = (dedup_paragraphs_within(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
