@@ -395,40 +395,51 @@ def novelty_scores(docs: DataFrame, k: int = 8, text_col: str = "text",
     k-gram count, corpus-unique k-gram count, and their integer ppm
     ratio (NULL for docs shorter than k — no shingles to judge).
 
-    Scale shape (100 TB posture): NO fact-fact join.  A shingle with
+    Scale shape (100 TB posture): NO fact-fact join, NO corpus-wide
+    distinct.  Per-doc shingle dedup happens in the row
+    (``array_distinct`` over the shingle array — scan-level), so the
+    per-doc totals never shuffle at all and the (doc, shingle) stream
+    feeding the df count is distinct-by-construction.  A shingle with
     corpus document-frequency 1 has exactly one owner, so
     ``groupBy(shingle).agg(count, min(doc_id))`` — both algebraic,
     hot boilerplate shingles absorbed map-side — yields the novel
-    count per doc directly from the df==1 slice; per-doc totals are a
-    second map-side-combining agg; the two doc-keyed frames then join
-    back to docs on the id.  A 10^12-row corpus never ships a
-    (doc, shingle, df) fact join, and no window touches anything."""
-    from sagan_spark.ops.dedup import shingle_df
-
-    sh = shingle_df(docs, k=k, text_col=text_col, id_col=id_col,
-                    distinct=True)
-    per_shingle = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("_sg_df"),
-        F.min(id_col).alias("_sg_owner"),
+    count per doc directly from the df==1 slice; that doc-keyed frame
+    joins back to the scan on the id.  A 10^12-row corpus pays ONE
+    aggregation exchange and one id-keyed join; no window touches
+    anything."""
+    seq = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    )
+    sh_arr = F.array_distinct(
+        F.filter(
+            F.transform(seq, lambda i: F.col(text_col).substr(i, F.lit(k))),
+            lambda s: F.length(s) == k,
+        )
+    )
+    base = docs.select(
+        F.col(id_col), F.coalesce(F.size(sh_arr), F.lit(0)).alias("_sg_total"),
+        sh_arr.alias("_sg_arr"),
+    )
+    per_shingle = (
+        base.select(F.col(id_col), F.explode("_sg_arr").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_sg_df"), F.min(id_col).alias("_sg_owner"))
     )
     novel = (
         per_shingle.filter(F.col("_sg_df") == 1)
         .groupBy(F.col("_sg_owner").alias(id_col))
         .agg(F.count(F.lit(1)).alias("_sg_novel"))
     )
-    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sg_total"))
     return (
-        docs.select(id_col)
-        .join(totals, id_col, "left")
+        base.drop("_sg_arr")
         .join(novel, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("_sg_total", F.lit(0)).cast("long").alias("n_shingles"),
-            F.when(F.col("_sg_total").isNotNull(),
-                   F.coalesce("_sg_novel", F.lit(0)))
+            F.col("_sg_total").cast("long").alias("n_shingles"),
+            F.when(F.col("_sg_total") > 0, F.coalesce("_sg_novel", F.lit(0)))
             .cast("long").alias("n_novel"),
             F.when(
-                F.col("_sg_total").isNotNull(),
+                F.col("_sg_total") > 0,
                 F.expr("(1000000 * coalesce(_sg_novel, 0L)) div _sg_total"),
             ).cast("long").alias("novelty_ppm"),
         )
