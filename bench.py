@@ -75,6 +75,8 @@ HEADLINE = [
     "sample_budget",
     "doc_chunks",
     "url_surt_shards",
+    "dedup_soft_weights",
+    "dedup_paragraphs_within",
     "tfidf_topk",
     "bm25_topk",
     # round-4 late additions: web-ingest scan ops + corpus statistics
