@@ -1645,6 +1645,40 @@ def q_webclean_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(_docs(spark, sf_dir), n_buckets=1 << 18)
 
 
+def _labeled_docs(docs: DataFrame) -> DataFrame:
+    """documents + a deterministic reference/crawl label: sources
+    src0..src9 play the reference corpus (positive), src10..src19 the
+    raw crawl (negative) — the SAME expression runs in the oracle."""
+    return docs.withColumn(
+        "is_ref", F.substring(F.col("source"), 4, 10).cast("long") < 10
+    )
+
+
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING (GPT-3 App. A reference-vs-crawl
+    labels): one map-side-combining groupBy over the hashed token
+    stream -> bounded (bucket, weight_milli, pos/neg counts) model."""
+    from sagan_spark.ops.webclean import train_quality_classifier
+
+    return train_quality_classifier(
+        _labeled_docs(_docs(spark, sf_dir)), label_col="is_ref"
+    )
+
+
+def q_webclean_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end train -> broadcast -> score: the trained-weights
+    inference path of hashed_linear_score fed by train_quality_classifier
+    on the same corpus (self-scoring; a real pipeline trains on a
+    held-out reference and scores the crawl)."""
+    from sagan_spark.ops.webclean import hashed_linear_score, train_quality_classifier
+
+    docs = _docs(spark, sf_dir)
+    model = train_quality_classifier(_labeled_docs(docs), label_col="is_ref")
+    return hashed_linear_score(
+        docs, weights=model.select("bucket", "weight_milli")
+    )
+
+
 def _benchmark_from_docs(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic eval set: every 97th document with >=30
     tokens contributes tokens 6..30 as one benchmark entry — guarantees
@@ -2899,6 +2933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webclean_verdict": q_webclean_verdict,
         "webclean_gopher": q_webclean_gopher,
         "webclean_classifier": q_webclean_classifier,
+        "classifier_train": q_classifier_train,
+        "webclean_classifier_trained": q_webclean_classifier_trained,
         "url_domain_rollup": q_url_domain_rollup,
         "url_blocklist": q_url_blocklist,
         "url_canonicalize": q_url_canonicalize,
@@ -5073,6 +5109,50 @@ def oracle_sql() -> dict[str, str]:
             " w AS (SELECT doc_id,"
             "  (('0x'||substr(md5('w|' || CAST(bucket AS VARCHAR)),1,15))::BIGINT"
             "   % 2001) - 1000 AS w_milli FROM b),"
+            " agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,"
+            "  CAST(sum(w_milli) AS BIGINT) AS w_sum FROM w GROUP BY 1),"
+            " scored AS (SELECT doc_id, n_tokens,"
+            "  round(1.0/(1.0+exp(-(w_sum/(n_tokens*1000.0)))), 6) AS score FROM agg)"
+            " SELECT doc_id, n_tokens, score FROM scored"
+            " UNION ALL SELECT doc_id, CAST(0 AS BIGINT), 0.5 FROM documents"
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM scored)"
+        ),
+        "classifier_train": (
+            "WITH lab AS (SELECT text,"
+            "  CAST(substr(source, 4) AS BIGINT) < 10 AS is_ref FROM documents),"
+            " toks AS (SELECT is_ref, unnest(regexp_extract_all(text,"
+            "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM lab),"
+            " b AS (SELECT"
+            "  ('0x'||substr(md5(token),1,15))::BIGINT % 262144 AS bucket,"
+            "  is_ref FROM toks),"
+            " c AS (SELECT bucket,"
+            "  CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS pos_count,"
+            "  CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS neg_count"
+            "  FROM b GROUP BY 1)"
+            " SELECT bucket, (2000 * (pos_count + 1))"
+            "   // (pos_count + neg_count + 2) - 1000 AS weight_milli,"
+            "  pos_count, neg_count FROM c"
+        ),
+        "webclean_classifier_trained": (
+            "WITH lab AS (SELECT text,"
+            "  CAST(substr(source, 4) AS BIGINT) < 10 AS is_ref FROM documents),"
+            " ttoks AS (SELECT is_ref, unnest(regexp_extract_all(text,"
+            "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM lab),"
+            " tb AS (SELECT"
+            "  ('0x'||substr(md5(token),1,15))::BIGINT % 262144 AS bucket,"
+            "  is_ref FROM ttoks),"
+            " model AS (SELECT bucket, (2000 * (pos_count + 1))"
+            "   // (pos_count + neg_count + 2) - 1000 AS weight_milli FROM ("
+            "  SELECT bucket,"
+            "   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS pos_count,"
+            "   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS neg_count"
+            "   FROM tb GROUP BY 1)),"
+            " toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            "  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM documents),"
+            " b AS (SELECT doc_id,"
+            "  ('0x'||substr(md5(token),1,15))::BIGINT % 262144 AS bucket FROM toks),"
+            " w AS (SELECT doc_id, coalesce(weight_milli, 0) AS w_milli"
+            "  FROM b LEFT JOIN model USING (bucket)),"
             " agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,"
             "  CAST(sum(w_milli) AS BIGINT) AS w_sum FROM w GROUP BY 1),"
             " scored AS (SELECT doc_id, n_tokens,"

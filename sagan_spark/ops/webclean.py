@@ -412,6 +412,74 @@ def hashed_linear_score(docs: DataFrame, weights: DataFrame | None = None,
     return out.unionByName(neutral)
 
 
+def train_quality_classifier(docs: DataFrame, label_col: str,
+                             n_buckets: int = 1 << 18,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Distributed TRAINING for the hashed quality classifier — the
+    counterpart to ``hashed_linear_score`` inference.  The GPT-3 /
+    LLaMA corpus pipelines train exactly this shape of model: label a
+    reference corpus (WebText/Wikipedia/books) positive and raw crawl
+    negative, fit a linear bag-of-hashed-words classifier, then score
+    every crawl document (Brown et al. arXiv:2005.14165 Appendix A;
+    Touvron et al. arXiv:2302.13971 "classify pages used as
+    references in Wikipedia").
+
+    Estimator: per-bucket event-count Naive Bayes with add-one
+    smoothing, expressed in INTEGER milli-units so training is exact
+    in any partitioning / aggregation order (the repo's determinism
+    discipline — same reason ``hashed_linear_score`` sums integer
+    milli-weights):
+
+        weight_milli(b) = (2000 * (pos_b + 1)) div (pos_b + neg_b + 2) - 1000
+
+    i.e. 2000 x the Beta(1,1)-posterior mean of P(positive | token in
+    bucket b), centered at 0 — a monotone, bounded [-1000, 1000]
+    stand-in for the per-bucket NB log-odds (log((pos+1)/(neg+1))
+    has the same sign and ordering; the log would put a float with
+    cross-engine last-ulp risk in every row).  It assumes roughly
+    balanced classes; with skewed labels pass the imbalance into
+    ``hashed_linear_score(bias=...)`` rather than re-scaling counts.
+
+    Scale shape (100 TB posture): ONE map-side-combining groupBy over
+    the exploded token stream — output bounded by ``n_buckets`` rows
+    (2^18 default), never by corpus size; no join, no window.  The
+    result broadcasts straight into ``hashed_linear_score(weights=)``.
+
+    ``label_col``: boolean column on ``docs`` (true = positive /
+    reference).  Returns (bucket, weight_milli, pos_count, neg_count)
+    — only buckets that occur in the training corpus appear; absent
+    buckets weigh 0 at inference, consistent with the smoothed prior's
+    center.
+    """
+    from sagan_spark.ops.packing import _md5_long
+    from sagan_spark.ops.textstats import TOKEN_RE
+
+    toks = docs.select(
+        F.col(label_col).cast("boolean").alias("_sg_y"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    bucket = F.pmod(_md5_long(F.col("token")), F.lit(n_buckets))
+    counts = (
+        toks.select(bucket.alias("bucket"), F.col("_sg_y"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_sg_y"), 1).otherwise(0)).alias("pos_count"),
+            F.sum(F.when(F.col("_sg_y"), 0).otherwise(1)).alias("neg_count"),
+        )
+    )
+    return counts.select(
+        "bucket",
+        F.expr(
+            "(2000 * (pos_count + 1)) div (pos_count + neg_count + 2) - 1000"
+        ).alias("weight_milli"),
+        F.col("pos_count").cast("long").alias("pos_count"),
+        F.col("neg_count").cast("long").alias("neg_count"),
+    )
+
+
 # mojibake signatures (ftfy's README catalogue; OSCAR/CCNet run the
 # same class of checks before quality filters).  'Ã' + a Latin-1
 # supplement char is UTF-8 read as Latin-1/Windows-1252 ('Ã©' for é);

@@ -470,6 +470,67 @@ def test_hashed_linear_score_trained_weights(spark):
     assert r.score == round(1.0 / (1.0 + math.exp(-(2.0 / 3.0 + 0.25))), 6)
 
 
+def test_train_quality_classifier_vs_python(spark):
+    """Trainer == hashlib/arithmetic twin on a hand corpus; the learned
+    weights separate reference markers from crawl markers."""
+    import hashlib
+    import re as _re
+
+    from sagan_spark.ops.webclean import train_quality_classifier
+
+    docs = [
+        (0, "wiki wiki prose", True),
+        (1, "wiki prose", True),
+        (2, "spam spam spam", False),
+        (3, "prose spam", False),
+        (4, None, True),   # NULL text contributes nothing
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, is_ref boolean")
+    got = {
+        r.bucket: (r.weight_milli, r.pos_count, r.neg_count)
+        for r in train_quality_classifier(df, "is_ref", n_buckets=1 << 18).collect()
+    }
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % (1 << 18)
+
+    tok_re = _re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", _re.ASCII)
+    counts: dict[int, list[int]] = {}
+    for _, text, is_ref in docs:
+        for t in tok_re.findall(text or ""):
+            c = counts.setdefault(bucket(t), [0, 0])
+            c[0 if is_ref else 1] += 1
+    want = {
+        b: ((2000 * (p + 1)) // (p + n + 2) - 1000, p, n)
+        for b, (p, n) in counts.items()
+    }
+    assert got == want
+    # separability: a reference-only token weighs positive, a crawl-only
+    # token negative, and wiki (3 pos / 0 neg) > prose (2 pos / 1 neg)
+    assert got[bucket("wiki")][0] > 0 > got[bucket("spam")][0]
+    assert got[bucket("wiki")][0] > got[bucket("prose")][0]
+
+
+def test_train_then_score_roundtrip(spark):
+    """End-to-end train -> hashed_linear_score: reference-looking docs
+    outscore crawl-looking docs under the learned weights."""
+    from sagan_spark.ops.webclean import hashed_linear_score, train_quality_classifier
+
+    rows = [(i, "wiki prose citation needed", True) for i in range(6)]
+    rows += [(10 + i, "buy spam pills now", False) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_ref boolean")
+    model = train_quality_classifier(df, "is_ref")
+    scored = {
+        r.doc_id: r.score
+        for r in hashed_linear_score(
+            df, weights=model.select("bucket", "weight_milli")
+        ).collect()
+    }
+    assert scored[0] > 0.5 > scored[10]
+    assert all(scored[i] == scored[0] for i in range(6))
+    assert all(scored[10 + i] == scored[10] for i in range(6))
+
+
 def test_encoding_quality_vs_python(spark):
     """Counts and verdict == a pure-Python re twin over defect cases."""
     import re as _re
