@@ -1334,6 +1334,31 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized embeddings (FAISS-SQ8-style):
+    scan-level fixed-point quantization, exact integer dot products —
+    the 4x-narrower embedding store for 100 TB vector search."""
+    from sagan_spark.ops.similarity import quantized_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = quantized_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine_q", 5).alias("cosine_q"), "rank",
+    )
+
+
+def q_classifier_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate calibration: the largest score threshold keeping >=40%
+    of the corpus, from a bounded score histogram (never a corpus
+    window) — the step between classifier training and filtering."""
+    from sagan_spark.ops.webclean import calibrate_keep_threshold, hashed_linear_score
+
+    scores = hashed_linear_score(_docs(spark, sf_dir), n_buckets=1 << 18)
+    return calibrate_keep_threshold(scores, keep_ppm=400000)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF/LSH-bucketed ANN (scale path) — rows-only oracle check."""
     from sagan_spark.ops.similarity import lsh_topk
@@ -1703,6 +1728,18 @@ def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return contamination_hits(docs, _benchmark_from_docs(docs), n=13)
+
+
+def q_decontam_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc contamination flag (decontaminate = left join against
+    contamination_hits, coalesced to false) — the filter-side
+    projection a training pipeline actually applies."""
+    from sagan_spark.ops.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(docs, _benchmark_from_docs(docs)).select(
+        "doc_id", "contaminated"
+    )
 
 
 def q_dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2903,12 +2940,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_drop_list": q_dedup_drop_list,
         "dedup_paragraphs": q_dedup_paragraphs,
         "decontam_hits": q_decontam_hits,
+        "decontam_filter": q_decontam_filter,
         "dedup_duplicated_spans": q_dedup_duplicated_spans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_semantic": q_dedup_semantic,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "classifier_calibrate": q_classifier_calibrate,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "html_extract_text": q_html_extract_text,
@@ -4914,6 +4954,55 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)"
             " WHERE rank <= 5"
         ),
+        "ann_quantized_topk": (
+            "WITH z AS (SELECT vec_id, CASE WHEN m > 0 THEN"
+            "  list_transform(embedding, x -> CAST(floor("
+            "   CAST(x AS DOUBLE) / m * 127.0 + 0.5) AS BIGINT))"
+            "  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v"
+            " FROM (SELECT vec_id, embedding, list_max(list_transform("
+            "  embedding, y -> abs(CAST(y AS DOUBLE)))) AS m FROM embeddings)),"
+            " n AS (SELECT vec_id, v, list_sum(list_transform("
+            "  list_zip(v, v), x -> x[1] * x[2])) AS s FROM z)"
+            " SELECT query_id, neighbor_id, round(cosine_q, 5) AS cosine_q, rank"
+            " FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+            "  CAST(list_sum(list_transform(list_zip(q.v, c.v),"
+            "   x -> x[1] * x[2])) AS DOUBLE)"
+            "   / (sqrt(CAST(q.s AS DOUBLE)) * sqrt(CAST(c.s AS DOUBLE)))"
+            "   AS cosine_q,"
+            "  row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            "   CAST(list_sum(list_transform(list_zip(q.v, c.v),"
+            "    x -> x[1] * x[2])) AS DOUBLE)"
+            "    / (sqrt(CAST(q.s AS DOUBLE)) * sqrt(CAST(c.s AS DOUBLE)))"
+            "   DESC, c.vec_id) AS rank"
+            "  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id"
+            "   AND q.s > 0 AND c.s > 0)"
+            " WHERE rank <= 5"
+        ),
+        "classifier_calibrate": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM documents),"
+            " b AS (SELECT doc_id,"
+            "  ('0x'||substr(md5(token),1,15))::BIGINT % 262144 AS bucket FROM toks),"
+            " w AS (SELECT doc_id,"
+            "  (('0x'||substr(md5('w|' || CAST(bucket AS VARCHAR)),1,15))::BIGINT"
+            "   % 2001) - 1000 AS w_milli FROM b),"
+            " agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,"
+            "  CAST(sum(w_milli) AS BIGINT) AS w_sum FROM w GROUP BY 1),"
+            " scored AS (SELECT"
+            "  round(1.0/(1.0+exp(-(w_sum/(n_tokens*1000.0)))), 6) AS score FROM agg"
+            "  UNION ALL SELECT 0.5 FROM documents"
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM agg)),"
+            " hist AS (SELECT score, count(*)::BIGINT AS c FROM scored"
+            "  WHERE score IS NOT NULL GROUP BY 1),"
+            " cum AS (SELECT score, sum(c) OVER (ORDER BY score DESC"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,"
+            "  sum(c) OVER () AS n FROM hist)"
+            " SELECT max(score) AS threshold,"
+            "  CAST(min(cum) AS BIGINT) AS n_kept,"
+            "  CAST(max(n) AS BIGINT) AS n_total,"
+            "  CAST(max(greatest(1, (n * 400000) // 1000000)) AS BIGINT) AS target"
+            " FROM cum WHERE cum >= greatest(1, (n * 400000) // 1000000)"
+        ),
         "ann_lsh_topk": _ann_lsh_sql,
         "ann_ivf_topk": _ann_ivf_sql,
         "html_extract_text": _html_extract_sql(),
@@ -5039,6 +5128,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _elsh_sql,
         "dedup_semantic": _semdedup_sql,
         "decontam_hits": _decontam_sql,
+        "decontam_filter": (
+            "SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated"
+            " FROM documents d LEFT JOIN (" + _decontam_sql + ") h"
+            " ON h.doc_id = d.doc_id"
+        ),
         "dedup_duplicated_spans": _dspan_sql,
         "webclean_repetition": (
             "SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,"

@@ -202,6 +202,76 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def quantize_expr(vec_col, bits: int = 8):
+    """Symmetric per-vector fixed-point quantization of a float
+    embedding — the memory/bandwidth lever of large-vector stores
+    (int8 is FAISS's ``SQ8`` scalar quantizer; at 100 TB of
+    ``array<float>`` it cuts the shuffled/stored bytes 4x and the
+    integer dot products that follow stay exact in any order).
+
+    ``q_i = floor(x_i / max_abs * qmax + 0.5)`` with ``qmax = 2^(bits-1)-1``
+    (127 for int8) — round-half-up via ``floor(.. + 0.5)`` because BOTH
+    Spark and DuckDB floor identically, whereas their ``round()`` tie
+    rules differ.  Every step is an exactly-rounded IEEE double op on
+    values cast from float32, so the quantized INTEGER vector is
+    bit-identical across engines/partitionings.  An all-zero vector
+    (max_abs = 0) quantizes to the zero vector rather than NULLs; a
+    NULL embedding stays NULL.
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    m = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") / m * F.lit(qmax) + F.lit(0.5)).cast("long"),
+    )
+    zero = F.transform(vec_col, lambda x: F.lit(0).cast("long"))
+    return F.when(m > F.lit(0.0), q).otherwise(zero)
+
+
+def _idot(a, b):
+    """Exact integer dot product (long accumulator)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   bits: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k over the QUANTIZED vectors: quantize both
+    sides scan-level (no extra pass), integer dot products, rank per
+    query.  Zero-norm vectors are excluded from both sides (cosine
+    undefined).  Returns (query_id, neighbor_id, cosine_q, rank) —
+    ``cosine_q`` approximates the float cosine to ~1/qmax; at scale
+    the same expression composes under the LSH/IVF bucketing of
+    ``lsh_topk``/``ivf_topk`` in place of the float rerank.
+    """
+    qz = quantize_expr(F.col(vec_col), bits)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), qz.alias("v_c")
+    ).withColumn("cc", _idot(F.col("v_c"), F.col("v_c"))).filter(F.col("cc") > 0)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qz.alias("v_q")
+    ).withColumn("qq", _idot(F.col("v_q"), F.col("v_q"))).filter(F.col("qq") > 0)
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_q",
+            _idot(F.col("v_q"), F.col("v_c"))
+            / (F.sqrt(F.col("qq")) * F.sqrt(F.col("cc"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_q", "rank")
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 6, n_tables: int = 3, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

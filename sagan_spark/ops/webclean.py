@@ -18,7 +18,7 @@ fraction of characters inside the most frequent word 2-gram.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -477,6 +477,58 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
         ).alias("weight_milli"),
         F.col("pos_count").cast("long").alias("pos_count"),
         F.col("neg_count").cast("long").alias("neg_count"),
+    )
+
+
+def calibrate_keep_threshold(scored: DataFrame, keep_ppm: int,
+                             score_col: str = "score") -> DataFrame:
+    """Pick the classifier score threshold that keeps (at least) a
+    target fraction of the corpus — the calibration step between
+    training a quality classifier and applying it (CCNet keeps the
+    best-scoring fraction per bucket, Wenzek et al. arXiv:1911.00359;
+    GPT-3 re-weights by classifier score, Brown et al. App. A).
+
+    Rule, integer-exact and partition-independent:
+    ``target = max(1, (n * keep_ppm) div 10^6)`` over the ``n``
+    non-NULL-scored documents; the threshold is the LARGEST score
+    ``t`` with ``|{score >= t}| >= target`` — i.e. keeping everything
+    at-or-above ``t`` meets the quota with minimal overshoot, and
+    equal scores always share a fate (no arbitrary tie split).
+
+    100 TB shape: the quantile comes from a per-score HISTOGRAM (one
+    map-side-combining groupBy — scores are already rounded to 6
+    decimals upstream, so the histogram is bounded at ~10^6 rows
+    regardless of corpus size); the single-partition cumulative
+    window runs over that histogram, NEVER over the corpus — the same
+    skew-safe idiom as ``lmscore.lm_buckets``.  Returns ONE row
+    (threshold, n_total, n_kept, target).
+    """
+    score = F.col(score_col)
+    hist = (
+        scored.where(score.isNotNull())
+        .groupBy(score_col)
+        .agg(F.count(F.lit(1)).alias("_sg_c"))
+    )
+    w_cum = (
+        Window.orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        score_col,
+        F.sum("_sg_c").over(w_cum).alias("_sg_cum"),
+        F.sum("_sg_c").over(w_all).alias("_sg_n"),
+    )
+    target = F.expr(f"greatest(1, (_sg_n * {int(keep_ppm)}) div 1000000)")
+    return (
+        cum.withColumn("_sg_target", target)
+        .where(F.col("_sg_cum") >= F.col("_sg_target"))
+        .agg(
+            F.max(score_col).alias("threshold"),
+            F.min("_sg_cum").cast("long").alias("n_kept"),
+            F.max("_sg_n").cast("long").alias("n_total"),
+            F.max("_sg_target").cast("long").alias("target"),
+        )
     )
 
 

@@ -290,6 +290,72 @@ def test_ann_lsh_topk_equals_python_twin(spark, vectors):
     assert got == want
 
 
+def test_quantized_topk_equals_python_twin(spark, vectors):
+    """int8-quantized cosine top-k pinned against a pure-Python twin:
+    same floor(x/m*127+0.5) quantizer, exact integer dots, same
+    (cosine desc, neighbor_id asc) tiebreak."""
+    from sagan_spark.ops.similarity import quantized_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine_q, 9))
+        for r in quantized_topk(df, queries, k=3).collect()
+    }
+
+    def quant(v):
+        m = max(abs(float(x)) for x in v)
+        if m <= 0:
+            return [0] * len(v)
+        return [math.floor(float(x) / m * 127.0 + 0.5) for x in v]
+
+    qv = {vid: quant(v) for vid, v in vectors.items()}
+    want = {}
+    for q in range(3):
+        vq = qv[q]
+        qq = sum(x * x for x in vq)
+        scored = []
+        for vid, vc in qv.items():
+            cc = sum(x * x for x in vc)
+            if vid == q or cc == 0 or qq == 0:
+                continue
+            dot = sum(a * b for a, b in zip(vq, vc))
+            scored.append((-(dot / (math.sqrt(qq) * math.sqrt(cc))), vid))
+        for rank, (negcos, vid) in enumerate(sorted(scored)[:3], start=1):
+            want[(q, rank)] = (vid, round(-negcos, 9))
+    assert got == want
+
+
+def test_quantized_topk_zero_vectors(spark):
+    """All-zero vectors quantize to zero and are excluded from both
+    sides (cosine undefined); negative components round half-up."""
+    from sagan_spark.ops.similarity import quantize_expr, quantized_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [-1.0, 0.5, -0.25, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qz = {
+        r.vec_id: r.q
+        for r in df.select("vec_id", quantize_expr(F.col("embedding")).alias("q")).collect()
+    }
+    # floor(-0.5/1*127 + .5) = floor(-63.0) = -63; floor(0.25*127+.5) = 32
+    assert qz[0] == [127, -63, 32, 0]
+    assert qz[1] == [0, 0, 0, 0]
+    assert qz[2] == [-127, 64, -32, 0]  # half-up ties: floor(63.5+.5)=64; floor(-31.25)=-32
+    out = quantized_topk(df, df, k=3).collect()
+    # vec 1 appears as neither query nor neighbor
+    assert {r.query_id for r in out} == {0, 2}
+    assert all(r.neighbor_id != 1 for r in out)
+
+
 def test_ivf_topk_equals_python_twin(spark, vectors):
     """IVF ANN pinned against a pure-Python twin: same deterministic
     sample, same spherical k-means, same probe/rerank."""

@@ -531,6 +531,27 @@ def test_train_then_score_roundtrip(spark):
     assert all(scored[10 + i] == scored[10] for i in range(6))
 
 
+def test_calibrate_keep_threshold(spark):
+    """Threshold rule on a hand corpus: largest score keeping >= target,
+    ties share a fate, NULL scores excluded, target floors at 1."""
+    from sagan_spark.ops.webclean import calibrate_keep_threshold
+
+    scores = [0.9, 0.8, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]
+    df = spark.createDataFrame(
+        [(float(s),) for s in scores] + [(None,)], "score double"
+    )
+    # keep 40% of 10 scored docs -> target 4; cum at 0.7 is 4 -> t=0.7
+    r = calibrate_keep_threshold(df, keep_ppm=400_000).collect()[0]
+    assert (r.threshold, r.n_kept, r.n_total, r.target) == (0.7, 4, 10, 4)
+    # keep 25% -> target 2, but the tie at 0.8 means cum jumps 1 -> 3:
+    # the largest score with cum >= 2 is 0.8, keeping 3 (ties together)
+    r = calibrate_keep_threshold(df, keep_ppm=250_000).collect()[0]
+    assert (r.threshold, r.n_kept, r.target) == (0.8, 3, 2)
+    # tiny rate floors the target at 1 -> threshold = max score
+    r = calibrate_keep_threshold(df, keep_ppm=1).collect()[0]
+    assert (r.threshold, r.n_kept, r.target) == (0.9, 1, 1)
+
+
 def test_encoding_quality_vs_python(spark):
     """Counts and verdict == a pure-Python re twin over defect cases."""
     import re as _re
