@@ -2333,6 +2333,30 @@ def q_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_likelihood(docs, lm)
 
 
+def q_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained bigram LM model TABLES as a first-class artifact
+    (kind='pair'|'prefix', bucket, n) — training is one map-side-
+    combining groupBy per table, output bounded by n_buckets; the
+    same model lm_likelihood consumes via two broadcast joins."""
+    from sagan_spark.ops.lmscore import lm_train_bigrams
+    from sagan_spark.ops.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    ref = deterministic_sample(docs, 0.5, salt="split")
+    lm = lm_train_bigrams(ref, n_buckets=1 << 18)
+    pairs = lm.pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("pair_bucket").alias("bucket"),
+        F.col("pair_count").cast("long").alias("n"),
+    )
+    prefixes = lm.prefixes.select(
+        F.lit("prefix").alias("kind"),
+        F.col("prefix_bucket").alias("bucket"),
+        F.col("prefix_count").cast("long").alias("n"),
+    )
+    return pairs.unionByName(prefixes)
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 rule set over documents with a deterministic defect
     scaffold: each doc_id%5 class appends one page-level tell (bad
@@ -3012,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "encoding_quality": q_encoding_quality,
         "lm_likelihood": q_lm_likelihood,
+        "lm_train": q_lm_train,
         "lm_buckets": q_lm_buckets,
         "c4_filters": q_c4_filters,
         "dsir_weights": q_dsir_weights,
@@ -3318,6 +3343,28 @@ def _lm_likelihood_sql() -> str:
         "  AS lm_score_ppm FROM agg"
         " UNION ALL SELECT doc_id, CAST(0 AS BIGINT),"
         "  CAST(NULL AS BIGINT) FROM d WHERE coalesce(len(l), 0) < 2"
+    )
+
+
+def _lm_train_sql() -> str:
+    """lm_train oracle: the SAME holdout-half bigram stream as
+    _lm_likelihood_sql, emitting the two model tables union-tagged."""
+    from sagan_spark.ops.sampling import frac_to_hex8
+
+    return (
+        "WITH d AS (SELECT doc_id, regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS l FROM documents),"
+        " trp AS (SELECT l[i] AS prev, l[i+1] AS tok FROM ("
+        "  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i"
+        "  FROM d WHERE len(l) >= 2 AND"
+        f"  substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f"  < '{frac_to_hex8(0.5)}'))"
+        " SELECT 'pair' AS kind,"
+        "  ('0x'||substr(md5(prev||'|'||tok),1,15))::BIGINT % 262144 AS bucket,"
+        "  count(*)::BIGINT AS n FROM trp GROUP BY 2"
+        " UNION ALL SELECT 'prefix',"
+        "  ('0x'||substr(md5(prev),1,15))::BIGINT % 262144,"
+        "  count(*)::BIGINT FROM trp GROUP BY 2"
     )
 
 
@@ -5561,6 +5608,8 @@ def oracle_sql() -> dict[str, str]:
         # md5-'split' holdout half, score everything — same 60-bit
         # md5 bucket idiom, integer milli-prob (1000*pc) // fc
         "lm_likelihood": _lm_likelihood_sql(),
+        # trained bigram model tables (pair/prefix counts) themselves
+        "lm_train": _lm_train_sql(),
         # CCNet head/middle/tail terciles (ops/lmscore.lm_buckets):
         # langid + LM score composed, exact tercile cuts off the
         # per-(lang, score) histogram — same cut rule 3*cum >= k*n
