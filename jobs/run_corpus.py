@@ -6,7 +6,9 @@ side of the engine, deployed the same way as the alert pipeline:
         --output /warehouse/curated_corpus \
         [--input-format pages|warc] [--format iceberg|parquet] \
         [--metrics /warehouse/corpus_metrics] [--run-id RID] \
-        [--min-chars 200] [--domain-cap 100000] [--sample 1.0]
+        [--min-chars 200] [--domain-cap 100000] [--sample 1.0] \
+        [--classifier-weights /warehouse/quality_model \
+         --classifier-keep-ppm 500000]
 
 (tests/test_spark_submit.py runs exactly this from a directory where
 the repo is not importable — imports resolve from the shipped zip.)
@@ -21,8 +23,12 @@ metrics table — the A11 discipline applied to curation):
    first-failing-reason routing);
 3. dedup — exact content dedup, min-doc_id winner per normalized
    digest (map-side-combining agg, never a window);
-4. quota — ops.sampling.domain_quota_sample per registered domain;
-5. sample — ops.sampling.deterministic_sample (md5-threshold,
+4. classifier (optional, --classifier-weights) — trained-quality-model
+   scoring (webclean.hashed_linear_score, broadcast weights) +
+   keep-rate calibration off the bounded score histogram
+   (webclean.calibrate_keep_threshold), keep at-or-above threshold;
+5. quota — ops.sampling.domain_quota_sample per registered domain;
+6. sample — ops.sampling.deterministic_sample (md5-threshold,
    reproducible across runs and cluster sizes).
 
 Resume: same marker discipline as run_batch — a completed --run-id
@@ -56,6 +62,10 @@ def main() -> None:
     ap.add_argument("--domain-cap", type=int, default=100_000)
     ap.add_argument("--sample", type=float, default=1.0)
     ap.add_argument("--langs", default="en")
+    ap.add_argument("--classifier-weights", default="",
+                    help="trained (bucket, weight_milli) table "
+                         "(train_quality_classifier output); empty = skip")
+    ap.add_argument("--classifier-keep-ppm", type=int, default=500_000)
     ap.add_argument("--run-id", default=uuid.uuid4().hex[:12])
     args = ap.parse_args()
 
@@ -139,6 +149,28 @@ def main() -> None:
     )
     deduped = screened.join(winners, "doc_id", "leftsemi")
     count_stage("dedup", deduped)
+
+    # optional trained-classifier quality filter: score with the
+    # broadcast weight table (train_quality_classifier output), pick
+    # the keep threshold from the bounded score histogram, keep
+    # at-or-above — the GPT-3-style "classify the crawl against a
+    # reference corpus" stage, deployed exactly like the other gates
+    if args.classifier_weights:
+        from sagan_spark.ops.webclean import (
+            calibrate_keep_threshold,
+            hashed_linear_score,
+        )
+
+        weights = spark.read.format(args.format).load(args.classifier_weights)
+        scores = hashed_linear_score(
+            deduped, weights=weights.select("bucket", "weight_milli")
+        )
+        th = calibrate_keep_threshold(
+            scores, keep_ppm=args.classifier_keep_ppm
+        ).collect()[0]  # ONE row — the histogram agg, not the corpus
+        kept = scores.filter(F.col("score") >= th.threshold).select("doc_id")
+        deduped = deduped.join(kept, "doc_id", "leftsemi")
+        count_stage("classifier", deduped)
 
     capped = domain_quota_sample(deduped, cap=args.domain_cap)
     count_stage("quota", capped)

@@ -141,6 +141,23 @@ def test_spark_submit_py_files_corpus_job(tmp_path):
     from sagan_spark.data.pages import generate_pages
 
     pq.write_table(generate_pages(n_rows=400), str(tmp_path / "pages.parquet"))
+    # a trained-weights table for the optional classifier stage: every
+    # 64th bucket carries a deterministic signed milli-weight, so doc
+    # scores differ and the 60% keep-rate calibration actually filters
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table(
+            {
+                "bucket": pa.array(range(0, 1 << 18, 64), type=pa.int64()),
+                "weight_milli": pa.array(
+                    [(b % 2001) - 1000 for b in range(0, 1 << 18, 64)],
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        str(tmp_path / "weights.parquet"),
+    )
     zpath = _zip_package(tmp_path)
     job = tmp_path / "run_corpus.py"
     shutil.copy(REPO / "jobs" / "run_corpus.py", job)
@@ -159,6 +176,8 @@ def test_spark_submit_py_files_corpus_job(tmp_path):
         "--min-chars", "10",
         "--domain-cap", "50",
         "--sample", "0.9",
+        "--classifier-weights", str(tmp_path / "weights.parquet"),
+        "--classifier-keep-ppm", "600000",
         "--run-id", "corpussmoke",
     ]
     out = subprocess.run(
@@ -172,10 +191,16 @@ def test_spark_submit_py_files_corpus_job(tmp_path):
     assert "doc_id" in corpus.column_names and "url" in corpus.column_names
     stages = pq.read_table(str(tmp_path / "metrics" / "stages"))
     names = set(stages.column("stage").to_pylist())
-    assert names == {"ingest", "screen", "dedup", "quota", "sample"}
-    # counts are monotonically non-increasing through the funnel
+    assert names == {"ingest", "screen", "dedup", "classifier", "quota", "sample"}
+    # counts are monotonically non-increasing through the funnel; the
+    # 60%-keep calibration must actually bite (kept >= 60% by the
+    # at-least rule, < 100% because scores differ across docs)
     by = {r["stage"]: r["n_rows"] for r in stages.to_pylist()}
-    assert by["ingest"] >= by["screen"] >= by["dedup"] >= by["quota"] >= by["sample"]
+    assert (
+        by["ingest"] >= by["screen"] >= by["dedup"]
+        >= by["classifier"] >= by["quota"] >= by["sample"]
+    )
+    assert 0.6 * by["dedup"] <= by["classifier"] < by["dedup"]
 
     # resume: second run with the same run-id must no-op
     out2 = subprocess.run(
