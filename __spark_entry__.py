@@ -1371,6 +1371,36 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against the exact top-5 — the
+    in-engine quality measurement run before trusting the approximate
+    path at scale (the minhash_calibration discipline applied to
+    vector search).  Composes two already-oracled ops; the oracle is
+    the same composition of their SQL."""
+    from sagan_spark.ops.similarity import brute_force_topk, lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, queries, k=5, n_planes=6, n_tables=3, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    inter = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(inter, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(5.0)).alias("recall"),
+        )
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — centroid lists + n_probe rerank, run
     with a deterministic pretrained codebook (fixed_centroids) so the
@@ -2974,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": q_ann_quantized_topk,
         "classifier_calibrate": q_classifier_calibrate,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
         "ann_ivf_topk": q_ann_ivf_topk,
         "html_extract_text": q_html_extract_text,
         "text_langid": q_text_langid,
@@ -4454,7 +4485,7 @@ def oracle_sql() -> dict[str, str]:
         "s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
         " ROWS UNBOUNDED PRECEDING) AS sess FROM o)"
     )
-    return {
+    sqls = {
         "s5_pipe_decode": (
             "SELECT program, evt_date, count(*) AS n FROM ("
             "SELECT string_split(concat_ws('|', CAST(user_id AS VARCHAR), event_type,"
@@ -5794,3 +5825,17 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY 1, 2"
         ),
     }
+    # ann_recall composes the two already-verified ANN oracles: recall@5
+    # of the LSH path against the exact top-5, per query
+    sqls["ann_recall"] = (
+        f"WITH exact AS ({sqls['ann_cosine_topk']}),"
+        f" approx AS ({sqls['ann_lsh_topk']})"
+        " SELECT q.query_id, CAST(coalesce(i.n_hit, 0) AS BIGINT) AS n_hit,"
+        "  coalesce(i.n_hit, 0) / 5.0 AS recall"
+        " FROM (SELECT DISTINCT query_id FROM exact) q"
+        " LEFT JOIN (SELECT e.query_id, count(*) AS n_hit FROM exact e"
+        "  JOIN approx a ON a.query_id = e.query_id"
+        "   AND a.neighbor_id = e.neighbor_id GROUP BY 1) i"
+        "  ON i.query_id = q.query_id"
+    )
+    return sqls
