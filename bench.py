@@ -89,6 +89,15 @@ HEADLINE = [
     "crawl_diff",
     "web_ingest",
     "hll_distinct",
+    # round-4 tail: classifier train/calibrate loop, quantized ANN +
+    # recall measurement, decontamination filter, LM model tables
+    "classifier_train",
+    "webclean_classifier_trained",
+    "classifier_calibrate",
+    "ann_quantized_topk",
+    "ann_recall",
+    "decontam_filter",
+    "lm_train",
 ]
 
 

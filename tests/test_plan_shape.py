@@ -410,6 +410,26 @@ def test_lm_buckets_windows_only_the_histogram(spark):
     assert "BroadcastHashJoin" in plan, "threshold join must broadcast"
 
 
+def test_calibrate_threshold_windows_only_the_histogram(spark):
+    """calibrate_keep_threshold pins: the cumulative window runs over
+    the per-score HISTOGRAM (output of the groupBy(score) aggregate),
+    never the corpus — the window's input exchange is keyed by nothing
+    wider than the score histogram, there is no corpus-keyed exchange,
+    no row_number/ntile, and no Python node.  A hot score value (half
+    the corpus at sigmoid(0)=0.5) is absorbed by the map-side partial
+    count, not funneled into the single-partition sort."""
+    from sagan_spark.ops.webclean import calibrate_keep_threshold
+
+    scored = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+    qe = calibrate_keep_threshold(scored, keep_ppm=500_000)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "ntile" not in plan and "row_number" not in plan
+    assert "hashpartitioning(doc_id" not in plan, "corpus-keyed exchange"
+    # the aggregate below the window must partial-combine map-side
+    assert "partial_count" in plan, "map-side histogram count missing"
+
+
 def test_pagerank_lineage_is_cut_per_iteration(spark):
     """The iterative PageRank plan must not grow with iteration count:
     localCheckpoint truncates lineage, so the FINAL plan contains the
