@@ -356,6 +356,43 @@ def test_quantized_topk_zero_vectors(spark):
     assert all(r.neighbor_id != 1 for r in out)
 
 
+def test_ann_recall_composition(spark, vectors):
+    """ann_recall == |exact top-k ∩ lsh top-k| / k per query, computed
+    independently from the two ops' own outputs."""
+    from sagan_spark.ops.similarity import brute_force_topk, lsh_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vectors.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(df, queries, k=3, n_planes=4, n_tables=3, dim=16).collect()
+    }
+    want = {
+        q: len({n for qq, n in exact & approx if qq == q}) for q in range(3)
+    }
+
+    inter = (
+        spark.createDataFrame(sorted(exact), "query_id long, neighbor_id long")
+        .join(
+            spark.createDataFrame(sorted(approx), "query_id long, neighbor_id long"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    got = {r.query_id: r.n_hit for r in inter.collect()}
+    for q in range(3):
+        assert got.get(q, 0) == want[q]
+        assert 0 <= want[q] <= 3
+
+
 def test_ivf_topk_equals_python_twin(spark, vectors):
     """IVF ANN pinned against a pure-Python twin: same deterministic
     sample, same spherical k-means, same probe/rerank."""
