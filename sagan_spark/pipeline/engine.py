@@ -324,9 +324,14 @@ class SaganSparkEngine:
 
         # one WHEN(match, struct) per rule: extraction fields materialize
         # only for the (typically ~1 of N) rules that actually match —
-        # building all N structs per row was memory-bandwidth-bound
+        # building all N structs per row was memory-bandwidth-bound.
+        # ext_memo: rules sharing an extraction signature share ONE Column
+        # tree (valid for this full_ctx binding only) — at production
+        # ruleset sizes the per-rule tree build is the driver-side
+        # plan-construction bottleneck (py4j round trips)
+        ext_memo: dict = {}
         elements = [
-            comp.alert_element(r, full_ctx, F.col(f"_c{i}"))
+            comp.alert_element(r, full_ctx, F.col(f"_c{i}"), ext_memo=ext_memo)
             for i, r in enumerate(self.rules)
             if r.action != "pass"
         ]
@@ -334,7 +339,10 @@ class SaganSparkEngine:
         # pass-rule short circuit (F15, engine.c:1448-1453): a hit survives
         # iff no pass rule at a SMALLER ruleset position matched the event
         pass_idx_exprs = [
-            F.when(comp.match_expr(r, full_ctx, F.col(f"_c{i}")), F.lit(r.position))
+            F.when(
+                comp.match_expr(r, full_ctx, F.col(f"_c{i}"), ext_memo=ext_memo),
+                F.lit(r.position),
+            )
             for i, r in enumerate(self.rules)
             if r.action == "pass"
         ]

@@ -381,12 +381,50 @@ class RuleCompiler:
         is_local = ip.startswith("127.") | (ip == "::1")
         return F.when(ip.isNull() | (ip == "") | is_local, cols.host).otherwise(ip)
 
-    def extraction_exprs(self, r: RuleIR, cols: EventCols) -> dict[str, Column]:
+    @staticmethod
+    def _ext_signature(r: RuleIR) -> tuple:
+        """Everything :meth:`extraction_exprs` (and the helpers it calls —
+        ``_rule_message``/``_rule_program``/``_json_map_value``/
+        ``_decoded_event_id``/``_parsed_hit``/``_ip_bits``) reads from the
+        rule.  Two rules with equal signatures produce IDENTICAL extraction
+        Column trees against the same ``cols``, so the trees can be shared
+        (Columns are immutable expression handles).  Production rulesets
+        are highly repetitive in extraction shape (thousands of rules, a
+        handful of ``parse_src_ip``/``json_map``/default combinations), and
+        each tree costs hundreds of py4j round trips to build — sharing
+        them is a driver-side plan-build win, not an execution change."""
+        return (
+            r.parse_src_ip_pos,
+            r.parse_dst_ip_pos,
+            tuple((jm.field, jm.key) for jm in r.json_maps),
+            r.default_src_port,
+            r.default_dst_port,
+            r.default_proto,
+            r.parse_proto,
+            r.parse_proto_program,
+            tuple(r.event_ids),
+            r.parse_hash,
+            r.append_program,
+        )
+
+    def extraction_exprs(
+        self, r: RuleIR, cols: EventCols,
+        memo: dict[tuple, dict[str, Column]] | None = None,
+    ) -> dict[str, Column]:
         """Final per-rule field values, replicating engine.c:788-921 order:
         json_map/normalize wins; else Parse_IP positional cache; else
         syslog_host. default_src/dst_port overrides a Parse_IP port when no
         json port was decoded (port_*_is_valid only set by decode);
-        default_proto overrides everything."""
+        default_proto overrides everything.
+
+        ``memo``: optional per-``cols`` cache keyed by
+        :meth:`_ext_signature` — the caller owns its lifetime and MUST not
+        reuse it across different ``cols`` bindings."""
+        if memo is not None:
+            key = self._ext_signature(r)
+            hit = memo.get(key)
+            if hit is not None:
+                return hit
         out: dict[str, Column] = {}
         src_hit = self._parsed_hit(cols, r.parse_src_ip_pos)
         dst_hit = self._parsed_hit(cols, r.parse_dst_ip_pos)
@@ -472,6 +510,8 @@ class RuleCompiler:
             else:
                 jm_h = _json_map_value(r, cols, h)
                 out[h] = jm_h if jm_h is not None else F.lit("")
+        if memo is not None:
+            memo[key] = out
         return out
 
     @staticmethod
@@ -631,9 +671,10 @@ class RuleCompiler:
     # -- alert struct ---------------------------------------------------------
 
     def match_expr(self, r: RuleIR, cols: EventCols, cheap: Column,
-                   ext: dict[str, Column] | None = None) -> Column:
+                   ext: dict[str, Column] | None = None,
+                   ext_memo: dict | None = None) -> Column:
         """Full per-rule match: cheap AND flow AND enrichment gates."""
-        ext = ext if ext is not None else self.extraction_exprs(r, cols)
+        ext = ext if ext is not None else self.extraction_exprs(r, cols, memo=ext_memo)
         match = cheap & self.flow_predicate(r, ext)
         if (
             r.blacklist
@@ -644,11 +685,12 @@ class RuleCompiler:
             match = match & self.enrichment_predicate(r, ext, cols)
         return match
 
-    def alert_element(self, r: RuleIR, cols: EventCols, cheap: Column) -> Column:
+    def alert_element(self, r: RuleIR, cols: EventCols, cheap: Column,
+                      ext_memo: dict | None = None) -> Column:
         """when(match, struct<...>) — null when the rule does not match,
         so array_compact+explode materializes extraction fields ONLY for
         matching rules (typically ~1 of N per event, not all N)."""
-        ext = self.extraction_exprs(r, cols)
+        ext = self.extraction_exprs(r, cols, memo=ext_memo)
         match = self.match_expr(r, cols, cheap, ext)
         return F.when(match, self.alert_struct_body(r, ext))
 

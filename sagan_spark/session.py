@@ -71,6 +71,12 @@ def build_spark(
             "spark.sql.codegen.methodSplitThreshold",
             os.environ.get("SAGAN_SPARK_SPLIT_THRESHOLD", "256"),
         )
+        # per-Column-call site capture (error-message enrichment) costs two
+        # extra py4j round trips + a Python stack walk on EVERY DataFrame
+        # API call — at production ruleset sizes plan construction makes
+        # hundreds of thousands of such calls, so this is a measurable
+        # slice of driver-side plan-build time (tools/bench_rulecount.py)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
