@@ -89,10 +89,13 @@ def main() -> None:
         else:
             df.write.mode("overwrite").parquet(path)
 
-    # resume guard (run_batch discipline)
+    # resume guard (run_batch discipline).  The marker and ledger are
+    # ALWAYS plain parquet (written below regardless of --format), so
+    # the guard must read parquet too — reading them with --format
+    # iceberg would throw, be swallowed, and silently disable resume
     if args.metrics:
         try:
-            runs = spark.read.format(args.format).load(f"{args.metrics}/runs")
+            runs = spark.read.parquet(f"{args.metrics}/runs")
             if runs.filter(runs.run_id == args.run_id).head(1):
                 print({"run_id": args.run_id, "skipped": "already completed"})
                 spark.stop()
@@ -128,7 +131,22 @@ def main() -> None:
         )
     else:
         pages = raw.select("url", "text", "lang")
-    pages = pages.withColumn("doc_id", F.xxhash64("url"))
+    # doc_id must be row-unique up to byte-identical content: a url
+    # alone is NOT (multi-capture crawls carry the same url many times,
+    # recrawls with changed text too).  Hashing (url, content digest)
+    # keeps distinct-content recaptures distinct — the digest-dedup
+    # stage then picks one winner — while byte-identical recaptures
+    # share an id and collapse in the same stage.  md5 hex (128-bit)
+    # rather than xxhash64: at 10^10+ docs a 64-bit id expects birthday
+    # collisions that would conflate unrelated documents
+    pages = pages.withColumn(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "", F.col("url"), F.md5(F.coalesce(F.col("text"), F.lit("")))
+            )
+        ),
+    )
     count_stage("ingest", pages)
 
     langs = tuple(x.strip() for x in args.langs.split(",") if x.strip())
@@ -147,7 +165,13 @@ def main() -> None:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    deduped = screened.join(winners, "doc_id", "leftsemi")
+    # dropDuplicates: byte-identical recaptures share a doc_id (by
+    # construction above) and a semi-join alone would keep every copy —
+    # the rows are indistinguishable, so keeping exactly one is
+    # deterministic
+    deduped = screened.join(winners, "doc_id", "leftsemi").dropDuplicates(
+        ["doc_id"]
+    )
     count_stage("dedup", deduped)
 
     # optional trained-classifier quality filter: score with the

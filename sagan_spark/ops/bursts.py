@@ -40,6 +40,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def trunc_div_long(x, d: int):
+    """Integer division truncating toward zero — deliberately the SAME
+    rounding on both engines: Spark's ``cast('long')`` of the quotient
+    and DuckDB's ``//`` BOTH truncate toward zero (``-1 // 10 = 0`` in
+    DuckDB — it does NOT floor), so bucket indices agree bit-for-bit
+    even for negative (pre-1970, corrupt) epochs.  Pinned by
+    ``test_bucket_division_matches_duckdb_pre_1970``; spelled as a
+    named helper so nobody "fixes" one side to floor semantics."""
+    return (x / F.lit(d)).cast("long")
+
+
 def bucket_counts(events: DataFrame, bucket_sec: int = 3600,
                   key_col: str = "user_id",
                   ts_col: str = "ts") -> DataFrame:
@@ -51,8 +62,9 @@ def bucket_counts(events: DataFrame, bucket_sec: int = 3600,
         events.filter(F.col(ts_col).isNotNull())
         .select(
             key_col,
-            (F.unix_micros(F.col(ts_col).cast("timestamp"))
-             / F.lit(bucket_us)).cast("long").alias("_sg_b"),
+            trunc_div_long(
+                F.unix_micros(F.col(ts_col).cast("timestamp")), bucket_us
+            ).alias("_sg_b"),
         )
         .groupBy(key_col, "_sg_b")
         .agg(F.count(F.lit(1)).alias("n_events"))

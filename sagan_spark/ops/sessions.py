@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sagan_spark.ops.bursts import trunc_div_long
+
 
 def sessionize(events: DataFrame, gap_sec: int = 14400,
                bucket_sec: int = 86400, key_col: str = "user_id",
@@ -74,7 +76,11 @@ def sessionize(events: DataFrame, gap_sec: int = 14400,
             # (session.py), matching DuckDB's naive epoch_us.
             F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_sg_us"),
         )
-        .withColumn("_sg_b", (F.col("_sg_us") / F.lit(bucket_us)).cast("long"))
+        # truncating division, matching BOTH engines' semantics (see
+        # ops.bursts.trunc_div_long: DuckDB // truncates too); buckets
+        # remain a monotone contiguous partition of the time line, which
+        # is all the two-phase decomposition needs
+        .withColumn("_sg_b", trunc_div_long(F.col("_sg_us"), bucket_us))
     )
 
     # bucket-stats pass 1: previous-event carry for bucket-first rows

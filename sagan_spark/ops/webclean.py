@@ -455,8 +455,24 @@ def train_quality_classifier(docs: DataFrame, label_col: str,
     from sagan_spark.ops.packing import _md5_long
     from sagan_spark.ops.textstats import TOKEN_RE
 
+    # fail-loud on NULL labels (the budget_select discipline,
+    # sampling.py): a label column built by a left join against a
+    # reference-membership table leaves unmatched docs NULL, and
+    # silently counting those as negatives would skew the model with
+    # rows the caller never labeled
+    y = F.col(label_col).cast("boolean")
+    checked = F.coalesce(
+        y,
+        F.raise_error(
+            F.concat(
+                F.lit(f"train_quality_classifier: NULL {label_col} at "
+                      f"{id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("boolean"),
+    )
     toks = docs.select(
-        F.col(label_col).cast("boolean").alias("_sg_y"),
+        checked.alias("_sg_y"),
         F.explode(
             F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
         ).alias("token"),

@@ -49,7 +49,10 @@ def ingest_pipeline(records: DataFrame, warc_col: str = "warc",
     parsed = parse_warc(records, warc_col=warc_col, id_col=id_col)
     body = F.col("body")
     http_ok = (F.col("http_status") >= 200) & (F.col("http_status") < 300)
-    is_html = F.col("mime") == "text/html"
+    # MIME types are case-insensitive and MIME_RE preserves trailing
+    # whitespace before CRLF/';' — real crawls carry 'Text/HTML' and
+    # 'text/html ' (trailing space), both valid HTML responses
+    is_html = F.lower(F.trim(F.col("mime"))) == "text/html"
     meta = meta_exprs(body)
     robots_tag = F.regexp_extract(body, ROBOTS_TAG_RE, 0)
     directives = F.transform(
@@ -104,7 +107,7 @@ def ingest_pipeline_sql(rec_expr: str, table: str = "documents",
         " staged AS (SELECT doc_id, target_uri, http_status,"
         " coalesce(http_status >= 200 AND http_status < 300, false)"
         "  AS http_ok,"
-        " mime = 'text/html' AS is_html,"
+        " lower(trim(mime)) = 'text/html' AS is_html,"
         f" NOT {robots_noindex_sql('body')} AS robots_keep,"
         f" {fields['title']} AS title,"
         f" {fields['html_lang']} AS html_lang,"

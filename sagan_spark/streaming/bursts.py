@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from sagan_spark.ops.bursts import trunc_div_long
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("buckets", T.ArrayType(T.LongType())),
@@ -70,9 +72,9 @@ def detect_bursts_stream(events: DataFrame, bucket_sec: int = 3600,
         .select(
             key_col,
             F.col(ts_col),
-            (F.unix_micros(F.col(ts_col)) / F.lit(bucket_us))
-            .cast("long")
-            .alias("_sg_b"),
+            trunc_div_long(F.unix_micros(F.col(ts_col)), bucket_us).alias(
+                "_sg_b"
+            ),
         )
     )
 

@@ -94,3 +94,28 @@ def test_bursts_window_only_the_counts_frame(spark):
     # window frame is RANGE-based on the bucket index, not ROWS
     opt = qe.optimizedPlan().toString()
     assert "RangeFrame" in opt, "trailing frame must be a RANGE frame"
+
+
+def test_bucket_division_matches_duckdb_pre_1970(spark):
+    """Bucket-index rounding must agree between engines even for
+    negative epoch micros (pre-1970 = corrupt log timestamps).  Both
+    Spark's cast('long') and DuckDB's `//` truncate toward zero
+    (DuckDB does NOT floor: -1 // 10 = 0) — pin that parity so neither
+    side gets 'fixed' to floor semantics alone."""
+    rows = [(1, -1), (1, -B), (1, -B - 1), (1, 0), (1, B - 1)]
+    out = bucket_counts(_mk(spark, rows), bucket_sec=10).collect()
+    # bucket_start_us is exactly index*B, so Python floor-div recovers
+    # the index losslessly
+    got = {r.bucket_start_us // B: r.n_events for r in out}
+    import duckdb
+
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            "SELECT us // 10000000 AS b, count(*) FROM (VALUES (-1), "
+            "(-10000000), (-10000001), (0), (9999999)) t(us) GROUP BY b"
+        ).fetchall()
+    }
+    assert got == want
+    # truncation semantics explicitly: -1us joins bucket 0, -B-1 joins -1
+    assert got[0] == 3 and got[-1] == 2

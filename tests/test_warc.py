@@ -118,3 +118,29 @@ def test_ingest_pipeline_reason_branches(spark):
     assert got[3]["reason"] == "robots"
     assert got[4]["reason"] == "too_short"
     assert got[5]["reason"] == "http_status" and not got[5]["keep"]
+
+
+def test_ingest_mime_case_and_whitespace_insensitive(spark):
+    """MIME types are case-insensitive and headers may carry trailing
+    whitespace before CRLF — 'Text/HTML' and 'text/html ' are valid
+    HTML responses and must not be dropped with reason='mime'."""
+    from sagan_spark.ops.webpipeline import ingest_pipeline
+
+    def rec(mime, body):
+        return (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://x.y/\r\n\r\n"
+            f"HTTP/1.1 200 OK\r\nContent-Type: {mime}\r\n\r\n{body}"
+        ).encode()
+
+    body = "<html><body><p>enough visible text to pass the minimum easily</p></body></html>"
+    rows = [
+        (0, rec("Text/HTML", body)),
+        (1, rec("text/html ", body)),
+        (2, rec("TEXT/HTML", body)),
+        (3, rec("application/PDF", body)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, warc binary")
+    got = {r["doc_id"]: r for r in ingest_pipeline(df).collect()}
+    assert got[0]["keep"] and got[1]["keep"] and got[2]["keep"]
+    assert got[3]["reason"] == "mime"

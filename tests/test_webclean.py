@@ -783,3 +783,17 @@ def test_remove_boilerplate_lines_plan_shape(spark):
     )
     opt = qe.optimizedPlan().toString()
     assert "b:" in opt, "blank-conditional unique join key missing"
+
+
+def test_train_quality_classifier_null_label_raises(spark):
+    """A NULL label (e.g. from a left join against a reference table)
+    must fail loud, not silently count as a negative."""
+    import pytest
+    from sagan_spark.ops.webclean import train_quality_classifier
+
+    df = spark.createDataFrame(
+        [("a", "some text", True), ("b", "more text", None)],
+        "doc_id string, text string, is_ref boolean",
+    )
+    with pytest.raises(Exception, match="NULL is_ref"):
+        train_quality_classifier(df, "is_ref").collect()
