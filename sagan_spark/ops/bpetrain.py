@@ -101,10 +101,11 @@ def _apply_merge(seqs: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(docs: DataFrame, rounds: int = 8,
-              text_col: str = "text") -> DataFrame:
-    """(merge_round, merge_left, merge_right, pair_count): the ordered
-    merge-rule table after ``rounds`` of greedy BPE over the corpus."""
+def _train_loop(docs: DataFrame, rounds: int,
+                text_col: str) -> tuple[list[DataFrame], DataFrame]:
+    """THE greedy-merge loop (argmax tie-break + merge application),
+    shared by the merge-table and segmentation-table views so the two
+    cannot drift: returns (per-round merge rows, final seqs frame)."""
     seqs = _word_seqs(docs, text_col).localCheckpoint(eager=True)
     merges = []
     for r in range(1, int(rounds) + 1):
@@ -137,6 +138,14 @@ def bpe_train(docs: DataFrame, rounds: int = 8,
         seqs = _apply_merge(
             seqs, best.select("left", "right")
         ).localCheckpoint(eager=True)
+    return merges, seqs
+
+
+def bpe_train(docs: DataFrame, rounds: int = 8,
+              text_col: str = "text") -> DataFrame:
+    """(merge_round, merge_left, merge_right, pair_count): the ordered
+    merge-rule table after ``rounds`` of greedy BPE over the corpus."""
+    merges, _seqs = _train_loop(docs, rounds, text_col)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -151,25 +160,7 @@ def bpe_train_seqs(docs: DataFrame, rounds: int = 8,
     that word, so encoding a corpus is a broadcast/shuffle join
     against this vocab-bounded table, never a per-document merge
     walk."""
-    seqs = _word_seqs(docs, text_col).localCheckpoint(eager=True)
-    for _ in range(int(rounds)):
-        best = (
-            _pair_counts(seqs)
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("c")).alias("nc"),
-                        F.col("left").alias("left"),
-                        F.col("right").alias("right"),
-                    )
-                ).alias("m")
-            )
-            .select(
-                F.col("m.left").alias("left"), F.col("m.right").alias("right")
-            )
-            .localCheckpoint(eager=True)
-        )
-        seqs = _apply_merge(seqs, best).localCheckpoint(eager=True)
+    _merges, seqs = _train_loop(docs, rounds, text_col)
     # recover the surface word from its segmentation: pieces joined,
     # end-of-word marker dropped (cheaper than threading the word
     # column through the merge rounds)
@@ -185,14 +176,20 @@ def bpe_train_seqs(docs: DataFrame, rounds: int = 8,
 
 
 def bpe_encode(docs: DataFrame, rounds: int = 8, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               seg: DataFrame | None = None) -> DataFrame:
     """(id, n_words, n_pieces): per-document BPE token counts under a
     tokenizer trained on the SAME corpus — the sizing statistic
     sequence-packing and cost estimation need.  One corpus-sized
     explode + ONE join against the vocab-bounded segmentation table
     (broadcastable for real vocabularies) + a map-side-combining
-    rollup."""
-    seg = bpe_train_seqs(docs, rounds, text_col)
+    rollup.
+
+    ``seg``: a precomputed :func:`bpe_train_seqs` table (or a persisted
+    copy of one) — pass it when the pipeline also wants the merge
+    table, so training runs once instead of once per consumer."""
+    if seg is None:
+        seg = bpe_train_seqs(docs, rounds, text_col)
     from sagan_spark.ops.textstats import TOKEN_RE
 
     toks = docs.select(

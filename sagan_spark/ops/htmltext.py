@@ -27,7 +27,7 @@ twin in tests/test_htmltext.py pins the spec with re.sub.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ordered rewrite spec (applied top to bottom)
@@ -145,6 +145,19 @@ def robots_directives(
         noindex.alias("robots_noindex"),
         nofollow.alias("robots_nofollow"),
         (~noindex).alias("robots_keep"),
+    )
+
+
+def robots_noindex_expr(s: Column) -> Column:
+    """The noindex predicate alone over an html STRING Column — the
+    Column twin of :func:`robots_noindex_sql`, shared by
+    :func:`robots_directives` and ``webpipeline.ingest_pipeline`` so
+    the directive-extraction spec lives in exactly one place."""
+    tag = F.regexp_extract(s, ROBOTS_TAG_RE, 0)
+    content = F.regexp_extract(tag, ROBOTS_CONTENT_RE, 1)
+    directives = F.transform(F.split(content, ","), lambda x: F.lower(F.trim(x)))
+    return F.array_contains(directives, "noindex") | F.array_contains(
+        directives, "none"
     )
 
 

@@ -145,31 +145,64 @@ def _png_chunks(raw: bytes):
     raise ValueError("PNG missing IEND")
 
 
-def _png_ihdr(raw: bytes) -> tuple[int, int, int, int, int]:
-    """(width, height, stream_channels, bit_depth, color_type) from
-    IHDR, rejecting the unsupported shapes (16-bit / sub-byte depths /
-    interlaced).  Palette (color type 3) is supported at depth 8: the
-    filtered stream carries 1-byte indices, resolved post-unfilter."""
+def _parse_ihdr(data: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, stream_channels, bit_depth, color_type) from an
+    IHDR payload, rejecting the unsupported shapes (16-bit / sub-byte
+    depths / interlaced).  Palette (color type 3) is supported at depth
+    8: the filtered stream carries 1-byte indices, resolved
+    post-unfilter."""
     import struct
 
+    if len(data) != 13:
+        raise ValueError("bad IHDR length")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", data
+    )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    return w, h, _PNG_CHANNELS[color], depth, color
+
+
+def _png_ihdr(raw: bytes) -> tuple[int, int, int, int, int]:
+    """Header-only parse: validates and returns IHDR from the FIRST
+    chunk, without walking (or CRC-ing) the rest of the file — the
+    cheap path png_decode wants."""
     for ctype, data in _png_chunks(raw):
         if ctype != b"IHDR":
             raise ValueError("PNG first chunk is not IHDR")
-        if len(data) != 13:
-            raise ValueError("bad IHDR length")
-        w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-            ">IIBBBBB", data
-        )
-        if w <= 0 or h <= 0:
-            raise ValueError(f"bad PNG dimensions {w}x{h}")
-        if depth != 8:
-            raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
-        if color not in _PNG_CHANNELS:
-            raise ValueError(f"unsupported PNG color type {color}")
-        if interlace != 0:
-            raise ValueError("Adam7-interlaced PNG unsupported")
-        return w, h, _PNG_CHANNELS[color], depth, color
+        return _parse_ihdr(data)
     raise ValueError("empty PNG")
+
+
+def _png_scan(raw: bytes):
+    """ONE validated walk over all chunks: (ihdr, idat, plte, trns).
+    png_pixels previously re-ran the chunk walk (with its per-chunk
+    CRC) up to three times — IHDR, IDAT collection, palette — which
+    triples the parse cost in the mapInPandas feature hot loop for
+    identical results."""
+    ihdr = None
+    idat: list[bytes] = []
+    plte = trns = None
+    for ctype, data in _png_chunks(raw):
+        if ihdr is None:
+            if ctype != b"IHDR":
+                raise ValueError("PNG first chunk is not IHDR")
+            ihdr = _parse_ihdr(data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+    if ihdr is None:
+        raise ValueError("empty PNG")
+    return ihdr, b"".join(idat), plte, trns
 
 
 def png_decode(raw: bytes) -> dict:
@@ -178,18 +211,12 @@ def png_decode(raw: bytes) -> dict:
     return {"width": w, "height": h, "n_frames": 1}
 
 
-def _png_palette(raw: bytes):
-    """(palette, trns): the PLTE chunk as an (n, 3) uint8 array plus
+def _resolve_palette(plte, trns):
+    """(palette, alpha): the PLTE payload as an (n, 3) uint8 array plus
     the optional tRNS alpha bytes (padded to 255 = opaque).  Raises
     when a palette image has no PLTE or the chunk is malformed."""
     import numpy as np
 
-    plte = trns = None
-    for ctype, data in _png_chunks(raw):
-        if ctype == b"PLTE":
-            plte = data
-        elif ctype == b"tRNS":
-            trns = data
     if plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     if len(plte) == 0 or len(plte) % 3 != 0 or len(plte) > 256 * 3:
@@ -225,8 +252,7 @@ def png_pixels(raw: bytes):
 
     import numpy as np
 
-    w, h, ch, _depth, color = _png_ihdr(raw)
-    idat = b"".join(d for t, d in _png_chunks(raw) if t == b"IDAT")
+    (w, h, ch, _depth, color), idat, plte, trns = _png_scan(raw)
     if not idat:
         raise ValueError("PNG has no IDAT data")
     try:
@@ -269,7 +295,7 @@ def png_pixels(raw: bytes):
         out[y] = rec
         prev = rec
     if color == 3:  # palette: resolve indices to RGB(A) post-unfilter
-        pal, alpha = _png_palette(raw)
+        pal, alpha = _resolve_palette(plte, trns)
         idx = out.reshape(h, w)
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError(

@@ -88,6 +88,46 @@ def train_holdout_split(docs: DataFrame, holdout_frac: float = 0.1,
     )
 
 
+def _slack_capped_topn(joined: DataFrame, key_cols: list[str], quota,
+                       id_col: str, salt: str) -> DataFrame:
+    """The shared skew-safe core of both quota samplers: given a frame
+    carrying the per-key size ``_sg_n`` (over-quota keys only), keep
+    the hash-order top-``quota`` rows per key.
+
+    1. scan-level hash-rate pre-filter at rate
+       ``(q + 6*sqrt(q) + 16) / n`` — the slack term makes the binomial
+       survivor count fall below ``q`` with probability < 1e-9 per key,
+       and survivors are bounded (~q + O(sqrt(q))); the 'g' sentinel
+       keeps ALL rows when slack >= size (possible for small quotas on
+       a barely over-quota key).  Hash order is preserved, so the top-q
+       survivors ARE the top-q of the full key whenever survivors >= q.
+    2. the exact rank window then only ever sorts a few thousand rows
+       per key regardless of corpus size (plan-pinned:
+       ``test_quota_samplers_window_only_slack_survivors``).
+
+    ``quota``: per-row Column (a literal for the constant-cap case —
+    constant-folds to the same plan).  Leaves ``_sg_n`` on the output;
+    drops the scratch ``_sg_h``/``_rn``."""
+    q = quota.cast("double")
+    slack = q + F.lit(6.0) * F.sqrt(q) + F.lit(16.0)
+    thresh = F.when(slack >= F.col("_sg_n"), F.lit("g")).otherwise(
+        _rate_to_hex_threshold(slack / F.col("_sg_n"))
+    )
+    survivors = joined.withColumn(
+        "_sg_h", _hash8(F.col(id_col), salt)
+    ).filter(F.col("_sg_h") < thresh)
+    rn = F.row_number().over(
+        Window.partitionBy(*key_cols).orderBy(
+            F.col("_sg_h").asc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        survivors.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn", "_sg_h")
+    )
+
+
 def domain_quota_sample(docs: DataFrame, cap: int, url_col: str = "url",
                         id_col: str = "doc_id",
                         salt: str = "domq") -> DataFrame:
@@ -121,7 +161,6 @@ def domain_quota_sample(docs: DataFrame, cap: int, url_col: str = "url",
 
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    slack = float(cap + 6 * (cap ** 0.5) + 16)
     d = docs.withColumn(
         "_sg_domain", registered_domain(url_host(F.col(url_col)))
     )
@@ -132,26 +171,10 @@ def domain_quota_sample(docs: DataFrame, cap: int, url_col: str = "url",
     )
     joined = d.join(F.broadcast(over), "_sg_domain", "left")
     under = joined.filter(F.col("_sg_n").isNull()).drop("_sg_n")
-    h = _hash8(F.col(id_col), salt)
-    # per-domain hex threshold (shared spelling: _rate_to_hex_threshold)
-    # with the 'g' keep-all sentinel for domains where slack >= size
-    # (possible for small caps on a barely over-cap domain)
-    thresh = F.when(F.lit(slack) >= F.col("_sg_n"), F.lit("g")).otherwise(
-        _rate_to_hex_threshold(F.lit(slack) / F.col("_sg_n"))
-    )
-    survivors = joined.filter(F.col("_sg_n").isNotNull()).withColumn(
-        "_sg_h", h
-    ).filter(F.col("_sg_h") < thresh)
-    rn = F.row_number().over(
-        Window.partitionBy("_sg_domain").orderBy(
-            F.col("_sg_h").asc(), F.col(id_col).asc()
-        )
-    )
-    capped = (
-        survivors.withColumn("_rn", rn)
-        .filter(F.col("_rn") <= cap)
-        .drop("_rn", "_sg_h", "_sg_n")
-    )
+    capped = _slack_capped_topn(
+        joined.filter(F.col("_sg_n").isNotNull()),
+        ["_sg_domain"], F.lit(cap), id_col, salt,
+    ).drop("_sg_n")
     return under.unionByName(capped).withColumnRenamed("_sg_domain", "domain")
 
 
@@ -181,7 +204,6 @@ def stratified_sample(docs: DataFrame, quotas: dict[str, int],
     4. the exact rank window then only ever sorts a few thousand rows
        per stratum.
     """
-    h = F.col("_sg_h")
     quota = F.create_map(
         *[F.lit(x) for kv in quotas.items() for x in kv]
     )[F.col(strata_col)]
@@ -193,24 +215,10 @@ def stratified_sample(docs: DataFrame, quotas: dict[str, int],
     )
     joined = docs.join(F.broadcast(counts), strata_col)
     under = joined.filter(F.col("_sg_n") <= F.col("_sg_q")).drop("_sg_n", "_sg_q")
-    q = F.col("_sg_q").cast("double")
-    slack = q + F.lit(6.0) * F.sqrt(q) + F.lit(16.0)
-    thresh = F.when(slack >= F.col("_sg_n"), F.lit("g")).otherwise(
-        _rate_to_hex_threshold(slack / F.col("_sg_n"))
-    )
-    survivors = (
-        joined.filter(F.col("_sg_n") > F.col("_sg_q"))
-        .withColumn("_sg_h", _hash8(F.col(id_col), salt))
-        .filter(F.col("_sg_h") < thresh)
-    )
-    rn = F.row_number().over(
-        Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
-    )
-    capped = (
-        survivors.withColumn("_rn", rn)
-        .filter(F.col("_rn") <= F.col("_sg_q"))
-        .drop("_rn", "_sg_h", "_sg_n", "_sg_q")
-    )
+    capped = _slack_capped_topn(
+        joined.filter(F.col("_sg_n") > F.col("_sg_q")),
+        [strata_col], F.col("_sg_q"), id_col, salt,
+    ).drop("_sg_n", "_sg_q")
     return under.unionByName(capped)
 
 

@@ -30,10 +30,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sagan_spark.ops.htmltext import (
-    ROBOTS_CONTENT_RE,
-    ROBOTS_TAG_RE,
     html_text_expr,
     html_text_sql,
+    robots_noindex_expr,
     robots_noindex_sql,
 )
 from sagan_spark.ops.htmlmeta import meta_exprs, meta_field_sqls
@@ -54,15 +53,10 @@ def ingest_pipeline(records: DataFrame, warc_col: str = "warc",
     # 'text/html ' (trailing space), both valid HTML responses
     is_html = F.lower(F.trim(F.col("mime"))) == "text/html"
     meta = meta_exprs(body)
-    robots_tag = F.regexp_extract(body, ROBOTS_TAG_RE, 0)
-    directives = F.transform(
-        F.split(F.regexp_extract(robots_tag, ROBOTS_CONTENT_RE, 1), ","),
-        lambda x: F.lower(F.trim(x)),
-    )
-    robots_keep = ~(
-        F.array_contains(directives, "noindex")
-        | F.array_contains(directives, "none")
-    )
+    # one source of truth for the directive-extraction spec
+    # (htmltext.robots_noindex_expr, the Column twin of the
+    # robots_noindex_sql oracle fragment used below)
+    robots_keep = ~robots_noindex_expr(body)
     text = html_text_expr(body)
     staged = parsed.select(
         F.col(id_col),
