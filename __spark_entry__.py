@@ -2512,6 +2512,129 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(_docs(spark, sf_dir), top_n=100)
 
 
+def q_vocab_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies census (ops/textstats.vocab_spectrum):
+    one map-side-combining token count, then a tiny rollup grouped by
+    frequency — the Zipf/Heaps curve corpus QA reads.  No window, no
+    join."""
+    from sagan_spark.ops.textstats import vocab_spectrum
+
+    return vocab_spectrum(_docs(spark, sf_dir))
+
+
+def q_html_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML structural census + link density (ops/htmlstats.py): the
+    deterministic scaffold injects every counted shape — a script
+    whose string literal contains a tag (raw census must count it), a
+    style block, quoted and uppercase anchors, a nested-markup anchor
+    body, an entity in anchor text, an <abbr> trap that must NOT count
+    as <a>, an <img>, and (doc_id%4==0) a trailing unclosed anchor
+    that must contribute zero anchor chars.  The oracle applies the
+    SAME census (ops.htmlstats.html_stats_sql, one source of truth)
+    to the same scaffold string."""
+    from sagan_spark.ops.htmlstats import html_stats
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><script src=x>var a="<b>";</script>'
+              "<style>p{color:red}</style></head><body>"
+              '<a href="/h">Home &amp; Garden</a>'),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<A HREF=y><b>Bold</b> link "),
+                (did % 5).cast("string"), F.lit("</A>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<img src=i><abbr>np</abbr><p>'), F.col("text"),
+        F.lit("</p>"),
+        F.when(did % 4 == 0, F.lit('<a href="tail">dangling'))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.col("doc_id"), F.encode(html, "UTF-8").alias("html")
+    )
+    return html_stats(pages, id_col="doc_id")
+
+
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing (ops/htmlmeta.charset_sniff): BOM > transport
+    header > meta, with a deterministic scaffold covering every
+    branch — doc_id%4 picks the BOM (UTF-8 / UTF-16LE / UTF-16BE /
+    none; the UTF-16 branches must NOT be decoded), doc_id%3 the meta
+    declaration (modern charset= / legacy http-equiv / none), and
+    doc_id%5 the header charset.  The oracle applies the SAME sniff
+    (ops.htmlmeta.charset_sql) to the same unhex||encode bytes."""
+    from sagan_spark.ops.htmlmeta import charset_sniff
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    bom_hex = (
+        F.when(did % 4 == 0, F.lit("EFBBBF"))
+        .when(did % 4 == 1, F.lit("FFFE"))
+        .when(did % 4 == 2, F.lit("FEFF"))
+        .otherwise(F.lit(""))
+    )
+    body = F.concat(
+        F.lit("<html><head>"),
+        F.when(did % 3 == 0, F.lit('<meta charset="UTF-8">'))
+        .when(
+            did % 3 == 1,
+            F.lit("<META HTTP-EQUIV='Content-Type'"
+                  " CONTENT='text/html; charset=windows-1252'>"),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head><body>"), F.col("text"), F.lit("</body></html>"),
+    )
+    headers = (
+        F.when(
+            did % 5 == 0,
+            F.lit("Content-Type: text/html; charset=ISO-8859-1\r\nX-Y: z"),
+        )
+        .when(did % 5 == 1, F.lit("Content-Type: text/plain"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pages = docs.select(
+        F.col("doc_id"),
+        F.concat(F.unhex(bom_hex), F.encode(body, "UTF-8")).alias("html"),
+        headers.alias("headers"),
+    )
+    return charset_sniff(pages, headers_col="headers", id_col="doc_id")
+
+
+def q_frontier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier mining (ops/linkgraph.frontier_candidates):
+    scaffolded html carries three absolute links per page — a shared
+    {source}.com target (hot, high n_refs), a ref{n}.org target, and
+    a {source}.example target colliding with the CRAWLED url space so
+    the anti-join actually removes rows.  Per-domain top-5 by citation
+    count via the shared salted two-stage top-k; the oracle replays
+    the chain with the plain global window it is provably equivalent
+    to."""
+    from sagan_spark.ops.linkgraph import frontier_candidates
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<a href="https://'), F.col("source"), F.lit(".com/p/"),
+        (did % 7).cast("string"),
+        F.lit('">x</a><a href="https://ref'), (did % 5).cast("string"),
+        F.lit('.org/">y</a><a href="https://'), F.col("source"),
+        F.lit(".example/p/"), (did % 97).cast("string"),
+        F.lit('">z</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return frontier_candidates(pages, k=5)
+
+
 def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots meta-directive screen (ops/htmltext.robots_directives)
     over a BYTE html column: pages are wrapped in a deterministic
@@ -3092,6 +3215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "url_templates": q_url_templates,
         "url_surt_shards": q_url_surt_shards,
+        "vocab_spectrum": q_vocab_spectrum,
+        "html_stats": q_html_stats,
+        "charset_sniff": q_charset_sniff,
+        "frontier_candidates": q_frontier_candidates,
     }
 
 
@@ -3699,6 +3826,101 @@ def _html_meta_oracle_sql() -> str:
     return f"SELECT doc_id, {page_meta_sql(scaffold)} FROM documents"
 
 
+def _html_stats_oracle_sql() -> str:
+    """html_stats oracle: the SAME scaffold as q_html_stats and the
+    SAME census (ops.htmlstats.html_stats_sql)."""
+    from sagan_spark.ops.htmlstats import html_stats_sql
+
+    scaffold = (
+        "('<html><head><script src=x>var a=\"<b>\";</script>"
+        "<style>p{color:red}</style></head><body>"
+        "<a href=\"/h\">Home &amp; Garden</a>'"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        "  '<A HREF=y><b>Bold</b> link ' || CAST(doc_id % 5 AS VARCHAR)"
+        "  || '</A>' ELSE '' END"
+        " || '<img src=i><abbr>np</abbr><p>' || text || '</p>'"
+        " || CASE WHEN doc_id % 4 = 0 THEN '<a href=\"tail\">dangling'"
+        " ELSE '' END || '</body></html>')"
+    )
+    return html_stats_sql(scaffold, id_sql="doc_id") + " FROM documents"
+
+
+def _charset_oracle_sql() -> str:
+    """charset_sniff oracle: the SAME BOM/meta/header scaffold as
+    q_charset_sniff and the SAME sniff (ops.htmlmeta.charset_sql)."""
+    from sagan_spark.ops.htmlmeta import charset_sql
+
+    body = (
+        "'<html><head>'"
+        " || CASE WHEN doc_id % 3 = 0 THEN '<meta charset=\"UTF-8\">'"
+        " WHEN doc_id % 3 = 1 THEN '<META HTTP-EQUIV=''Content-Type''"
+        " CONTENT=''text/html; charset=windows-1252''>'"
+        " ELSE '' END"
+        " || '</head><body>' || text || '</body></html>'"
+    )
+    bom = (
+        "CASE WHEN doc_id % 4 = 0 THEN 'EFBBBF'"
+        " WHEN doc_id % 4 = 1 THEN 'FFFE'"
+        " WHEN doc_id % 4 = 2 THEN 'FEFF' ELSE '' END"
+    )
+    headers = (
+        "CASE WHEN doc_id % 5 = 0 THEN"
+        " 'Content-Type: text/html; charset=ISO-8859-1'"
+        " || chr(13) || chr(10) || 'X-Y: z'"
+        " WHEN doc_id % 5 = 1 THEN 'Content-Type: text/plain'"
+        " ELSE NULL END"
+    )
+    inner = (
+        f"SELECT doc_id, (unhex({bom}) || encode({body})) AS b,"
+        f" {headers} AS headers FROM documents"
+    )
+    return charset_sql("b", "headers", id_sql="doc_id") + f" FROM ({inner})"
+
+
+def _frontier_oracle_sql() -> str:
+    """frontier_candidates oracle: link extraction -> canonicalize ->
+    citation count -> anti-join vs the crawled set -> per-domain
+    top-5, replayed with the plain global window the salted two-stage
+    top-k is provably equivalent to (pinned in tests/test_topk.py's
+    family).  Canonicalization and the PSL domain ladder come from the
+    SAME generators as the Spark ops (ops.urltools.url_canonicalize_sql,
+    ops.psl.registered_domain_sql)."""
+    from sagan_spark.ops.psl import registered_domain_sql
+    from sagan_spark.ops.urltools import HOST_RE, url_canonicalize_sql
+
+    pages = (
+        "SELECT 'https://' || source || '.example/p/'"
+        " || CAST(doc_id AS VARCHAR) AS url,"
+        " '<a href=\"https://' || source || '.com/p/'"
+        " || CAST(doc_id % 7 AS VARCHAR)"
+        " || '\">x</a><a href=\"https://ref' || CAST(doc_id % 5 AS VARCHAR)"
+        " || '.org/\">y</a><a href=\"https://' || source || '.example/p/'"
+        " || CAST(doc_id % 97 AS VARCHAR) || '\">z</a>' AS h"
+        " FROM documents"
+    )
+    return (
+        f"WITH pages AS ({pages}),"
+        " edges AS (SELECT url AS src_url,"
+        "  unnest(regexp_extract_all(h, 'href=\"(https?://[^\"#]+)\"', 1))"
+        "  AS dst_url FROM pages),"
+        f" counts AS (SELECT {url_canonicalize_sql('dst_url')} AS url,"
+        "  count(*) AS n_refs FROM edges GROUP BY 1),"
+        f" crawled AS (SELECT DISTINCT {url_canonicalize_sql('url')} AS url"
+        "  FROM pages),"
+        " frontier AS (SELECT c.url, c.n_refs FROM counts c"
+        "  LEFT JOIN crawled w ON c.url = w.url WHERE w.url IS NULL),"
+        f" dom AS (SELECT url, n_refs, {registered_domain_sql('host', 'hp')}"
+        "  AS domain FROM (SELECT url, n_refs, host,"
+        "  str_split(host, '.') AS hp FROM (SELECT url, n_refs,"
+        f"  coalesce(lower(regexp_extract(url, '{HOST_RE}', 1)), '') AS host"
+        "  FROM frontier))),"
+        " ranked AS (SELECT domain, url, n_refs,"
+        "  CAST(row_number() OVER (PARTITION BY domain"
+        "  ORDER BY n_refs DESC, url) AS BIGINT) AS rank FROM dom)"
+        " SELECT domain, url, n_refs, rank FROM ranked WHERE rank <= 5"
+    )
+
+
 def _warc_oracle_sql() -> str:
     """warc_parse oracle: the SAME record scaffold as q_warc_parse and
     the SAME parse (ops.warc.warc_sql)."""
@@ -3909,14 +4131,7 @@ def oracle_sql() -> dict[str, str]:
     from sagan_spark.ops.psl import registered_domain_sql
     from sagan_spark.ops.sampling import frac_to_hex8
     from sagan_spark.ops.similarity import _hyperplanes, fixed_centroids
-    from sagan_spark.ops.urltools import (
-        HOST_RE,
-        PATH_RE,
-        PORT_RE,
-        QUERY_RE,
-        SCHEME_RE,
-        TRACKING_PARAM_RE,
-    )
+    from sagan_spark.ops.urltools import HOST_RE, PATH_RE
     from sagan_spark.ops.webclean import GOPHER_STOPWORDS
 
     # --- ANN oracles: the SAME hyperplane/centroid literals the Spark
@@ -4304,27 +4519,11 @@ def oracle_sql() -> dict[str, str]:
         " (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END)"
         " END AS url FROM documents"
     )
-    _canon_parts = (
-        "SELECT doc_id, url,"
-        f" coalesce(lower(regexp_extract(url, '{SCHEME_RE}', 1)), '') AS scheme,"
-        f" coalesce(lower(regexp_extract(url, '{HOST_RE}', 1)), '') AS host,"
-        f" coalesce(regexp_extract(url, '{PORT_RE}', 1), '') AS port,"
-        f" coalesce(regexp_extract(url, '{PATH_RE}', 1), '') AS path,"
-        f" coalesce(regexp_extract(url, '{QUERY_RE}', 1), '') AS q"
-        f" FROM ({_messy_url})"
-    )
+    from sagan_spark.ops.urltools import url_canonicalize_sql
+
     _canon_inner = (
-        "SELECT doc_id, CASE WHEN scheme = '' OR host = '' THEN url ELSE"
-        " scheme || '://' || host ||"
-        " (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')"
-        "   OR (scheme = 'https' AND port = '443'))"
-        "  THEN ':' || port ELSE '' END) ||"
-        " (CASE WHEN path = '' THEN '/' ELSE path END) ||"
-        " (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')"
-        "  ELSE '' END) END AS canonical_url FROM ("
-        "SELECT *, list_sort(list_filter(str_split(q, '&'),"
-        f" p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))) AS params"
-        f" FROM ({_canon_parts}))"
+        f"SELECT doc_id, {url_canonicalize_sql('url')} AS canonical_url"
+        f" FROM ({_messy_url})"
     )
 
     # per-domain quota sample (cap 5) — slack literal is the SAME
@@ -5824,6 +6023,19 @@ def oracle_sql() -> dict[str, str]:
             " JOIN sizes nb ON nb.doc_id = i.doc_b"
             " GROUP BY 1, 2"
         ),
+        # frequency-of-frequencies census (ops/textstats.vocab_spectrum)
+        # over the SAME BPE-ish token stream as vocab_stats
+        "vocab_spectrum": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM documents),"
+            " pt AS (SELECT token, count(*) AS term_freq FROM toks"
+            " GROUP BY 1)"
+            " SELECT CAST(term_freq AS BIGINT) AS term_freq,"
+            " CAST(count(*) AS BIGINT) AS n_types FROM pt GROUP BY 1"
+        ),
+        "html_stats": _html_stats_oracle_sql(),
+        "charset_sniff": _charset_oracle_sql(),
+        "frontier_candidates": _frontier_oracle_sql(),
     }
     # ann_recall composes the two already-verified ANN oracles: recall@5
     # of the LSH path against the exact top-5, per query

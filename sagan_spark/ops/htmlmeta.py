@@ -148,3 +148,118 @@ def page_meta_sql(expr: str) -> str:
     return ", ".join(
         f"{sql} AS {name}" for name, sql in meta_field_sqls(expr).items()
     )
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing — the decode-routing step of web ingest
+# ---------------------------------------------------------------------------
+#
+# A crawler stores pages as raw bytes; before ANY text op runs, the
+# pipeline must decide the encoding.  The practical sniff order (WHATWG
+# encoding spec §4.2, collapsed to its deterministic core) is:
+# byte-order mark > transport header charset > in-document <meta>
+# charset.  This op reports all three signals plus the routing verdict
+# so a 10^12-page ingest can partition its decode fan-out by charset —
+# the reference engine's analog is its input-format probe
+# (src/input-pipe.c deciding syslog vs JSON before parsing).
+#
+# BOM detection is pure byte compares on the BLOB; the meta sniff only
+# decodes the byte stream when no UTF-16 BOM is present (decoding
+# UTF-16 bytes as UTF-8 is garbage — and DuckDB's decode() would
+# reject it, so the CASE guard is also what keeps the oracle exact).
+# The meta pattern catches both `<meta charset=...>` and the legacy
+# `<meta http-equiv=Content-Type content="...; charset=...">` in one
+# pass (both spell `charset=` inside a meta tag).
+
+#: charset value inside any <meta ...> tag (modern or http-equiv form)
+META_CHARSET_RE = (
+    r"(?i)<meta[^>]*charset[ \t\r\n\f]*=[ \t\r\n\f]*[\"']?([A-Za-z0-9._:-]+)"
+)
+#: charset parameter on a Content-Type transport header line
+HTTP_CHARSET_RE = r"(?i)content-type[^\r\n]*charset=[\"']?([A-Za-z0-9._:-]+)"
+
+_BIG = 2147483647  # substring length for "rest of the bytes"
+
+
+def charset_sniff(pages: DataFrame, html_col: str = "html",
+                  headers_col: str | None = None,
+                  id_col: str = "url") -> DataFrame:
+    """(id, bom, http_charset, meta_charset, charset) per page.
+
+    ``bom`` ∈ {utf-8, utf-16le, utf-16be, ''}; ``charset`` is the
+    routing verdict (bom > header > meta > 'unspecified'), lowercased.
+    Pure byte compares + two regexp_extracts — scan-level codegen, no
+    shuffle, no Python.  ``headers_col`` (optional) is a raw HTTP
+    header block string (e.g. ``parse_warc``'s http section)."""
+    b = F.col(html_col)
+    h3 = F.hex(F.substring(b, 1, 3))
+    h2 = F.hex(F.substring(b, 1, 2))
+    bom = (
+        F.when(h3 == "EFBBBF", F.lit("utf-8"))
+        .when(h2 == "FFFE", F.lit("utf-16le"))
+        .when(h2 == "FEFF", F.lit("utf-16be"))
+        .otherwise(F.lit(""))
+    )
+    s = F.coalesce(
+        F.when(bom == "utf-8", F.decode(F.substring(b, 4, _BIG), "UTF-8"))
+        .when(bom == "", F.decode(b, "UTF-8")),
+        F.lit(""),
+    )
+    meta_cs = F.lower(F.regexp_extract(s, META_CHARSET_RE, 1))
+    http_cs = (
+        F.lower(
+            F.regexp_extract(
+                F.coalesce(F.col(headers_col), F.lit("")), HTTP_CHARSET_RE, 1
+            )
+        )
+        if headers_col
+        else F.lit("")
+    )
+    verdict = F.coalesce(
+        F.nullif(bom, F.lit("")),
+        F.nullif(http_cs, F.lit("")),
+        F.nullif(meta_cs, F.lit("")),
+        F.lit("unspecified"),
+    )
+    return pages.select(
+        F.col(id_col),
+        bom.alias("bom"),
+        http_cs.alias("http_charset"),
+        meta_cs.alias("meta_charset"),
+        verdict.alias("charset"),
+    )
+
+
+def charset_sql(blob_expr: str, headers_expr: str = "''",
+                id_sql: str = "url") -> str:
+    """The SAME sniff in ANSI SQL over a BLOB expression — one source
+    of truth for the oracle.  DuckDB's substring() is VARCHAR-only, so
+    the byte window rides the hex rendering (hex() is uppercase in
+    both engines; two hex chars per byte).  Emits a full SELECT
+    list."""
+    hexs = f"hex({blob_expr})"
+    h3 = f"substring({hexs}, 1, 6)"
+    h2 = f"substring({hexs}, 1, 4)"
+    bom = (
+        f"CASE WHEN {h3} = 'EFBBBF' THEN 'utf-8'"
+        f" WHEN {h2} = 'FFFE' THEN 'utf-16le'"
+        f" WHEN {h2} = 'FEFF' THEN 'utf-16be' ELSE '' END"
+    )
+    s = (
+        f"coalesce(CASE WHEN {bom} = 'utf-8'"
+        f" THEN decode(unhex(substring({hexs}, 7)))"
+        f" WHEN {bom} = '' THEN decode({blob_expr}) END, '')"
+    )
+    meta_cs = f"lower(regexp_extract({s}, {_sql_quote(META_CHARSET_RE)}, 1))"
+    http_cs = (
+        f"lower(regexp_extract(coalesce({headers_expr}, ''),"
+        f" {_sql_quote(HTTP_CHARSET_RE)}, 1))"
+    )
+    verdict = (
+        f"coalesce(nullif({bom}, ''), nullif({http_cs}, ''),"
+        f" nullif({meta_cs}, ''), 'unspecified')"
+    )
+    return (
+        f"SELECT {id_sql}, {bom} AS bom, {http_cs} AS http_charset,"
+        f" {meta_cs} AS meta_charset, {verdict} AS charset"
+    )

@@ -214,3 +214,60 @@ def hits(edges: DataFrame, iterations: int = 3, scale: int = 1_000_000,
             "hub",
         ).localCheckpoint(eager=True)
     return hubs.join(auths, "node").select("node", "hub", "auth")
+
+
+def frontier_candidates(pages: DataFrame, k: int = 10,
+                        html_col: str = "html",
+                        url_col: str = "url") -> DataFrame:
+    """Crawl-frontier mining: the top-``k`` DISCOVERED-but-uncrawled
+    URLs per registered domain, ranked by citation count — the
+    "what to fetch next" list a crawl scheduler reads from each
+    snapshot (Cho et al. WWW'98 frontier ordering by backlink count;
+    Common Crawl seeds successive snapshots exactly this way).  The
+    reference engine's analog is its dynamic-rule feedback loop
+    (src/processors/dynamic-rules.c): output of one pass becomes input
+    configuration of the next.
+
+    Pipeline: href extraction (:func:`extract_links`) → canonicalize
+    targets (ops/urltools.url_canonicalize) → citation count → anti-
+    join against the canonicalized crawled set → per-domain top-k.
+    Returns (domain, url, n_refs, rank), rank 1-based by
+    (n_refs desc, url asc) — a total order, so the cut is
+    deterministic.
+
+    Scale shape (100 TB posture):
+    - citation counts are ONE map-side-combining groupBy on the
+      canonical url (a url cited from 10^9 pages collapses per task
+      before the exchange); duplicate links from one page vote twice,
+      the :func:`pagerank` edge-weight convention.
+    - the crawled-set anti-join keys on the same canonical url —
+      shuffle hash join, AQE-splittable on hot keys; on a bucketed
+      Iceberg layout both sides co-locate and the exchange drops out.
+    - the per-domain cut is the shared salted two-stage top-k
+      (ops/topk.topk_per_group): a domain with 10^8 frontier
+      candidates never funnels one sorting task.
+    """
+    from sagan_spark.ops.topk import topk_per_group
+    from sagan_spark.ops.urltools import (
+        registered_domain,
+        url_canonicalize,
+        url_host,
+    )
+
+    edges = extract_links(pages, html_col=html_col, url_col=url_col)
+    counts = (
+        edges.select(url_canonicalize(F.col("dst_url")).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    crawled = pages.select(url_canonicalize(F.col(url_col)).alias("url"))
+    frontier = counts.join(crawled, "url", "left_anti").withColumn(
+        "domain", registered_domain(url_host(F.col("url")))
+    )
+    return topk_per_group(
+        frontier,
+        ["domain"],
+        [F.desc("n_refs"), F.asc("url")],
+        k,
+        salt_on="url",
+    ).select("domain", "url", "n_refs", "rank")

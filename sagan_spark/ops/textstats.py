@@ -324,6 +324,38 @@ def vocab_stats(docs: DataFrame, top_n: int = 100, text_col: str = "text",
     )
 
 
+def vocab_spectrum(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Frequency-of-frequencies census over the BPE-ish token stream:
+    for every observed term frequency f, how many distinct token types
+    occur exactly f times.  The Zipf/Heaps spectrum a corpus QA pass
+    reads before tokenizer training — a healthy web corpus shows a
+    heavy hapax tail (n_types at f=1 dominates) and a smooth power-law
+    decay; boilerplate floods and template explosions bend the curve
+    (Baayen 2001, word frequency distributions).  The reference
+    engine's analog is its per-rule hit-count rollup
+    (src/processors/stats-json.c) — a census over counters, not rows.
+
+    Plan (100 TB posture): explode -> ONE map-side-combining
+    groupBy(token) count (hot tokens — "the" at 10^10 — partial-
+    aggregate before the exchange), then a second aggregation over the
+    (token, f) frame grouped by f.  The output is bounded by the number
+    of DISTINCT frequencies (O(sqrt(total tokens)) by a counting
+    argument), so the final frame always fits anywhere.  No window, no
+    join, no Python."""
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token")
+    )
+    per_tok = toks.groupBy("token").agg(F.count(F.lit(1)).alias("term_freq"))
+    return (
+        per_tok.groupBy("term_freq")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .orderBy("term_freq")
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 16, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: lexicographic min of md5 over character

@@ -107,6 +107,38 @@ def url_canonicalize(url: Column) -> Column:
     return F.when((scheme == "") | (host == ""), url).otherwise(canon)
 
 
+def url_canonicalize_sql(url_expr: str) -> str:
+    """The SAME canonicalization as :func:`url_canonicalize` as ONE
+    composable ANSI-SQL scalar expression over a url expression — the
+    oracle-side source of truth (DuckDB's regexp_extract returns NULL
+    on no match where Spark returns '', hence the coalesces)."""
+    u = f"({url_expr})"
+    scheme = f"coalesce(lower(regexp_extract({u}, '{SCHEME_RE}', 1)), '')"
+    host = f"coalesce(lower(regexp_extract({u}, '{HOST_RE}', 1)), '')"
+    port = f"coalesce(regexp_extract({u}, '{PORT_RE}', 1), '')"
+    path = f"coalesce(regexp_extract({u}, '{PATH_RE}', 1), '')"
+    query = f"coalesce(regexp_extract({u}, '{QUERY_RE}', 1), '')"
+    params = (
+        f"list_sort(list_filter(str_split({query}, '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')))"
+    )
+    keep_port = (
+        f"({port} <> '' AND NOT (({scheme} = 'http' AND {port} = '80')"
+        f" OR ({scheme} = 'https' AND {port} = '443')))"
+    )
+    canon = (
+        f"{scheme} || '://' || {host} ||"
+        f" (CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) ||"
+        f" (CASE WHEN {path} = '' THEN '/' ELSE {path} END) ||"
+        f" (CASE WHEN len({params}) > 0"
+        f"  THEN '?' || array_to_string({params}, '&') ELSE '' END)"
+    )
+    return (
+        f"(CASE WHEN {scheme} = '' OR {host} = '' THEN {u}"
+        f" ELSE {canon} END)"
+    )
+
+
 def dedup_by_url(docs: DataFrame, url_col: str = "url",
                  id_col: str = "doc_id") -> DataFrame:
     """URL-level exact dedup: one winner (min ``id_col``) per canonical

@@ -1,0 +1,113 @@
+"""html_stats structural census: Spark expression chain equals a
+pure-Python re twin of the declared spec on adversarial markup
+(script-string tags, uppercase/bare/nested/unclosed anchors, the
+<abbr>-is-not-<a> trap, entities in anchor text, NULL/empty html),
+integer ppm division parity, and scan-level plan shape."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sagan_spark.ops.htmlstats import (
+    A_OPEN_RE,
+    ANCHOR_SPAN_RE,
+    ANY_TAG_RE,
+    IMG_OPEN_RE,
+    SCRIPT_OPEN_RE,
+    html_stats,
+)
+from sagan_spark.ops.htmltext import ENTITIES, TAG_RE, WS_RE
+from tests.test_htmltext import py_twin
+
+CASES = [
+    # script whose string literal contains a tag: raw census counts it
+    '<html><head><script src=x>var a="<b>";</script><style>p{}</style>'
+    '</head><body><a href="/x">Home &amp; Garden</a><p>real text here</p>'
+    '<A HREF="y"><b>Bold</b> link</A><img src=i><abbr>nope</abbr>'
+    "</body></html>",
+    # bare <a>, self-closing <a/>, normal anchor, plain tail
+    '<a>bare</a><a/>self<a href="z">x</a> plain tail',
+    # unclosed anchor contributes zero anchor chars
+    '<a href="q">unclosed anchor <p>more',
+    # anchor body spanning lines (dot-matches-newline)
+    '<a href="n">line1\nline2</a>done',
+    # markup-free
+    "no markup at all",
+    "",
+]
+
+
+def _py_inner(body: str) -> str:
+    out = re.sub(TAG_RE, " ", body)
+    for ent, ch in ENTITIES:
+        out = out.replace(ent, ch)
+    return re.sub(WS_RE, " ", out).strip()
+
+
+def _py_stats(html: str | None) -> tuple:
+    s = html or ""
+    text_len = len(py_twin(s))
+    anchor_chars = sum(
+        len(_py_inner(m)) for m in re.findall(ANCHOR_SPAN_RE, s)
+    )
+    html_len = len(s)
+    return (
+        html_len,
+        len(re.findall(ANY_TAG_RE, s)),
+        len(re.findall(A_OPEN_RE, s)),
+        len(re.findall(SCRIPT_OPEN_RE, s)),
+        len(re.findall(IMG_OPEN_RE, s)),
+        text_len,
+        anchor_chars,
+        anchor_chars * 1_000_000 // max(text_len, 1),
+        text_len * 1_000_000 // max(html_len, 1),
+    )
+
+
+def test_html_stats_matches_python_twin(spark):
+    rows = [(str(i), c) for i, c in enumerate(CASES)] + [("null", None)]
+    df = spark.createDataFrame(rows, "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html")
+    )
+    got = {
+        r["url"]: (
+            r["html_len"], r["n_tags"], r["n_links"], r["n_scripts"],
+            r["n_images"], r["text_len"], r["anchor_chars"],
+            r["link_density_ppm"], r["markup_ratio_ppm"],
+        )
+        for r in html_stats(df).collect()
+    }
+    for url, h in rows:
+        assert got[url] == _py_stats(h), (url, h)
+
+
+def test_html_stats_abbr_and_unclosed(spark):
+    # <abbr> is not <a>; an unclosed anchor yields no anchor chars
+    df = spark.createDataFrame(
+        [("u", "<abbr>x</abbr><a href=q>dangling")], "url string, h string"
+    ).select("url", F.encode("h", "UTF-8").alias("html"))
+    r = html_stats(df).collect()[0]
+    assert r["n_links"] == 1  # the open tag still counts in the census
+    assert r["anchor_chars"] == 0
+
+
+def test_html_stats_link_density_boilerplate_signal(spark):
+    # a nav-chrome page scores far denser than an article page
+    nav = '<a href="/1">Home</a> <a href="/2">About</a> <a href="/3">More</a>'
+    art = '<a href="/1">Home</a><p>' + ("editorial body text " * 30) + "</p>"
+    df = spark.createDataFrame(
+        [("nav", nav), ("art", art)], "url string, h string"
+    ).select("url", F.encode("h", "UTF-8").alias("html"))
+    d = {r["url"]: r["link_density_ppm"] for r in html_stats(df).collect()}
+    assert d["nav"] > 800_000 and d["art"] < 100_000
+
+
+def test_html_stats_plan_scan_level(spark):
+    df = spark.createDataFrame([("u", "<p>x</p>")], "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html")
+    )
+    plan = html_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

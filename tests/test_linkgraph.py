@@ -172,3 +172,54 @@ def test_hits_guards(spark):
     # zero iterations: initial state (hub=scale, auth=0) for all nodes
     got = {r.node: (r.hub, r.auth) for r in hits(df, iterations=0).collect()}
     assert all(v == (1_000_000, 0) for v in got.values())
+
+
+def test_frontier_candidates_hand_case(spark):
+    """Discovered-but-uncrawled mining on a hand graph: crawled
+    targets are anti-joined away, citation counts aggregate over
+    canonicalized urls (tracking params dropped), and the per-domain
+    rank is (n_refs desc, url asc)."""
+    from pyspark.sql import functions as F
+
+    from sagan_spark.ops.linkgraph import frontier_candidates
+
+    pages = [
+        # p1 cites ext/a twice (once with a tracking param -> same
+        # canonical), ext/b once, and the crawled page p2
+        ("https://site.com/p1",
+         '<a href="https://ext.org/a">1</a>'
+         '<a href="https://ext.org/a?utm_source=x">2</a>'
+         '<a href="https://ext.org/b">3</a>'
+         '<a href="https://site.com/p2">4</a>'),
+        ("https://site.com/p2", '<a href="https://ext.org/b">5</a>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html")
+    )
+    got = [
+        (r.domain, r.url, r.n_refs, r.rank)
+        for r in frontier_candidates(df, k=10)
+        .orderBy("domain", "rank")
+        .collect()
+    ]
+    assert got == [
+        ("ext.org", "https://ext.org/a", 2, 1),
+        ("ext.org", "https://ext.org/b", 2, 2),
+    ]
+
+
+def test_frontier_candidates_k_cut_deterministic(spark):
+    """k=1 keeps exactly the (n_refs desc, url asc) head per domain."""
+    from pyspark.sql import functions as F
+
+    from sagan_spark.ops.linkgraph import frontier_candidates
+
+    pages = [
+        ("https://me.com/",
+         '<a href="https://ext.org/z">1</a><a href="https://ext.org/a">2</a>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html")
+    )
+    got = [(r.url, r.rank) for r in frontier_candidates(df, k=1).collect()]
+    assert got == [("https://ext.org/a", 1)]

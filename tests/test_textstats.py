@@ -247,3 +247,27 @@ def test_bpe_pair_stats_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan, "top-n must be TakeOrdered"
     assert "Window" not in plan and "EvalPython" not in plan
     assert "partial_count" in plan, "map-side partial count missing"
+
+
+def test_vocab_spectrum_counter_twin(spark):
+    """Frequency-of-frequencies equals the Counter-of-Counter twin; the
+    plan carries two map-side-combining aggregations, no window."""
+    import re
+    from collections import Counter
+
+    from sagan_spark.ops.textstats import TOKEN_RE, vocab_spectrum
+
+    rows = [(1, "a a a bb bb c!"), (2, "a dd dd"), (3, ""), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = Counter()
+    for _, text in rows:
+        tf.update(re.findall(TOKEN_RE, text or ""))
+    want = sorted(Counter(tf.values()).items())
+    got = [
+        (r.term_freq, r.n_types) for r in vocab_spectrum(docs).collect()
+    ]
+    assert sorted(got) == want
+
+    plan = vocab_spectrum(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "EvalPython" not in plan
+    assert "partial_count" in plan
