@@ -2150,6 +2150,75 @@ def q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mixture gate knobs — shared by the two gate callables and the
+#: oracle CTE below (es is deliberately untargeted -> dropped; ro is
+#: targeted but absent from the corpus -> allocates nothing)
+_MIX_TARGET = {"en": 500_000, "de": 250_000, "fr": 150_000,
+               "zh": 50_000, "ro": 50_000}
+_MIX_BUDGET = 400
+
+
+def _mix_quota_cte() -> str:
+    """The water-filling allocation (ops/sampling.mixture_quotas)
+    replayed as one window chain over the tiny per-group frame —
+    integer sort key, prefix-min saturation walk, truncating `//`
+    division (both engines truncate; operands non-negative)."""
+    share = " ".join(
+        f"WHEN '{g}' THEN {s}" for g, s in _MIX_TARGET.items()
+    )
+    b = _MIX_BUDGET
+    return (
+        "w0 AS (SELECT lang, count(*) AS n_avail,"
+        f" CAST(CASE lang {share} END AS BIGINT) AS share"
+        " FROM documents GROUP BY 1),"
+        " w1 AS (SELECT *, (n_avail * 1000000) // share AS k FROM w0"
+        "  WHERE share IS NOT NULL),"
+        " w2 AS (SELECT *, coalesce(sum(n_avail) OVER (ORDER BY k, lang"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "   AS cum_avail,"
+        "  sum(share) OVER () - coalesce(sum(share) OVER (ORDER BY k, lang"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "   AS share_after FROM w1),"
+        " w3 AS (SELECT *, CASE WHEN n_avail * share_after <="
+        f"  ({b} - cum_avail) * share THEN 1 ELSE 0 END AS cond FROM w2),"
+        " w4 AS (SELECT *, min(cond) OVER (ORDER BY k, lang"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1"
+        "  AS saturated FROM w3),"
+        f" w5 AS (SELECT *, {b} - sum(CASE WHEN saturated THEN n_avail"
+        "  ELSE 0 END) OVER () AS r, sum(CASE WHEN NOT saturated THEN share"
+        "  ELSE 0 END) OVER () AS s FROM w4),"
+        " q AS (SELECT lang, n_avail, share, saturated,"
+        "  CAST(CASE WHEN saturated THEN n_avail"
+        "  ELSE least(n_avail, (r * share) // s) END AS BIGINT) AS quota"
+        "  FROM w5)"
+    )
+
+
+def q_sample_mixture_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling mixture allocation (ops/sampling.mixture_quotas):
+    the per-group (n_avail, share, saturated, quota) frame itself —
+    the budget split a multi-source training mixer reads.  The gate
+    target saturates different group subsets at sf0.01 vs sf0.1, so
+    both walk branches are exercised at both scales."""
+    from sagan_spark.ops.sampling import mixture_quotas
+
+    return mixture_quotas(_docs(spark, sf_dir), _MIX_TARGET, _MIX_BUDGET)
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture selection (ops/sampling.mixture_sample): exactly the
+    allocated quota per group in deterministic hash order; saturated
+    groups keep all rows scan-level, capped groups go through the
+    shared slack-prefiltered exact-rank core.  The oracle replays the
+    allocation CTE + the NAIVE global rank window the slack
+    composition is provably equivalent to."""
+    from sagan_spark.ops.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir), _MIX_TARGET, _MIX_BUDGET
+    ).select("doc_id", "lang")
+
+
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.ops.sampling import deterministic_sample
 
@@ -3219,6 +3288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_stats": q_html_stats,
         "charset_sniff": q_charset_sniff,
         "frontier_candidates": q_frontier_candidates,
+        "sample_mixture_quotas": q_sample_mixture_quotas,
+        "sample_mixture": q_sample_mixture,
     }
 
 
@@ -6036,6 +6107,24 @@ def oracle_sql() -> dict[str, str]:
         "html_stats": _html_stats_oracle_sql(),
         "charset_sniff": _charset_oracle_sql(),
         "frontier_candidates": _frontier_oracle_sql(),
+        # water-filling mixture allocation + selection
+        # (ops/sampling.mixture_quotas / mixture_sample); selection
+        # replays the naive global rank window the slack-prefiltered
+        # core is provably equivalent to (sample_stratified idiom)
+        "sample_mixture_quotas": (
+            f"WITH {_mix_quota_cte()}"
+            " SELECT lang, CAST(n_avail AS BIGINT) AS n_avail,"
+            " CAST(share AS BIGINT) AS share, saturated, quota FROM q"
+        ),
+        "sample_mixture": (
+            f"WITH {_mix_quota_cte()}"
+            " SELECT doc_id, lang FROM ("
+            "SELECT d.doc_id, d.lang, q.quota, row_number() OVER ("
+            " PARTITION BY d.lang ORDER BY"
+            " substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8),"
+            " d.doc_id) AS rn FROM documents d JOIN q ON q.lang = d.lang)"
+            " WHERE rn <= quota"
+        ),
     }
     # ann_recall composes the two already-verified ANN oracles: recall@5
     # of the LSH path against the exact top-5, per query

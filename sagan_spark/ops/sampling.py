@@ -222,6 +222,138 @@ def stratified_sample(docs: DataFrame, quotas: dict[str, int],
     return under.unionByName(capped)
 
 
+def mixture_quotas(docs: DataFrame, target: dict[str, int], budget: int,
+                   group_col: str = "lang") -> DataFrame:
+    """Availability-aware water-filling allocation: split a document
+    ``budget`` across groups proportionally to ``target`` share
+    weights, letting groups that cannot fill their share ("saturated":
+    all their rows are taken) spill the surplus to the rest — the
+    mixture-allocation step multi-source training recipes run before
+    sampling (The Pile / LLaMA-class mixtures publish exactly such
+    per-source weights; Gao et al. arXiv:2101.00027 §1 table 1,
+    Touvron et al. arXiv:2302.13971 table 1.  With no saturation this
+    is plain proportional allocation; saturation is the
+    every-corpus-is-finite correction).
+
+    Exact integer spec (bit-identical on both contract engines):
+    groups sort by the integer key ``(n_avail·10^6) div share`` (the
+    saturation order; ties broken by group name), and the classic
+    water-filling walk becomes ONE cumulative window over that sorted
+    frame — a group saturates iff
+    ``n_avail·share_after <= (budget - cum_avail_before)·share``,
+    i.e. its full availability fits inside its proportional slice of
+    what the earlier-saturating groups left behind; the condition is
+    monotone along the sort (prefix-min pins the maximal consistent
+    prefix).  Unsaturated groups get
+    ``quota = (R·share) div S`` with ``R`` the budget left after the
+    saturated prefix and ``S`` the unsaturated share mass —
+    truncation leaves at most one doc per unsaturated group
+    unallocated (documented; callers wanting exact totals bump
+    ``budget`` by ``len(target)``).
+
+    100 TB shape: the corpus is touched by ONE map-side-combining
+    count; every window runs over the per-group frame (one row per
+    group in ``target`` — bounded by construction, broadcastable).
+    Overflow guard: products stay under 2^63 for ppm-scale shares and
+    group sizes to ~9·10^12 rows; both engines run ANSI/checked
+    arithmetic, so an overflow fails loud, never silently wraps.
+
+    Returns (group, n_avail, share, saturated, quota).  Groups absent
+    from ``target`` are dropped; groups in ``target`` absent from the
+    corpus allocate nothing (they have no rows to take).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if not target:
+        raise ValueError("target must name at least one group")
+    bad = {g: s for g, s in target.items() if s <= 0}
+    if bad:
+        raise ValueError(f"share weights must be positive, got {bad}")
+    share = F.create_map(
+        *[F.lit(x) for kv in target.items() for x in kv]
+    )[F.col(group_col)].cast("long")
+    w = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .select(group_col, "n_avail", share.alias("share"))
+        .filter(F.col("share").isNotNull())
+        .withColumn("_sg_key", F.expr("(n_avail * 1000000) div share"))
+    )
+    order = [F.col("_sg_key").asc(), F.col(group_col).asc()]
+    before = (
+        Window.partitionBy().orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    upto = (
+        Window.partitionBy().orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy()
+    zero = F.lit(0).cast("long")
+    w = (
+        w.withColumn(
+            "_sg_cum_avail", F.coalesce(F.sum("n_avail").over(before), zero)
+        )
+        .withColumn(
+            "_sg_share_after",
+            F.sum("share").over(whole)
+            - F.coalesce(F.sum("share").over(before), zero),
+        )
+        .withColumn(
+            "_sg_cond",
+            (
+                F.col("n_avail") * F.col("_sg_share_after")
+                <= (F.lit(budget) - F.col("_sg_cum_avail")) * F.col("share")
+            ).cast("int"),
+        )
+        .withColumn("saturated", F.min("_sg_cond").over(upto) == 1)
+    )
+    r = F.lit(budget).cast("long") - F.sum(
+        F.when(F.col("saturated"), F.col("n_avail")).otherwise(zero)
+    ).over(whole)
+    s = F.sum(
+        F.when(~F.col("saturated"), F.col("share")).otherwise(zero)
+    ).over(whole)
+    # intermediate columns so the integer division stays `div`
+    w = w.withColumn("_sg_r", r).withColumn("_sg_s", s)
+    quota = F.when(F.col("saturated"), F.col("n_avail")).otherwise(
+        F.least(F.col("n_avail"), F.expr("(_sg_r * share) div _sg_s"))
+    )
+    return w.select(
+        group_col,
+        "n_avail",
+        "share",
+        "saturated",
+        quota.cast("long").alias("quota"),
+    )
+
+
+def mixture_sample(docs: DataFrame, target: dict[str, int], budget: int,
+                   group_col: str = "lang", id_col: str = "doc_id",
+                   salt: str = "mix") -> DataFrame:
+    """Select the :func:`mixture_quotas` allocation: exactly ``quota``
+    rows per group in deterministic hash order (the
+    :func:`stratified_sample` membership discipline — reproducible
+    across runs, engines, and cluster sizes).  Saturated groups keep
+    everything with a scan-level verdict; over-quota groups go through
+    the shared slack-prefiltered exact-rank core, so no window ever
+    sees more than ~quota + O(sqrt(quota)) rows per group.  Groups
+    with a zero quota are dropped."""
+    quotas = mixture_quotas(docs, target, budget, group_col=group_col)
+    q = quotas.select(
+        group_col,
+        F.col("n_avail").alias("_sg_n"),
+        F.col("quota").alias("_sg_q"),
+    )
+    joined = docs.join(F.broadcast(q), group_col)
+    under = joined.filter(F.col("_sg_n") <= F.col("_sg_q")).drop("_sg_n", "_sg_q")
+    capped = _slack_capped_topn(
+        joined.filter((F.col("_sg_n") > F.col("_sg_q")) & (F.col("_sg_q") > 0)),
+        [group_col], F.col("_sg_q"), id_col, salt,
+    ).drop("_sg_n", "_sg_q")
+    return under.unionByName(capped)
+
+
 def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.5,
                     source_col: str = "source", id_col: str = "doc_id",
                     salt: str = "tmix") -> DataFrame:

@@ -338,7 +338,11 @@ def test_quota_samplers_window_only_slack_survivors(spark):
     per-key count table joins back by BROADCAST; (b) in the physical
     plan the Window's input subtree contains the `_sg_h <` hash-rate
     Filter (prefilter feeds the window); (c) no Python node."""
-    from sagan_spark.ops.sampling import domain_quota_sample, stratified_sample
+    from sagan_spark.ops.sampling import (
+        domain_quota_sample,
+        mixture_sample,
+        stratified_sample,
+    )
 
     docs = spark.createDataFrame(
         [(1, "t", "en", "https://a.example.com/x")],
@@ -347,14 +351,21 @@ def test_quota_samplers_window_only_slack_survivors(spark):
     plans = {
         "stratified": stratified_sample(docs, {"en": 5}),
         "domain_quota": domain_quota_sample(docs, cap=5),
+        # mixture_sample reuses the same slack core; its extra windows
+        # run over the per-group quotas frame (one row per target
+        # group), never the corpus — the rank window must still see
+        # the _sg_h prefilter below it
+        "mixture": mixture_sample(docs, {"en": 1}, 5),
     }
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, f"{name}: Python node"
         assert "BroadcastHashJoin" in plan, f"{name}: count join not broadcast"
         assert "Window" in plan, f"{name}: exact-rank window missing"
-        # the window's input subtree (text below the Window node) must
-        # contain the hash-threshold prefilter — window sorts survivors
+        # the rank window is the TOPMOST Window node (the quota-frame
+        # windows, if any, sit deeper inside its broadcast subtree);
+        # its input subtree must contain the hash-threshold prefilter —
+        # the window sorts slack survivors, never the raw corpus
         below_window = plan.split("Window", 1)[1]
         assert "_sg_h" in below_window and "<" in below_window, (
             f"{name}: window input lacks the _sg_h slack prefilter:\n{plan[:3000]}"

@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from sagan_spark.ops.sampling import (
     deterministic_sample,
@@ -237,3 +238,98 @@ def test_temperature_mix_budget_zero_and_negative(spark):
     assert temperature_mix(docs, 0).count() == 0
     with pytest.raises(ValueError):
         temperature_mix(docs, -1)
+
+
+def _py_water_fill(counts: dict, target: dict, budget: int):
+    """Pure-Python twin of the mixture_quotas spec (sorted integer-key
+    walk, prefix-consistent saturation, truncating division)."""
+    rows = sorted(
+        ((g, n, target[g]) for g, n in counts.items() if g in target),
+        key=lambda t: ((t[1] * 1_000_000) // t[2], t[0]),
+    )
+    share_total = sum(s for _, _, s in rows)
+    flags, cum, share_before, ok = {}, 0, 0, True
+    for g, n, s in rows:
+        share_after = share_total - share_before
+        ok = ok and (n * share_after <= (budget - cum) * s)
+        flags[g] = ok
+        cum += n
+        share_before += s
+    r = budget - sum(n for g, n, _ in rows if flags[g])
+    s_un = sum(s for g, _, s in rows if not flags[g])
+    return {
+        g: (n if flags[g] else min(n, (r * s) // s_un), flags[g])
+        for g, n, s in rows
+    }
+
+
+def test_mixture_quotas_twin_and_branches(spark):
+    """Water-filling allocation equals the Python twin on a corpus
+    that exercises saturation, capping, untargeted-group drop, and a
+    targeted-but-absent group; the allocation is budget-exact when
+    any group saturates the walk."""
+    from sagan_spark.ops.sampling import mixture_quotas
+
+    counts = {"en": 500, "de": 60, "fr": 10, "xx": 5}
+    rows, i = [], 0
+    for g, n in counts.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    target = {"en": 500_000, "de": 300_000, "fr": 150_000, "ro": 50_000}
+    want = _py_water_fill(counts, target, 200)
+    got = {
+        r.lang: (r.quota, r.saturated)
+        for r in mixture_quotas(docs, target, 200).collect()
+    }
+    assert got == want
+    assert "xx" not in got and "ro" not in got
+    assert sum(q for q, _ in got.values()) <= 200
+
+
+def test_mixture_quotas_budget_exceeds_corpus(spark):
+    """budget >= total availability: every group saturates (keep all)."""
+    from sagan_spark.ops.sampling import mixture_quotas
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, lang string"
+    )
+    got = {
+        r.lang: (r.quota, r.saturated)
+        for r in mixture_quotas(docs, {"a": 10, "b": 990}, 100).collect()
+    }
+    assert got == {"a": (2, True), "b": (1, True)}
+
+
+def test_mixture_quotas_validation(spark):
+    from sagan_spark.ops.sampling import mixture_quotas
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        mixture_quotas(docs, {"a": 1}, -1)
+    with pytest.raises(ValueError):
+        mixture_quotas(docs, {}, 10)
+    with pytest.raises(ValueError):
+        mixture_quotas(docs, {"a": 0}, 10)
+
+
+def test_mixture_sample_counts_and_determinism(spark):
+    """Selection hits the allocated quota exactly per group and is
+    invariant under repartitioning (hash-order membership)."""
+    from sagan_spark.ops.sampling import mixture_quotas, mixture_sample
+
+    rows = [(i, "en" if i < 300 else "de") for i in range(360)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    target = {"en": 500_000, "de": 500_000}
+    quotas = {
+        r.lang: r.quota for r in mixture_quotas(docs, target, 100).collect()
+    }
+    sel = mixture_sample(docs, target, 100)
+    counts = {r.lang: r.c for r in sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert counts == quotas
+    again = mixture_sample(docs.repartition(17), target, 100)
+    assert sorted(r.doc_id for r in sel.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
