@@ -2704,6 +2704,68 @@ def q_frontier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_candidates(pages, k=5)
 
 
+def q_parse_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (ops/sitemap.parse_sitemap): doc_id%13==0 pages
+    are <sitemapindex> files (child-sitemap rows, kind='sitemap'),
+    the rest <urlset> files carrying an entity-escaped loc with
+    lastmod+priority, a loc-only entry, an UPPERCASE-tag entry, and a
+    loc-less entry that must drop.  The oracle applies the SAME spec
+    (ops.sitemap.sitemap_sql) to the same scaffold."""
+    from sagan_spark.ops.sitemap import parse_sitemap
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://'),
+        F.col("source"), F.lit(".com/p?id="), (did % 50).cast("string"),
+        F.lit("&amp;v=2 </loc><lastmod>2026-01-"),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), (did % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://"), F.col("source"),
+        F.lit(".com/q/"), (did % 7).cast("string"),
+        F.lit("</loc></url><URL><LOC>https://"), F.col("source"),
+        F.lit(".com/up</LOC></URL>"
+              "<url><lastmod>2026-02-01</lastmod></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://"), F.col("source"),
+        F.lit(".com/sitemap1.xml</loc><lastmod>2026-02-03</lastmod>"
+              "</sitemap><sitemap><loc>https://"), F.col("source"),
+        F.lit(".com/sitemap2.xml</loc></sitemap></sitemapindex>"),
+    )
+    xml = F.when(did % 13 == 0, index).otherwise(urlset)
+    pages = docs.select("doc_id", F.encode(xml, "UTF-8").alias("html"))
+    return parse_sitemap(pages, id_col="doc_id")
+
+
+def _sitemap_oracle_sql() -> str:
+    from sagan_spark.ops.sitemap import sitemap_sql
+
+    urlset = (
+        "'<?xml version=\"1.0\"?><urlset><url><loc> https://' || source"
+        " || '.com/p?id=' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '&amp;v=2 </loc><lastmod>2026-01-'"
+        " || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+        " || '</lastmod><priority>0.' || CAST(doc_id % 10 AS VARCHAR)"
+        " || '</priority></url><url><loc>https://' || source"
+        " || '.com/q/' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '</loc></url><URL><LOC>https://' || source"
+        " || '.com/up</LOC></URL>"
+        "<url><lastmod>2026-02-01</lastmod></url></urlset>'"
+    )
+    index = (
+        "'<sitemapindex><sitemap><loc>https://' || source"
+        " || '.com/sitemap1.xml</loc><lastmod>2026-02-03</lastmod>"
+        "</sitemap><sitemap><loc>https://' || source"
+        " || '.com/sitemap2.xml</loc></sitemap></sitemapindex>'"
+    )
+    inner = (
+        f"(SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN {index}"
+        f" ELSE {urlset} END AS x FROM documents)"
+    )
+    return sitemap_sql("x", inner, id_sql="doc_id")
+
+
 def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots meta-directive screen (ops/htmltext.robots_directives)
     over a BYTE html column: pages are wrapped in a deterministic
@@ -3290,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_candidates": q_frontier_candidates,
         "sample_mixture_quotas": q_sample_mixture_quotas,
         "sample_mixture": q_sample_mixture,
+        "parse_sitemap": q_parse_sitemap,
     }
 
 
@@ -6116,6 +6179,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT lang, CAST(n_avail AS BIGINT) AS n_avail,"
             " CAST(share AS BIGINT) AS share, saturated, quota FROM q"
         ),
+        "parse_sitemap": _sitemap_oracle_sql(),
         "sample_mixture": (
             f"WITH {_mix_quota_cte()}"
             " SELECT doc_id, lang FROM ("

@@ -98,6 +98,13 @@ HEADLINE = [
     "ann_recall",
     "decontam_filter",
     "lm_train",
+    # round-4 continuation: HTML census + charset routing + frontier
+    # mining + water-filling mixture + the vocab spectrum
+    "html_stats",
+    "charset_sniff",
+    "frontier_candidates",
+    "sample_mixture",
+    "vocab_spectrum",
 ]
 
 

@@ -111,3 +111,64 @@ def test_html_stats_plan_scan_level(spark):
     plan = html_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing (ops/sitemap.py) — same scan-level census family
+# ---------------------------------------------------------------------------
+
+
+def test_parse_sitemap_spec(spark):
+    from sagan_spark.ops.sitemap import parse_sitemap
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.com/p?x=1&amp;y=2 </loc>"
+        "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>"
+        "<url><loc>https://a.com/q</loc></url>"
+        "<url><lastmod>2026-02-01</lastmod></url>"  # loc-less: dropped
+        "<URL><LOC>https://a.com/up</LOC></URL></urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+        "<lastmod>2026-02-03</lastmod></sitemap>"
+        "<sitemap><loc>https://a.com/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("u", xml), ("i", idx), ("n", "not xml"), ("z", None)],
+        "url string, x string",
+    ).select("url", F.encode("x", "UTF-8").alias("html"))
+    got = sorted(
+        (r.url, r.kind, r.loc, r.lastmod, r.priority)
+        for r in parse_sitemap(df).collect()
+    )
+    assert got == [
+        ("i", "sitemap", "https://a.com/s1.xml", "2026-02-03", ""),
+        ("i", "sitemap", "https://a.com/s2.xml", "", ""),
+        ("u", "url", "https://a.com/p?x=1&y=2", "2026-01-02", "0.8"),
+        ("u", "url", "https://a.com/q", "", ""),
+        ("u", "url", "https://a.com/up", "", ""),
+    ]
+
+
+def test_parse_sitemap_wrapper_tags_never_match(spark):
+    # <urlset>/<sitemapindex> wrappers must not match their entry tags
+    from sagan_spark.ops.sitemap import parse_sitemap
+
+    df = spark.createDataFrame(
+        [("w", "<urlset></urlset><sitemapindex></sitemapindex>")],
+        "url string, x string",
+    ).select("url", F.encode("x", "UTF-8").alias("html"))
+    assert parse_sitemap(df).count() == 0
+
+
+def test_parse_sitemap_plan_scan_level(spark):
+    from sagan_spark.ops.sitemap import parse_sitemap
+
+    df = spark.createDataFrame([("u", "<url><loc>x</loc></url>")],
+                               "url string, x string").select(
+        "url", F.encode("x", "UTF-8").alias("html"))
+    plan = parse_sitemap(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+    assert "EvalPython" not in plan
