@@ -2581,6 +2581,91 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(_docs(spark, sf_dir), top_n=100)
 
 
+_ASOF_BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC
+_DAY_US = 86_400_000_000
+
+
+def _asof_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic slowly-changing dimension over the events table's
+    user space: 3 'plan version' snapshots per user (base day =
+    user_id%10, then +7d/+14d), users divisible by 5 carry NO
+    snapshots (no-match path), and users divisible by 7 duplicate the
+    k=1 timestamp at k=2 (tie path: max payload must win)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.select("user_id").distinct().filter(F.col("user_id") % 5 != 0)
+    k = F.col("k")
+    off = F.when(
+        (k == 2) & (F.col("user_id") % 7 == 0), F.lit(0)
+    ).otherwise((k - 1).cast("long") * F.lit(7 * _DAY_US))
+    snap_us = (
+        F.lit(_ASOF_BASE_US)
+        + (F.col("user_id") % 10) * F.lit(_DAY_US)
+        + off
+    )
+    return users.select(
+        "user_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")
+    ).select(
+        "user_id",
+        F.timestamp_micros(snap_us).alias("ts"),
+        F.concat(F.lit("v"), k.cast("string")).alias("snapshot"),
+    )
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment, broadcast-dimension shape (ops/asof.
+    asof_join_compact): each event picks the latest snapshot at-or-
+    before its timestamp from a per-key sorted struct array — NO
+    shuffle on the event side.  The scaffold dimension exercises
+    no-snapshot users, before-first-snapshot events, and equal-ts
+    snapshot ties."""
+    from sagan_spark.ops.asof import asof_join_compact
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join_compact(ev, _asof_dim(spark, sf_dir)).select(
+        "event_id", "user_id", "right_ts_us", "snapshot"
+    )
+
+
+def q_events_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join through the large-dimension two-phase
+    bucket decomposition (ops/asof.asof_join, 3-day buckets forcing
+    cross-bucket carry) — the oracle is IDENTICAL to events_asof's,
+    proving the skew-safe shape bit-equal to the broadcast shape."""
+    from sagan_spark.ops.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        ev, _asof_dim(spark, sf_dir), bucket_sec=3 * 86400
+    ).select("event_id", "user_id", "right_ts_us", "snapshot")
+
+
+def _asof_oracle_sql() -> str:
+    """Global-definition replay: LEFT JOIN on (key, ts_r <= ts), the
+    winner ranked by (ts_r desc, payload desc) — exactly the
+    max(struct) spec of ops/asof.py."""
+    return (
+        "WITH u AS (SELECT DISTINCT user_id FROM events"
+        " WHERE user_id % 5 <> 0),"
+        " d AS (SELECT user_id, make_timestamp("
+        f"{_ASOF_BASE_US} + (user_id % 10) * {_DAY_US}"
+        " + CASE WHEN k = 2 AND user_id % 7 = 0 THEN 0"
+        f" ELSE (k - 1) * {7 * _DAY_US} END) AS ts,"
+        " 'v' || CAST(k AS VARCHAR) AS snapshot"
+        " FROM u CROSS JOIN unnest([1, 2, 3]) AS t(k)),"
+        " j AS (SELECT e.event_id, e.user_id, epoch_us(d.ts)"
+        " AS right_ts_us, d.snapshot, row_number() OVER ("
+        " PARTITION BY e.event_id ORDER BY d.ts DESC, d.snapshot DESC)"
+        " AS rn FROM events e LEFT JOIN d"
+        " ON d.user_id = e.user_id AND d.ts <= e.ts)"
+        " SELECT event_id, user_id, right_ts_us, snapshot FROM j"
+        " WHERE rn = 1"
+    )
+
+
 def q_vocab_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-of-frequencies census (ops/textstats.vocab_spectrum):
     one map-side-combining token count, then a tiny rollup grouped by
@@ -3353,6 +3438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_quotas": q_sample_mixture_quotas,
         "sample_mixture": q_sample_mixture,
         "parse_sitemap": q_parse_sitemap,
+        "events_asof": q_events_asof,
+        "events_asof_bucketed": q_events_asof_bucketed,
     }
 
 
@@ -6180,6 +6267,9 @@ def oracle_sql() -> dict[str, str]:
             " CAST(share AS BIGINT) AS share, saturated, quota FROM q"
         ),
         "parse_sitemap": _sitemap_oracle_sql(),
+        # both as-of shapes replay the SAME global-definition oracle
+        "events_asof": _asof_oracle_sql(),
+        "events_asof_bucketed": _asof_oracle_sql(),
         "sample_mixture": (
             f"WITH {_mix_quota_cte()}"
             " SELECT doc_id, lang FROM ("
