@@ -2581,6 +2581,36 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(_docs(spark, sf_dir), top_n=100)
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous-aggregate cascade (ops/rollup.
+    time_rollup): minute/hour/day per-event_type count/sum/min/max in
+    integer milli-units; coarser levels aggregate the finest rollup
+    (one raw scan, exchange-reused), the oracle recomputes every level
+    from raw — equality proves the cascade exact."""
+    from sagan_spark.ops.rollup import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_rollup(ev, resolutions=(60, 3600, 86400))
+
+
+def _rollup_oracle_sql() -> str:
+    def lvl(r: int) -> str:
+        ru = r * 1_000_000
+        return (
+            f"SELECT CAST({r} AS BIGINT) AS resolution_sec,"
+            ' event_type AS "key",'
+            f" (epoch_us(ts) // {ru}) * {ru} AS bucket_us,"
+            " count(*) AS n_events, CAST(sum(m) AS BIGINT) AS sum_milli,"
+            " min(m) AS min_milli, max(m) AS max_milli"
+            " FROM (SELECT event_type, ts,"
+            "  CAST(floor(value * 1000) AS BIGINT) AS m FROM events"
+            "  WHERE ts IS NOT NULL)"
+            " GROUP BY 2, 3"
+        )
+
+    return " UNION ALL ".join(lvl(r) for r in (60, 3600, 86400))
+
+
 _ASOF_BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC
 _DAY_US = 86_400_000_000
 
@@ -2666,6 +2696,38 @@ def _asof_oracle_sql() -> str:
     )
 
 
+def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment (streaming/asof.start_asof_query):
+    the compact broadcast probe as a stream-static join, drained over
+    the events table with availableNow — a FULL-oracle gate sharing
+    events_asof's global-definition SQL (stateless per event, so
+    chunking cannot change the answer)."""
+    import shutil
+    import tempfile
+
+    _ship_package(spark)
+    from sagan_spark.streaming.asof import start_asof_query
+
+    work = tempfile.mkdtemp(prefix="sagan_asof_contract_")
+    try:
+        inp = f"{work}/in"
+        os.makedirs(inp)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{inp}/events.parquet")
+        q = start_asof_query(
+            spark, inp, f"{work}/out", f"{work}/ckpt",
+            dim=_asof_dim(spark, sf_dir),
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("streaming drain did not finish in 180s")
+        out = spark.read.parquet(f"{work}/out").select(
+            "event_id", "user_id", "right_ts_us", "snapshot"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_vocab_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-of-frequencies census (ops/textstats.vocab_spectrum):
     one map-side-combining token count, then a tiny rollup grouped by
@@ -2711,6 +2773,55 @@ def q_html_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.encode(html, "UTF-8").alias("html")
     )
     return html_stats(pages, id_col="doc_id")
+
+
+def q_outlink_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink-shape census (ops/htmlstats.outlink_census):
+    the scaffold mixes an internal absolute link (same host as the
+    page), an external one repeated (distinct-host dedup), a rotating
+    ref{n}.org target, and a relative link — exercising every
+    counter."""
+    from sagan_spark.ops.htmlstats import outlink_census
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<a href="https://'), F.col("source"), F.lit(".example/p/"),
+        (did % 9).cast("string"),
+        F.lit('">self</a><a href="https://ext.com/x">e1</a>'
+              '<a href="https://ext.com/y">e2</a><a href="https://ref'),
+        (did % 5).cast("string"),
+        F.lit('.org/">r</a><a href="/rel/path">rel</a><p>'),
+        F.col("text"), F.lit("</p>"),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return outlink_census(pages)
+
+
+def _outlink_oracle_sql() -> str:
+    from sagan_spark.ops.htmlstats import outlink_census_sql
+
+    scaffold = (
+        "('<a href=\"https://' || source || '.example/p/'"
+        " || CAST(doc_id % 9 AS VARCHAR)"
+        " || '\">self</a><a href=\"https://ext.com/x\">e1</a>"
+        "<a href=\"https://ext.com/y\">e2</a><a href=\"https://ref'"
+        " || CAST(doc_id % 5 AS VARCHAR)"
+        " || '.org/\">r</a><a href=\"/rel/path\">rel</a><p>'"
+        " || text || '</p>')"
+    )
+    inner = (
+        "(SELECT 'https://' || source || '.example/p/'"
+        " || CAST(doc_id AS VARCHAR) AS url,"
+        f" {scaffold} AS h FROM documents)"
+    )
+    return outlink_census_sql("h") + f" FROM {inner}"
 
 
 def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3440,6 +3551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_sitemap": q_parse_sitemap,
         "events_asof": q_events_asof,
         "events_asof_bucketed": q_events_asof_bucketed,
+        "events_rollup": q_events_rollup,
+        "outlink_census": q_outlink_census,
+        "streaming_asof": q_streaming_asof,
     }
 
 
@@ -6270,6 +6384,10 @@ def oracle_sql() -> dict[str, str]:
         # both as-of shapes replay the SAME global-definition oracle
         "events_asof": _asof_oracle_sql(),
         "events_asof_bucketed": _asof_oracle_sql(),
+        "events_rollup": _rollup_oracle_sql(),
+        "outlink_census": _outlink_oracle_sql(),
+        # stateless stream-static probe == the batch global definition
+        "streaming_asof": _asof_oracle_sql(),
         "sample_mixture": (
             f"WITH {_mix_quota_cte()}"
             " SELECT doc_id, lang FROM ("

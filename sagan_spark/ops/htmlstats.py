@@ -120,6 +120,69 @@ def html_stats(pages: DataFrame, html_col: str = "html",
     )
 
 
+#: any href attribute value (quoted) — absolute or relative
+HREF_ANY_RE = r"(?i)href=\"([^\"#]+)\""
+#: absolute http(s) subset (the ops/linkgraph.HREF_RE capture)
+HREF_ABS_RE = r"href=\"(https?://[^\"#]+)\""
+
+
+def outlink_census(pages: DataFrame, html_col: str = "html",
+                   url_col: str = "url") -> DataFrame:
+    """Per-page link-shape census at HOST granularity: absolute vs
+    relative link counts, external-host links, and distinct target
+    hosts — the outbound-link structure signal (a content page links
+    out to a handful of hosts; a link farm to hundreds; pure chrome
+    only to itself).  Host-level by design: the PSL registered-domain
+    ladder stays in the domain rollup ops where its cost is amortized
+    per ROW, not per array element.
+
+    Returns (url, n_links, n_abs, n_rel, n_external, n_hosts).
+    Pure per-row array codegen — no shuffle, no Python."""
+    from sagan_spark.ops.urltools import HOST_RE
+
+    s = F.coalesce(F.decode(F.col(html_col), "UTF-8"), F.lit(""))
+    all_refs = F.regexp_extract_all(s, F.lit(HREF_ANY_RE), F.lit(1))
+    abs_refs = F.regexp_extract_all(s, F.lit(HREF_ABS_RE), F.lit(1))
+    hosts = F.transform(
+        abs_refs, lambda u: F.lower(F.regexp_extract(u, HOST_RE, 1))
+    )
+    page_host = F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1))
+    n_links = F.size(all_refs).cast("long")
+    n_abs = F.size(abs_refs).cast("long")
+    return pages.select(
+        F.col(url_col),
+        n_links.alias("n_links"),
+        n_abs.alias("n_abs"),
+        (n_links - n_abs).alias("n_rel"),
+        F.size(F.filter(hosts, lambda h: h != page_host))
+        .cast("long")
+        .alias("n_external"),
+        F.size(F.array_distinct(hosts)).cast("long").alias("n_hosts"),
+    )
+
+
+def outlink_census_sql(expr: str, url_sql: str = "url") -> str:
+    """The SAME census in ANSI SQL over an html STRING expression —
+    emits a full SELECT list (FROM supplied by the caller)."""
+    from sagan_spark.ops.urltools import HOST_RE
+
+    s = f"coalesce({expr}, '')"
+    all_refs = f"regexp_extract_all({s}, {_sql_quote(HREF_ANY_RE)}, 1)"
+    abs_refs = f"regexp_extract_all({s}, {_sql_quote(HREF_ABS_RE)}, 1)"
+    host_of = f"lower(regexp_extract(u, {_sql_quote(HOST_RE)}, 1))"
+    hosts = f"list_transform({abs_refs}, u -> {host_of})"
+    page_host = f"lower(regexp_extract({url_sql}, {_sql_quote(HOST_RE)}, 1))"
+    return (
+        f"SELECT {url_sql},"
+        f" CAST(len({all_refs}) AS BIGINT) AS n_links,"
+        f" CAST(len({abs_refs}) AS BIGINT) AS n_abs,"
+        f" CAST(len({all_refs}) - len({abs_refs}) AS BIGINT) AS n_rel,"
+        f" CAST(len(list_filter({hosts}, h -> h <> {page_host}))"
+        f"  AS BIGINT) AS n_external,"
+        f" CAST(len(list_distinct({hosts})) AS BIGINT) AS n_hosts"
+    )
+
+
 def html_stats_sql(expr: str, id_sql: str = "url") -> str:
     """The SAME census in ANSI SQL over an html STRING expression —
     one source of truth for the DuckDB oracle.  Emits a full SELECT

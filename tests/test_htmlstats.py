@@ -172,3 +172,62 @@ def test_parse_sitemap_plan_scan_level(spark):
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# outlink census (ops/htmlstats.outlink_census)
+# ---------------------------------------------------------------------------
+
+
+def test_outlink_census_twin(spark):
+    import re as _re
+
+    from sagan_spark.ops.htmlstats import (
+        HREF_ABS_RE,
+        HREF_ANY_RE,
+        outlink_census,
+    )
+    from sagan_spark.ops.urltools import HOST_RE
+
+    pages = [
+        ("https://me.com/p",
+         '<a href="https://me.com/q">i</a><a href="https://ext.com/x">e</a>'
+         '<a href="https://ext.com/y">e2</a><a href="/rel">r</a>'
+         '<a href="HTTPS://CASE.com/z">c</a>'),
+        ("https://me.com/empty", "no links"),
+        ("https://me.com/null", None),
+    ]
+    df = spark.createDataFrame(pages, "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html")
+    )
+    got = {
+        r.url: (r.n_links, r.n_abs, r.n_rel, r.n_external, r.n_hosts)
+        for r in outlink_census(df).collect()
+    }
+
+    def twin(url, h):
+        s = h or ""
+        allr = _re.findall(HREF_ANY_RE, s)
+        absr = _re.findall(HREF_ABS_RE, s)
+        hosts = [_re.match(HOST_RE, u).group(1).lower()
+                 if _re.match(HOST_RE, u) else "" for u in absr]
+        ph = _re.match(HOST_RE, url).group(1).lower()
+        return (len(allr), len(absr), len(allr) - len(absr),
+                sum(1 for x in hosts if x != ph), len(set(hosts)))
+
+    for url, h in pages:
+        assert got[url] == twin(url, h), url
+    # the uppercase-scheme link: href regex is case-insensitive on the
+    # attr but the abs subset requires lowercase scheme (HREF_ABS_RE
+    # has no (?i)) -> counted relative by spec
+    assert got["https://me.com/p"] == (5, 3, 2, 2, 2)
+
+
+def test_outlink_census_plan_scan_level(spark):
+    from sagan_spark.ops.htmlstats import outlink_census
+
+    df = spark.createDataFrame([("https://a.com/", "x")],
+                               "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html"))
+    plan = outlink_census(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan

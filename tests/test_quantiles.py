@@ -64,3 +64,93 @@ def test_quantiles_window_only_the_histogram(spark):
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution time rollup (ops/rollup.py) — same events family
+# ---------------------------------------------------------------------------
+
+
+def test_time_rollup_cascade_equals_direct(spark):
+    """The cascaded coarse levels equal a direct python aggregation of
+    raw events at every resolution (the nesting-grid exactness
+    argument), including NULL ts drop and NULL value semantics."""
+    import datetime as dt
+    import math
+    from collections import defaultdict
+
+    from sagan_spark.ops.rollup import time_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(500):
+        rows.append(
+            (i, "a" if i % 3 else "b",
+             base + dt.timedelta(seconds=37 * i),
+             (i % 17) - 5 + 0.25 * (i % 4))
+        )
+    rows.append((1000, "a", None, 1.0))           # NULL ts dropped
+    rows.append((1001, "a", base, None))          # NULL value counted
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = sorted(
+        (r.resolution_sec, r.key, r.bucket_us, r.n_events, r.sum_milli,
+         r.min_milli, r.max_milli)
+        for r in time_rollup(ev).collect()
+    )
+    want = []
+    for res in (60, 3600, 86400):
+        agg = defaultdict(list)
+        cnt = defaultdict(int)
+        for _, k, ts, v in rows:
+            if ts is None:
+                continue
+            us = int(ts.timestamp() * 1_000_000)
+            b = (us // (res * 1_000_000)) * (res * 1_000_000)
+            cnt[(k, b)] += 1
+            if v is not None:
+                agg[(k, b)].append(math.floor(v * 1000))
+        for (k, b), n in cnt.items():
+            ms = agg.get((k, b), [])
+            want.append(
+                (res, k, b, n, sum(ms) if ms else None,
+                 min(ms) if ms else None, max(ms) if ms else None)
+            )
+    assert got == sorted(want)
+
+
+def test_time_rollup_validation(spark):
+    import pytest as _pytest
+
+    from sagan_spark.ops.rollup import time_rollup
+
+    ev = spark.createDataFrame(
+        [(1, "a", None, 1.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    with _pytest.raises(ValueError):
+        time_rollup(ev, resolutions=(60, 90))  # 90 not a multiple
+    with _pytest.raises(ValueError):
+        time_rollup(ev, resolutions=())
+
+
+def test_time_rollup_single_scan(spark):
+    """The cascade must scan the corpus exactly ONCE: coarse levels
+    ride an explode over the finest rollup, never their own scan (an
+    AQE union would compile per-level stages with no exchange
+    reuse)."""
+    import datetime as dt
+
+    from sagan_spark.ops.rollup import time_rollup
+
+    ev = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1), 1.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    plan = time_rollup(ev)._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("Scan ExistingRDD") + plan.count("FileScan")
+    assert scans == 1, f"corpus scanned {scans}x:\n{plan[:2000]}"
+    assert "Union" not in plan, "cascade must not be a per-level union"
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "Window" not in plan
