@@ -2581,6 +2581,69 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(_docs(spark, sf_dir), top_n=100)
 
 
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + clustering coefficient
+    (ops/linkgraph.triangle_stats, Suri & Vassilvitskii WWW'11
+    degree-oriented wedges) over a deterministic domain graph: a
+    13-cycle of s-domains cross-linked to 5 r-hubs — dense in
+    triangles, plus duplicate/reversed edges the undirected
+    normalization must collapse.  The oracle replays the exact
+    (degree, node) orientation with SQL row-value comparisons."""
+    from sagan_spark.ops.linkgraph import triangle_stats
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    edges = docs.select(
+        F.concat(F.lit("s"), (did % 13).cast("string")).alias("src"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("s"), ((did % 13 + 1) % 13).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("r"), (did % 5).cast("string")))
+        .alias("dst"),
+    )
+    return triangle_stats(edges)
+
+
+def _triangles_oracle_sql() -> str:
+    return (
+        "WITH raw AS (SELECT 's' || CAST(doc_id % 13 AS VARCHAR) AS src,"
+        " CASE WHEN doc_id % 3 = 0 THEN"
+        " 's' || CAST((doc_id % 13 + 1) % 13 AS VARCHAR)"
+        " ELSE 'r' || CAST(doc_id % 5 AS VARCHAR) END AS dst"
+        " FROM documents),"
+        " und AS (SELECT DISTINCT least(src, dst) AS a,"
+        "  greatest(src, dst) AS b FROM raw"
+        "  WHERE least(src, dst) <> greatest(src, dst)),"
+        " deg AS (SELECT node, count(*) AS degree FROM ("
+        "  SELECT a AS node FROM und UNION ALL SELECT b FROM und)"
+        "  GROUP BY 1),"
+        " ranked AS (SELECT u.a, u.b, da.degree AS da, db.degree AS db"
+        "  FROM und u JOIN deg da ON da.node = u.a"
+        "  JOIN deg db ON db.node = u.b),"
+        " oriented AS (SELECT"
+        "  CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS lo,"
+        "  CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS hi,"
+        "  CASE WHEN (da, a) < (db, b) THEN db ELSE da END AS hid"
+        "  FROM ranked),"
+        " wedges AS (SELECT w1.lo AS p, w1.hi AS x, w2.hi AS y"
+        "  FROM oriented w1 JOIN oriented w2 ON w1.lo = w2.lo"
+        "  AND (w1.hid, w1.hi) < (w2.hid, w2.hi)),"
+        " tris AS (SELECT w.p, w.x, w.y FROM wedges w"
+        "  JOIN oriented o ON o.lo = w.x AND o.hi = w.y),"
+        " pn AS (SELECT node, count(*) AS n_triangles FROM ("
+        "  SELECT p AS node FROM tris UNION ALL SELECT x FROM tris"
+        "  UNION ALL SELECT y FROM tris) GROUP BY 1)"
+        " SELECT d.node, d.degree,"
+        " CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,"
+        " CAST(CASE WHEN d.degree >= 2 THEN"
+        "  (2000000 * coalesce(pn.n_triangles, 0))"
+        "  // (d.degree * (d.degree - 1)) ELSE 0 END AS BIGINT)"
+        "  AS clustering_ppm"
+        " FROM deg d LEFT JOIN pn ON pn.node = d.node"
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution continuous-aggregate cascade (ops/rollup.
     time_rollup): minute/hour/day per-event_type count/sum/min/max in
@@ -3554,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "outlink_census": q_outlink_census,
         "streaming_asof": q_streaming_asof,
+        "link_triangles": q_link_triangles,
     }
 
 
@@ -6388,6 +6452,7 @@ def oracle_sql() -> dict[str, str]:
         "outlink_census": _outlink_oracle_sql(),
         # stateless stream-static probe == the batch global definition
         "streaming_asof": _asof_oracle_sql(),
+        "link_triangles": _triangles_oracle_sql(),
         "sample_mixture": (
             f"WITH {_mix_quota_cte()}"
             " SELECT doc_id, lang FROM ("

@@ -223,3 +223,59 @@ def test_frontier_candidates_k_cut_deterministic(spark):
     )
     got = [(r.url, r.rank) for r in frontier_candidates(df, k=1).collect()]
     assert got == [("https://ext.org/a", 1)]
+
+
+def test_triangle_stats_k4_pendant(spark):
+    """K4 + pendant with duplicate/reversed/self edges: exact counts
+    and clustering (a,b,c fully clustered; d half; pendant zero)."""
+    from sagan_spark.ops.linkgraph import triangle_stats
+
+    E = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("b", "a"), ("a", "a"), ("a", "b")]
+    df = spark.createDataFrame(E, "src string, dst string")
+    got = sorted(
+        (r.node, r.degree, r.n_triangles, r.clustering_ppm)
+        for r in triangle_stats(df).collect()
+    )
+    assert got == [
+        ("a", 3, 3, 1_000_000), ("b", 3, 3, 1_000_000),
+        ("c", 3, 3, 1_000_000), ("d", 4, 3, 500_000), ("e", 1, 0, 0),
+    ]
+
+
+def test_triangle_stats_brute_force_twin(spark):
+    """Deterministic pseudo-random graph vs an itertools brute force."""
+    import itertools
+
+    from sagan_spark.ops.linkgraph import triangle_stats
+
+    nodes = [f"n{i}" for i in range(12)]
+    E = [
+        (nodes[i], nodes[(i * 5 + j * 3) % 12])
+        for i in range(12)
+        for j in range(4)
+    ]
+    und = {frozenset(e) for e in E if e[0] != e[1]}
+    adj = {n: set() for n in nodes}
+    for e in und:
+        x, y = tuple(e)
+        adj[x].add(y)
+        adj[y].add(x)
+    tri = {
+        n: sum(
+            1
+            for x, y in itertools.combinations(sorted(adj[n]), 2)
+            if y in adj[x]
+        )
+        for n in nodes
+    }
+    df = spark.createDataFrame(E, "src string, dst string")
+    got = {
+        r.node: (r.degree, r.n_triangles)
+        for r in triangle_stats(df).collect()
+    }
+    for n in nodes:
+        if adj[n]:
+            assert got[n] == (len(adj[n]), tri[n]), n
+    plan = triangle_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "EvalPython" not in plan
