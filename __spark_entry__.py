@@ -2644,6 +2644,47 @@ def _triangles_oracle_sql() -> str:
     )
 
 
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node link reciprocity (ops/linkgraph.link_reciprocity):
+    the scaffold mixes mutual s-chain edges (i->i+1 from one doc
+    class, i->i-1 from another — reciprocated when both classes hit
+    the pair) with one-way r-spokes that can never reciprocate."""
+    from sagan_spark.ops.linkgraph import link_reciprocity
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    edges = docs.select(
+        F.concat(F.lit("s"), (did % 10).cast("string")).alias("src"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("s"), ((did % 10 + 1) % 10).cast("string")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit("s"), ((did % 10 + 9) % 10).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("r"), (did % 5).cast("string")))
+        .alias("dst"),
+    )
+    return link_reciprocity(edges)
+
+
+def q_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rank normalization (ops/quantiles.percentile_features)
+    of document length within each language — pct_ppm =
+    (1e6·n_below) div (n-1) off the (lang, score) histogram; the
+    oracle replays the naive rank window (rank-1 == n_below) the
+    histogram composition is provably equivalent to."""
+    from sagan_spark.ops.quantiles import percentile_features
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").alias("score")
+    )
+    return percentile_features(docs, "score", group_col="lang").select(
+        "doc_id", "lang", "score", "n_below", "pct_ppm"
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution continuous-aggregate cascade (ops/rollup.
     time_rollup): minute/hour/day per-event_type count/sum/min/max in
@@ -3618,6 +3659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_census": q_outlink_census,
         "streaming_asof": q_streaming_asof,
         "link_triangles": q_link_triangles,
+        "link_reciprocity": q_link_reciprocity,
+        "score_percentiles": q_score_percentiles,
     }
 
 
@@ -6453,6 +6496,37 @@ def oracle_sql() -> dict[str, str]:
         # stateless stream-static probe == the batch global definition
         "streaming_asof": _asof_oracle_sql(),
         "link_triangles": _triangles_oracle_sql(),
+        "link_reciprocity": (
+            "WITH raw AS (SELECT 's' || CAST(doc_id % 10 AS VARCHAR) AS src,"
+            " CASE WHEN doc_id % 3 = 0 THEN"
+            "  's' || CAST((doc_id % 10 + 1) % 10 AS VARCHAR)"
+            " WHEN doc_id % 3 = 1 THEN"
+            "  's' || CAST((doc_id % 10 + 9) % 10 AS VARCHAR)"
+            " ELSE 'r' || CAST(doc_id % 5 AS VARCHAR) END AS dst"
+            " FROM documents),"
+            " d AS (SELECT DISTINCT src AS a, b FROM (SELECT src, dst AS b"
+            "  FROM raw WHERE src <> dst)),"
+            " m AS (SELECT d.a, d.b FROM d"
+            "  JOIN d r ON r.a = d.b AND r.b = d.a),"
+            " no AS (SELECT a AS node, count(*) AS n_out FROM d GROUP BY 1),"
+            " nm AS (SELECT a AS node, count(*) AS n_mutual FROM m GROUP BY 1)"
+            " SELECT no.node, no.n_out,"
+            " CAST(coalesce(nm.n_mutual, 0) AS BIGINT) AS n_mutual,"
+            " CAST((1000000 * coalesce(nm.n_mutual, 0)) // no.n_out"
+            "  AS BIGINT) AS reciprocity_ppm"
+            " FROM no LEFT JOIN nm ON nm.node = no.node"
+        ),
+        "score_percentiles": (
+            "WITH b AS (SELECT doc_id, lang, n_chars AS score"
+            " FROM documents WHERE n_chars IS NOT NULL),"
+            " r AS (SELECT doc_id, lang, score,"
+            " CAST(rank() OVER (PARTITION BY lang ORDER BY score) - 1"
+            "  AS BIGINT) AS n_below,"
+            " count(*) OVER (PARTITION BY lang) AS n FROM b)"
+            " SELECT doc_id, lang, score, n_below,"
+            " CAST(CASE WHEN n > 1 THEN (1000000 * n_below) // (n - 1)"
+            "  ELSE 0 END AS BIGINT) AS pct_ppm FROM r"
+        ),
         "sample_mixture": (
             f"WITH {_mix_quota_cte()}"
             " SELECT doc_id, lang FROM ("

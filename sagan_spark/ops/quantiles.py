@@ -79,3 +79,56 @@ def quantile_rollup(events: DataFrame,
             F.min(value_col).alias("q_value"),
         )
     )
+
+
+def percentile_features(docs: DataFrame, score_col: str,
+                        group_col: str = "lang",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-row percentile of an integer score WITHIN its group — the
+    rank-normalization step that turns raw quality/LM scores into
+    comparable [0, 1e6] features across languages/sources (CCNet
+    ranks per language before bucketing, Wenzek arXiv:1911.00359
+    §3.3; mixture recipes compare cross-source after exactly this
+    normalization).
+
+    Integer spec, replayable bit-for-bit: ``pct_ppm = (10^6 *
+    n_below) div (n_group - 1)`` with ``n_below`` = rows of the group
+    scoring strictly less (ties share a value — identical to SQL
+    ``percent_rank`` through rank-1 == n_below); 0 for single-row
+    groups.  NULL scores are dropped (no rank on an unmeasured row).
+
+    Skew shape (the quantile_rollup histogram idiom): the corpus
+    collapses map-side to a (group, score) histogram; the ONLY window
+    is the cumulative count over that bounded frame (scores arrive
+    quantized — milli-units, lengths, ranks — so per-group
+    cardinality is bounded); verdicts broadcast back via a hash join
+    on (group, score).  A Zipf-hot group never funnels raw rows into
+    one sorting task.  Returns the input rows + ``n_below`` +
+    ``pct_ppm``.
+    """
+    g, s = F.col(group_col), F.col(score_col)
+    base = docs.filter(s.isNotNull())
+    hist = base.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_sg_c")
+    )
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    whole = Window.partitionBy(group_col)
+    ranked = (
+        hist.withColumn(
+            "n_below",
+            F.coalesce(
+                F.sum("_sg_c").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_sg_n", F.sum("_sg_c").over(whole))
+        .drop("_sg_c")
+    )
+    joined = base.join(ranked, [group_col, score_col])
+    pct = F.when(
+        F.col("_sg_n") > 1,
+        F.expr("(1000000 * n_below) div (_sg_n - 1)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return joined.withColumn("pct_ppm", pct).drop("_sg_n")

@@ -279,3 +279,22 @@ def test_triangle_stats_brute_force_twin(spark):
             assert got[n] == (len(adj[n]), tri[n]), n
     plan = triangle_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_link_reciprocity_hand_case(spark):
+    from sagan_spark.ops.linkgraph import link_reciprocity
+
+    E = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("a", "b"),
+         ("d", "d")]
+    got = {
+        r.node: (r.n_out, r.n_mutual, r.reciprocity_ppm)
+        for r in link_reciprocity(
+            spark.createDataFrame(E, "src string, dst string")
+        ).collect()
+    }
+    assert got == {
+        "a": (2, 1, 500_000),   # b mutual, c not; duplicate edge collapsed
+        "b": (1, 1, 1_000_000),
+        "c": (1, 0, 0),         # c->d one-way
+        # d: self-loop only -> no out-neighbors -> absent
+    }

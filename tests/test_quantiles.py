@@ -154,3 +154,40 @@ def test_time_rollup_single_scan(spark):
     assert "Union" not in plan, "cascade must not be a per-level union"
     assert "partial_count" in plan
     assert "EvalPython" not in plan and "Window" not in plan
+
+
+def test_percentile_features_twin_and_plan(spark):
+    """pct_ppm equals the brute-force strict-below count (ties share a
+    value; singleton group 0; NULL scores dropped) and the only window
+    rides the (group, score) histogram, never the raw rows."""
+    from sagan_spark.ops.quantiles import percentile_features
+
+    rows = [
+        (1, "en", 10), (2, "en", 20), (3, "en", 20), (4, "en", 40),
+        (5, "de", 7), (6, "zz", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    got = {
+        r.doc_id: (r.n_below, r.pct_ppm)
+        for r in percentile_features(docs, "score").collect()
+    }
+    want = {}
+    for i, g, s in rows:
+        if s is None:
+            continue
+        grp = [x for _, gg, x in rows if gg == g and x is not None]
+        nb = sum(1 for x in grp if x < s)
+        n = len(grp)
+        want[i] = (nb, (1_000_000 * nb) // (n - 1) if n > 1 else 0)
+    assert got == want
+    assert 6 not in got  # NULL dropped
+    assert got[2] == got[3]  # ties share
+
+    plan = (
+        percentile_features(docs, "score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the window input must be the aggregated histogram (partial_count
+    # below it), not raw rows
+    assert "Window" in plan and "partial_count" in plan
+    assert "EvalPython" not in plan
