@@ -2644,6 +2644,75 @@ def _triangles_oracle_sql() -> str:
     )
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap: directive discovery from robots.txt bodies
+    (ops/robotstxt.robots_sitemaps): case-insensitive field name,
+    surrounding group lines ignored, comment lines skipped by the
+    anchored multiline match, doc_id%3==2 files carry none."""
+    from sagan_spark.ops.robotstxt import robots_sitemaps
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("Sitemap: https://"), F.col("source"),
+                F.lit(".com/sitemap.xml\n# Sitemap: https://ignored.example/x\n"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("sitemap:   https://"), F.col("source"),
+                F.lit(".com/s1.xml\r\nSITEMAP: https://"), F.col("source"),
+                F.lit(".com/s2.xml\n"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.lit("Allow: /\n"),
+    )
+    robots = docs.select(F.col("source").alias("domain"), body.alias("robots_txt"))
+    return robots_sitemaps(robots)
+
+
+def _robots_sitemaps_oracle_sql() -> str:
+    from sagan_spark.ops.robotstxt import robots_sitemaps_sql
+
+    body = (
+        "('User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        "  'Sitemap: https://' || source || '.com/sitemap.xml' || chr(10)"
+        "  || '# Sitemap: https://ignored.example/x' || chr(10)"
+        " WHEN doc_id % 3 = 1 THEN"
+        "  'sitemap:   https://' || source || '.com/s1.xml'"
+        "  || chr(13) || chr(10)"
+        "  || 'SITEMAP: https://' || source || '.com/s2.xml' || chr(10)"
+        " ELSE '' END || 'Allow: /' || chr(10))"
+    )
+    inner = f"(SELECT source AS domain, {body} AS rt FROM documents)"
+    return robots_sitemaps_sql("rt", inner)
+
+
+def q_corpus_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive shard integrity manifest
+    (ops/profile.shard_checksums) over the full documents table —
+    modular 60-bit digest sums, independent shard window."""
+    from sagan_spark.ops.profile import shard_checksums
+
+    return shard_checksums(_docs(spark, sf_dir), n_shards=16)
+
+
+def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed sparse-feature export (ops/textstats.doc_features):
+    4096 buckets (collisions forced so per-bucket counts exceed 1),
+    deterministic 'bucket:count' serialization, bucket-ascending."""
+    from sagan_spark.ops.textstats import doc_features
+
+    return doc_features(_docs(spark, sf_dir), n_buckets=4096)
+
+
 def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node link reciprocity (ops/linkgraph.link_reciprocity):
     the scaffold mixes mutual s-chain edges (i->i+1 from one doc
@@ -3661,6 +3730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_triangles": q_link_triangles,
         "link_reciprocity": q_link_reciprocity,
         "score_percentiles": q_score_percentiles,
+        "robots_sitemaps": q_robots_sitemaps,
+        "corpus_checksums": q_corpus_checksums,
+        "doc_features": q_doc_features,
     }
 
 
@@ -6496,6 +6568,40 @@ def oracle_sql() -> dict[str, str]:
         # stateless stream-static probe == the batch global definition
         "streaming_asof": _asof_oracle_sql(),
         "link_triangles": _triangles_oracle_sql(),
+        "robots_sitemaps": _robots_sitemaps_oracle_sql(),
+        # order-insensitive 60-bit modular digest manifest; column
+        # render order matches docs.columns
+        "corpus_checksums": (
+            "WITH d AS (SELECT md5("
+            " coalesce(CAST(doc_id AS VARCHAR), chr(0)) || chr(31) ||"
+            " coalesce(text, chr(0)) || chr(31) ||"
+            " coalesce(lang, chr(0)) || chr(31) ||"
+            " coalesce(source, chr(0)) || chr(31) ||"
+            " coalesce(CAST(n_chars AS VARCHAR), chr(0))) AS g"
+            " FROM documents),"
+            " v AS (SELECT ('0x' || substr(g, 1, 15))::BIGINT AS v,"
+            "  ('0x' || substr(g, 17, 8))::BIGINT % 16 AS shard FROM d)"
+            " SELECT CAST(shard AS BIGINT) AS shard,"
+            " count(*) AS n_rows,"
+            " CAST(sum(CAST(v AS HUGEINT)) % 1152921504606846976"
+            "  AS BIGINT) AS checksum FROM v GROUP BY 1"
+        ),
+        "doc_features": (
+            "WITH toks AS (SELECT doc_id,"
+            " unnest(regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token"
+            " FROM documents),"
+            " b AS (SELECT doc_id,"
+            "  ('0x' || substr(md5(token), 1, 15))::BIGINT % 4096"
+            "  AS bucket FROM toks),"
+            " pb AS (SELECT doc_id, bucket, count(*) AS c FROM b"
+            "  GROUP BY 1, 2)"
+            " SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,"
+            " count(*) AS n_buckets_used,"
+            " string_agg(CAST(bucket AS VARCHAR) || ':'"
+            "  || CAST(c AS VARCHAR), ' ' ORDER BY bucket) AS features"
+            " FROM pb GROUP BY 1"
+        ),
         "link_reciprocity": (
             "WITH raw AS (SELECT 's' || CAST(doc_id % 10 AS VARCHAR) AS src,"
             " CASE WHEN doc_id % 3 = 0 THEN"

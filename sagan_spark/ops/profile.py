@@ -94,3 +94,56 @@ def profile_columns(df: DataFrame, cols: Sequence[str] | None = None,
             F.expr("(_sl * 1000) div (_sg_n - n_null)"),
         ).alias("len_avg_milli"),
     )
+
+
+def shard_checksums(docs: DataFrame, n_shards: int = 64,
+                    cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive corpus integrity manifest: per shard, the row
+    count and a modular checksum of row digests — verify a copy /
+    migration / snapshot rebuild without sorting or moving data (two
+    corpora are content-equal iff their manifests match, up to 60-bit
+    digest collisions).  The reference engine's analog is its rule-set
+    fingerprinting on reload (a config checksum gating dynamic rules).
+
+    Spec (bit-identical on both contract engines):
+    - row digest = md5 over the selected columns rendered as strings,
+      joined by the 0x1f unit separator, NULL rendered as a 0x00
+      sentinel (distinct from the empty string).  Columns default to
+      all columns; pre-quantize floats before hashing them (the repo's
+      integer-units discipline — raw double rendering is not a
+      cross-engine contract).
+    - ``v`` = first 60 digest bits as int64; ``shard`` = an
+      INDEPENDENT 32-bit digest window mod ``n_shards`` (so checksum
+      and shard assignment don't correlate).
+    - ``checksum`` = Σ v (exact DECIMAL(38)/HUGEINT sum — order-free)
+      mod 2^60, cast back to int64.  Headroom: exact through ~10^20
+      rows per shard.
+
+    One map-side-combining aggregation; the shuffle carries n_shards
+    rows per task regardless of corpus size (the surt-census shape).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    cols = list(cols) if cols is not None else list(docs.columns)
+    rendered = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+    ]
+    digest = F.md5(F.concat_ws("\x1f", *rendered))
+    v = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    shard = F.pmod(
+        F.conv(F.substring(digest, 17, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    )
+    return (
+        docs.select(shard.alias("shard"), v.alias("_sg_v"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("_sg_v").cast("decimal(38,0)"))
+                % F.lit(1 << 60).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("checksum"),
+        )
+    )

@@ -219,3 +219,40 @@ def robots_screen_sql(pages_rel: str, rules_sql: str) -> str:
         " coalesce(max(v).a = 1, true) AS robots_allowed"
         " FROM m GROUP BY 1, 2"
     )
+
+
+SITEMAP_RE = r"(?im)^sitemap:[ \t]*([^ \t\r\n]+)"
+
+
+def robots_sitemaps(robots: DataFrame, body_col: str = "robots_txt",
+                    domain_col: str = "domain") -> DataFrame:
+    """``Sitemap:`` directive discovery (RFC 9309 §2.3 / sitemaps.org
+    "inform search engines" protocol): the absolute sitemap URLs a
+    robots.txt advertises — the input list :func:`ops.sitemap.
+    parse_sitemap` fetches next, completing the crawl-bootstrap loop
+    robots -> sitemap index -> url inventory.  Group membership is
+    irrelevant for this field (it is NOT part of a user-agent group),
+    so the extraction is one multiline regex pass over the raw body —
+    scan-level codegen, no line explode.  Returns (domain,
+    sitemap_url), one row per directive, duplicates preserved
+    (an audit surface: repeated directives are a robots.txt smell)."""
+    return robots.select(
+        F.col(domain_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(body_col), F.lit("")),
+                F.lit(SITEMAP_RE),
+                F.lit(1),
+            )
+        ).alias("sitemap_url"),
+    )
+
+
+def robots_sitemaps_sql(body_expr: str, from_sql: str,
+                        domain_sql: str = "domain") -> str:
+    """Oracle twin of :func:`robots_sitemaps`."""
+    return (
+        f"SELECT {domain_sql}, unnest(regexp_extract_all("
+        f"coalesce({body_expr}, ''), {_sql_quote(SITEMAP_RE)}, 1))"
+        f" AS sitemap_url FROM {from_sql}"
+    )

@@ -476,3 +476,49 @@ def novelty_scores(docs: DataFrame, k: int = 8, text_col: str = "text",
             ).cast("long").alias("novelty_ppm"),
         )
     )
+
+
+def doc_features(docs: DataFrame, n_buckets: int = 1 << 18,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hashed bag-of-words feature export: each document's sparse
+    vector over ``n_buckets`` md5 buckets, serialized as the
+    DETERMINISTIC string ``"bucket:count bucket:count ..."`` (buckets
+    ascending) — the training-export counterpart of
+    ``webclean.hashed_linear_score`` (same 60-bit md5 bucket idiom),
+    ready for a downstream trainer that consumes sparse rows without
+    re-tokenizing.
+
+    Shape: explode -> per-(doc, bucket) map-side-combining count ->
+    per-doc assembly via ``sort_array(collect_list(struct))`` (bucket
+    is unique within a doc, so the sort is a total order and the
+    string is engine- and partition-independent).  Per-doc state is
+    bounded by the doc's distinct-bucket count (<= tokens), never
+    corpus-wide.  Documents with zero tokens are absent (no feature
+    mass to export).  Returns (id, n_tokens, n_buckets_used,
+    features)."""
+    from sagan_spark.ops.packing import _md5_long
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    per = toks.select(
+        id_col,
+        F.pmod(_md5_long(F.col("token")), F.lit(n_buckets)).alias("bucket"),
+    ).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("_sg_c"))
+    pair = F.struct(F.col("bucket"), F.col("_sg_c").alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("_sg_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(pair)),
+                lambda s: F.concat(
+                    s["bucket"].cast("string"), F.lit(":"), s["c"].cast("string")
+                ),
+            ),
+            " ",
+        ).alias("features"),
+    )

@@ -79,3 +79,40 @@ def test_profile_guards(spark):
         profile_columns(df, [])
     with pytest.raises(ValueError):
         profile_columns(df, ["nope"])
+
+
+def test_shard_checksums_order_insensitive_and_sensitive_to_content(spark):
+    from sagan_spark.ops.profile import shard_checksums
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        r.shard: (r.n_rows, r.checksum)
+        for r in shard_checksums(df, n_shards=4).collect()
+    }
+    # partitioning / row order never changes the manifest
+    again = {
+        r.shard: (r.n_rows, r.checksum)
+        for r in shard_checksums(df.repartition(5), n_shards=4).collect()
+    }
+    assert base == again
+    # a one-character content change changes it
+    df2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, None)],
+                                "doc_id long, text string")
+    changed = {
+        r.shard: (r.n_rows, r.checksum)
+        for r in shard_checksums(df2, n_shards=4).collect()
+    }
+    assert base != changed
+    # NULL is distinct from empty string
+    df3 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "")],
+                                "doc_id long, text string")
+    null_vs_empty = {
+        r.shard: (r.n_rows, r.checksum)
+        for r in shard_checksums(df3, n_shards=4).collect()
+    }
+    assert base != null_vs_empty
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        shard_checksums(df, n_shards=0)

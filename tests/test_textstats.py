@@ -271,3 +271,37 @@ def test_vocab_spectrum_counter_twin(spark):
     plan = vocab_spectrum(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "EvalPython" not in plan
     assert "partial_count" in plan
+
+
+def test_doc_features_twin_and_determinism(spark):
+    """Feature strings equal a Counter twin (same md5 buckets) and are
+    invariant under repartitioning."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from sagan_spark.ops.textstats import TOKEN_RE, doc_features
+
+    rows = [(1, "a b a c! c! c!"), (2, "zz"), (3, ""), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_buckets_used, r.features)
+        for r in doc_features(docs, n_buckets=64).collect()
+    }
+    for i, t in rows:
+        toks = re.findall(TOKEN_RE, t or "")
+        if not toks:
+            assert i not in got
+            continue
+        c = Counter(bucket(x) for x in toks)
+        feats = " ".join(f"{b}:{n}" for b, n in sorted(c.items()))
+        assert got[i] == (len(toks), len(c), feats), i
+    again = {
+        r.doc_id: r.features
+        for r in doc_features(docs.repartition(7), n_buckets=64).collect()
+    }
+    assert again == {i: f for i, (_, _, f) in got.items()}
