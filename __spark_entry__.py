@@ -2352,6 +2352,33 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(domain_edges(extract_links(pages)), iterations=5)
 
 
+def q_domain_pagerank_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-from-checkpoint parity for iterative compute: 3 cold
+    iterations, rank table 'persisted' (localCheckpoint standing in
+    for the snapshot write), then 2 warm-started iterations — the
+    integer formulation makes warm(2, cold(3)) BIT-IDENTICAL to
+    cold(5), so this gate replays the SAME 5-iteration oracle as
+    domain_pagerank."""
+    from sagan_spark.ops.linkgraph import domain_edges, extract_links, pagerank
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<a href="https://src'), (F.col("doc_id") % 13).cast("string"),
+        F.lit('.example/x">a</a><a href="https://ref'),
+        (F.col("doc_id") % 5).cast("string"), F.lit('.org/">b</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    edges = domain_edges(extract_links(pages)).localCheckpoint(eager=True)
+    snapshot = pagerank(edges, iterations=3).localCheckpoint(eager=True)
+    return pagerank(edges, iterations=2, init_ranks=snapshot)
+
+
 def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic integer HITS over the same scaffolded domain
     graph as domain_pagerank: href extraction → registered-domain
@@ -3733,6 +3760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "corpus_checksums": q_corpus_checksums,
         "doc_features": q_doc_features,
+        "domain_pagerank_resumed": q_domain_pagerank_resumed,
     }
 
 
@@ -6342,6 +6370,8 @@ def oracle_sql() -> dict[str, str]:
             " || '.org/\">y</a></body></html>' AS h FROM documents)"
         ),
         "domain_pagerank": _pagerank_sql(),
+        # warm(2, cold(3)) == cold(5): same oracle as domain_pagerank
+        "domain_pagerank_resumed": _pagerank_sql(),
         "link_hits": _hits_sql(),
         "corpus_profile": _corpus_profile_sql(),
         # encoding-health screen (ops/webclean.encoding_quality) over

@@ -86,12 +86,23 @@ def domain_edges(links: DataFrame, src_col: str = "src_url",
 
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping_milli: int = 850, scale: int = 1_000_000,
-             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             init_ranks: DataFrame | None = None) -> DataFrame:
     """Deterministic integer PageRank: returns (node, rank) with
     ``rank`` in micro-units of ``scale`` (un-normalized — every node
     starts at ``scale``; divide by node count for the probability
     form).  All arithmetic is 64-bit integer (see module docstring),
-    so results are exact and order-independent."""
+    so results are exact and order-independent.
+
+    ``init_ranks`` (optional, a (node, rank) frame) WARM-STARTS the
+    iteration — the resume-from-checkpoint contract of the north
+    star: because every step is exact integer arithmetic,
+    ``pagerank(e, k, init_ranks=pagerank(e, j))`` is BIT-IDENTICAL to
+    ``pagerank(e, j + k)`` on any cluster size — an interrupted
+    long-running ranking job persists its rank table and continues,
+    no drift (pinned by the ``domain_pagerank_resumed`` gate, which
+    replays the same cold-run oracle).  Nodes missing from
+    ``init_ranks`` re-enter at ``scale``, matching the cold start."""
     if not 0 <= damping_milli <= 1000:
         raise ValueError(f"damping_milli must be in [0,1000], got {damping_milli}")
     if iterations < 0:
@@ -114,7 +125,17 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         .localCheckpoint(eager=True)
     )
     base = (1000 - damping_milli) * scale // 1000
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    if init_ranks is None:
+        ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    else:
+        ranks = nodes.join(
+            init_ranks.select("node", F.col("rank").cast("long").alias("_sg_r0")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("_sg_r0"), F.lit(scale).cast("long")).alias("rank"),
+        )
     for _ in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "_sg_src"), "_sg_src")
