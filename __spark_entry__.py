@@ -3296,6 +3296,20 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidates
+    (ops/dedup.edit_verify_pairs): JVM levenshtein over 512-char
+    prefixes gated to >= 2 shared bands (the quadratic kernel runs
+    only on likely duplicates), integer sim_ppm, keep >= 0.8 — the
+    byte-level verify family next to jaccard/containment."""
+    from sagan_spark.ops.dedup import edit_verify_pairs
+
+    return edit_verify_pairs(
+        _docs(spark, sf_dir), k=8, n_bands=4, prefix_chars=128,
+        min_shared_bands=2,
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided shingle containment on LSH candidates
     (ops/dedup.containment_pairs): catches the short-doc-quoted-in-
@@ -3761,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_checksums": q_corpus_checksums,
         "doc_features": q_doc_features,
         "domain_pagerank_resumed": q_domain_pagerank_resumed,
+        "dedup_edit_verify": q_dedup_edit_verify,
     }
 
 
@@ -5727,6 +5742,21 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY 1 HAVING count(*) > 1)"
         ),
         "dedup_minhash_lsh": f"{sigs}, {pairs} SELECT doc_a, doc_b, n_shared_bands FROM pairs",
+        # levenshtein verify over the same LSH candidate core
+        "dedup_edit_verify": (
+            f"{sigs}, {pairs},"
+            " pref AS (SELECT doc_id,"
+            "  substr(coalesce(text, ''), 1, 128) AS t FROM documents),"
+            " m AS (SELECT p.doc_a, p.doc_b, p.n_shared_bands,"
+            "  greatest(length(a.t), length(b.t), 1) AS mx,"
+            "  levenshtein(a.t, b.t) AS d FROM pairs p"
+            "  JOIN pref a ON a.doc_id = p.doc_a"
+            "  JOIN pref b ON b.doc_id = p.doc_b"
+            "  WHERE p.n_shared_bands >= 2)"
+            " SELECT doc_a, doc_b, n_shared_bands,"
+            " CAST((1000000 * (mx - d)) // mx AS BIGINT) AS sim_ppm,"
+            " (1000000 * (mx - d)) // mx >= 800000 AS keep FROM m"
+        ),
         "dedup_ngram_jaccard": (
             f"{sigs}, {pairs}, "
             "sh2 AS (SELECT DISTINCT doc_id, shingle FROM ("

@@ -643,3 +643,54 @@ def test_dedup_paragraphs_within_plan_scan_level(spark):
             .executedPlan().toString())
     assert "Exchange" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_edit_verify_pairs_twin(spark):
+    """sim_ppm equals a python Levenshtein twin over the candidate
+    pairs; near-identical docs verify, unrelated LSH collisions are
+    rejected; prefix cap applies before the distance."""
+    from sagan_spark.ops.dedup import edit_verify_pairs, minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quack", 1)),   # near-dup of 1
+        (3, base + "tail divergence " * 40),      # shares prefix
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.sim_ppm, r.keep)
+        for r in edit_verify_pairs(docs, prefix_chars=64).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, 8, 4).collect()
+    }
+    assert set(got) == cand and cand, "verify must cover the LSH candidates"
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = dict(rows)
+    for (a, b), (sim, keep) in got.items():
+        ta, tb = texts[a][:64], texts[b][:64]
+        mx = max(len(ta), len(tb), 1)
+        want = (1_000_000 * (mx - lev(ta, tb))) // mx
+        assert sim == want and keep == (want >= 800_000), (a, b)
+
+
+def test_edit_verify_validation(spark):
+    import pytest as _pytest
+
+    from sagan_spark.ops.dedup import edit_verify_pairs
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        edit_verify_pairs(docs, prefix_chars=0)
