@@ -2781,6 +2781,17 @@ def q_score_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU rollup (ops/funnel.active_users):
+    exact distinct counts off the collapsed (day, key) frame — no
+    countDistinct over raw events; carry-forward days appear with
+    dau=0."""
+    from sagan_spark.ops.funnel import active_users
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return active_users(ev, window_days=7)
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution continuous-aggregate cascade (ops/rollup.
     time_rollup): minute/hour/day per-event_type count/sum/min/max in
@@ -3776,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_features": q_doc_features,
         "domain_pagerank_resumed": q_domain_pagerank_resumed,
         "dedup_edit_verify": q_dedup_edit_verify,
+        "events_actives": q_events_actives,
     }
 
 
@@ -6624,6 +6636,17 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": _asof_oracle_sql(),
         "events_asof_bucketed": _asof_oracle_sql(),
         "events_rollup": _rollup_oracle_sql(),
+        "events_actives": (
+            "WITH dk AS (SELECT DISTINCT epoch_us(ts) // 86400000000"
+            " AS d, user_id FROM events WHERE ts IS NOT NULL),"
+            " dau AS (SELECT d AS day, count(*) AS dau FROM dk"
+            "  GROUP BY 1),"
+            " span AS (SELECT DISTINCT d + g.x AS day, user_id FROM dk"
+            "  CROSS JOIN (SELECT unnest(range(0, 7)) AS x) g),"
+            " wau AS (SELECT day, count(*) AS wau FROM span GROUP BY 1)"
+            " SELECT w.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,"
+            " w.wau FROM wau w LEFT JOIN dau ON dau.day = w.day"
+        ),
         "outlink_census": _outlink_oracle_sql(),
         # stateless stream-static probe == the batch global definition
         "streaming_asof": _asof_oracle_sql(),

@@ -132,3 +132,57 @@ def cohort_retention(events: DataFrame, key_col: str = "user_id",
         )
         .agg(F.count(F.lit(1)).alias("active_keys"))
     )
+
+
+def active_users(events: DataFrame, window_days: int = 7,
+                 key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Daily/rolling active-user rollup: per epoch day, the exact
+    count of distinct keys active that day (DAU) and over the trailing
+    ``window_days`` ending that day (WAU for 7) — the engagement
+    denominators (and their DAU/WAU stickiness ratio) every telemetry
+    pipeline reports; the reference's analog is its per-interval
+    client-count stats (src/processors/stats-json.c).
+
+    Exact and skew-safe WITHOUT countDistinct over raw events: events
+    collapse FIRST to the distinct (day, key) frame (map-side
+    combinable — a key's 10^9 same-day events become one row per
+    task); the rolling count then explodes each (day, key) row to the
+    <= ``window_days`` report days it contributes to (bounded
+    inflation of the small distinct frame, never of raw events) and
+    re-collapses to distinct (report_day, key) before the final
+    count.  Integer epoch-day arithmetic (``div``, the funnel/cohort
+    discipline); NULL timestamps are dropped.  Only report days with
+    at least one active day in range appear — including pure
+    carry-forward days inside a gap (a day with WAU > 0 but DAU 0).
+
+    Returns (day, dau, wau) with ``day`` = epoch-day index.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    dk = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.expr(
+                f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+            ).alias("_sg_day"),
+            F.col(key_col).alias("_sg_k"),
+        )
+        .distinct()
+    )
+    dau = dk.groupBy(F.col("_sg_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    span = dk.select(
+        F.explode(
+            F.sequence(
+                F.col("_sg_day"), F.col("_sg_day") + F.lit(window_days - 1)
+            )
+        ).alias("day"),
+        "_sg_k",
+    ).distinct()
+    wau = span.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        wau.join(dau, "day", "left")
+        .withColumn("dau", F.coalesce("dau", F.lit(0).cast("long")))
+        .select("day", "dau", "wau")
+    )

@@ -118,3 +118,46 @@ def test_cohort_retention(spark):
         (3, 0): 1,
         (3, 2): 1,
     }
+
+
+def test_active_users_twin(spark):
+    """DAU/WAU equal a set-based python twin, including the
+    carry-forward day (wau > 0, dau = 0) and NULL-ts drop."""
+    import datetime as dt
+
+    from sagan_spark.ops.funnel import active_users
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, base),
+        (2, 11, base),
+        (3, 10, base),                              # same-day dup key
+        (4, 10, base + dt.timedelta(days=1)),
+        (5, 12, base + dt.timedelta(days=9)),       # gap: days 2..8 empty
+        (6, 13, None),                              # dropped
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {r.day: (r.dau, r.wau) for r in active_users(ev, 3).collect()}
+    days = {}
+    for _, k, ts in rows:
+        if ts is None:
+            continue
+        d = int(ts.timestamp()) // 86400
+        days.setdefault(d, set()).add(k)
+    want = {}
+    all_days = set()
+    for d in days:
+        all_days.update(range(d, d + 3))
+    for rd in all_days:
+        w = set().union(*[days.get(d, set()) for d in range(rd - 2, rd + 1)])
+        if w:
+            want[rd] = (len(days.get(rd, set())), len(w))
+    assert got == want
+    d0 = int(base.timestamp()) // 86400
+    assert got[d0 + 2] == (0, 2)  # pure carry-forward day
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        active_users(ev, 0)
