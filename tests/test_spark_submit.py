@@ -209,3 +209,83 @@ def test_spark_submit_py_files_corpus_job(tmp_path):
     )
     assert out2.returncode == 0, out2.stderr[-3000:]
     assert "already completed" in out2.stdout
+
+
+def test_spark_submit_py_files_analytics_job(tmp_path):
+    """The event-analytics entry point, deployed the same way: one
+    events read fanning into six product tables + ledger, resume
+    marker honored on re-run."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    base = dt.datetime(2024, 1, 1)
+    n = 600
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "user_id": pa.array([i % 7 for i in range(n)], type=pa.int64()),
+            "event_type": pa.array(
+                ["view" if i % 3 else "click" for i in range(n)]
+            ),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=173 * i) for i in range(n)],
+                type=pa.timestamp("us"),
+            ),
+            "value": pa.array(
+                [float((i % 13) + 1) for i in range(n)], type=pa.float64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    zpath = _zip_package(tmp_path)
+    job = tmp_path / "run_analytics.py"
+    shutil.copy(REPO / "jobs" / "run_analytics.py", job)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [
+        "spark-submit",
+        "--master", "local[2]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zpath),
+        str(job),
+        "--input", str(tmp_path / "events.parquet"),
+        "--output", str(tmp_path / "analytics"),
+        "--metrics", str(tmp_path / "metrics"),
+        "--gap-sec", "600",
+        "--bucket-sec", "3600",
+        "--run-id", "analyticssmoke",
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=tmp_path, env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+
+    products = {
+        "sessions", "session_rollup", "bursts", "quantiles", "rollup",
+        "actives",
+    }
+    for name in products:
+        t = pq.read_table(str(tmp_path / "analytics" / name))
+        assert t.num_rows > 0, name
+    stages = pq.read_table(str(tmp_path / "metrics" / "stages"))
+    assert set(stages.column("product").to_pylist()) == products
+    # spot-shape: every event lands in exactly one session row
+    sessions = pq.read_table(str(tmp_path / "analytics" / "sessions"))
+    assert sessions.num_rows == n
+    actives = pq.read_table(str(tmp_path / "analytics" / "actives"))
+    assert all(
+        d <= w
+        for d, w in zip(
+            actives.column("dau").to_pylist(), actives.column("wau").to_pylist()
+        )
+    )
+
+    out2 = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=tmp_path, env=env,
+        timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    assert "already completed" in out2.stdout
