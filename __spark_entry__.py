@@ -5193,8 +5193,13 @@ def oracle_sql() -> dict[str, str]:
     # the same clustering over only quality-kept docs.
     def _components_cte(doc_src: str, extra_ctes: str = "") -> str:
         sh = shingles.replace("FROM documents)", f"FROM {doc_src})")
+        # sh is read four times and edges sits INSIDE the recursive
+        # reach — DuckDB's default CTE inlining would re-evaluate the
+        # whole shingle join once per reach iteration (the bpe_encode
+        # lesson: MATERIALIZED took that oracle 190s -> 0.6s; at sf0.1
+        # the un-materialized form ran >1h on the dense component)
         return (
-            f"WITH RECURSIVE {extra_ctes}sh AS ({sh}), "
+            f"WITH RECURSIVE {extra_ctes}sh AS MATERIALIZED ({sh}), "
             "sig AS (SELECT doc_id, "
             " min(('0x'||substr(md5('b0|' || shingle),1,15))::BIGINT) AS sig0,"
             " min(('0x'||substr(md5('b1|' || shingle),1,15))::BIGINT) AS sig1,"
@@ -5215,7 +5220,7 @@ def oracle_sql() -> dict[str, str]:
             " JOIN sizes na ON na.doc_id = i.doc_a"
             " JOIN sizes nb ON nb.doc_id = i.doc_b"
             " WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3), "
-            "edges AS (SELECT doc_a AS u, doc_b AS v FROM jp"
+            "edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM jp"
             " UNION SELECT doc_b, doc_a FROM jp), "
             "reach AS (SELECT u AS node, u AS r FROM edges"
             " UNION SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v), "
