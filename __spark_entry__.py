@@ -2158,20 +2158,25 @@ _MIX_TARGET = {"en": 500_000, "de": 250_000, "fr": 150_000,
 _MIX_BUDGET = 400
 
 
-def _mix_quota_cte() -> str:
+def _mix_quota_cte(avail_sql: str = "count(*)",
+                   budget: int | None = None) -> str:
     """The water-filling allocation (ops/sampling.mixture_quotas)
     replayed as one window chain over the tiny per-group frame —
     integer sort key, prefix-min saturation walk, truncating `//`
-    division (both engines truncate; operands non-negative)."""
+    division (both engines truncate; operands non-negative; HUGEINT
+    products mirror the op's DECIMAL(38,0) discipline).
+    ``avail_sql`` picks the allocation unit (rows by default, a
+    weight sum for the token-budget gate)."""
     share = " ".join(
         f"WHEN '{g}' THEN {s}" for g, s in _MIX_TARGET.items()
     )
-    b = _MIX_BUDGET
+    b = _MIX_BUDGET if budget is None else budget
     return (
-        "w0 AS (SELECT lang, count(*) AS n_avail,"
+        f"w0 AS (SELECT lang, {avail_sql} AS n_avail,"
         f" CAST(CASE lang {share} END AS BIGINT) AS share"
         " FROM documents GROUP BY 1),"
-        " w1 AS (SELECT *, (n_avail * 1000000) // share AS k FROM w0"
+        " w1 AS (SELECT *, CAST((CAST(n_avail AS HUGEINT) * 1000000)"
+        " // share AS BIGINT) AS k FROM w0"
         "  WHERE share IS NOT NULL),"
         " w2 AS (SELECT *, coalesce(sum(n_avail) OVER (ORDER BY k, lang"
         "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
@@ -2179,8 +2184,10 @@ def _mix_quota_cte() -> str:
         "  sum(share) OVER () - coalesce(sum(share) OVER (ORDER BY k, lang"
         "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
         "   AS share_after FROM w1),"
-        " w3 AS (SELECT *, CASE WHEN n_avail * share_after <="
-        f"  ({b} - cum_avail) * share THEN 1 ELSE 0 END AS cond FROM w2),"
+        " w3 AS (SELECT *, CASE WHEN CAST(n_avail AS HUGEINT)"
+        " * share_after <="
+        f"  CAST(({b} - cum_avail) AS HUGEINT) * share"
+        " THEN 1 ELSE 0 END AS cond FROM w2),"
         " w4 AS (SELECT *, min(cond) OVER (ORDER BY k, lang"
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1"
         "  AS saturated FROM w3),"
@@ -2189,7 +2196,8 @@ def _mix_quota_cte() -> str:
         "  ELSE 0 END) OVER () AS s FROM w4),"
         " q AS (SELECT lang, n_avail, share, saturated,"
         "  CAST(CASE WHEN saturated THEN n_avail"
-        "  ELSE least(n_avail, (r * share) // s) END AS BIGINT) AS quota"
+        "  ELSE least(CAST(n_avail AS HUGEINT),"
+        "   (CAST(r AS HUGEINT) * share) // s) END AS BIGINT) AS quota"
         "  FROM w5)"
     )
 
@@ -2216,6 +2224,22 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return mixture_sample(
         _docs(spark, sf_dir), _MIX_TARGET, _MIX_BUDGET
+    ).select("doc_id", "lang")
+
+
+def q_sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-denominated mixture selection (ops/sampling.
+    mixture_budget_select): water-fill a 120k-char budget across the
+    mixture shares (sum(n_chars) availability — saturates 3 of 4
+    groups at sf0.01, none at sf0.1), then per-group prefix fill in
+    hash order via the budget_select digit decomposition.  The oracle
+    replays the naive per-group cumulative window the decomposition
+    is provably equivalent to."""
+    from sagan_spark.ops.sampling import mixture_budget_select
+
+    docs = _docs(spark, sf_dir)
+    return mixture_budget_select(
+        docs, _MIX_TARGET, 120_000, token_col="n_chars"
     ).select("doc_id", "lang")
 
 
@@ -3788,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank_resumed": q_domain_pagerank_resumed,
         "dedup_edit_verify": q_dedup_edit_verify,
         "events_actives": q_events_actives,
+        "sample_mixture_budget": q_sample_mixture_budget,
     }
 
 
@@ -6720,6 +6745,16 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, lang, score, n_below,"
             " CAST(CASE WHEN n > 1 THEN (1000000 * n_below) // (n - 1)"
             "  ELSE 0 END AS BIGINT) AS pct_ppm FROM r"
+        ),
+        "sample_mixture_budget": (
+            f"WITH {_mix_quota_cte('CAST(sum(n_chars) AS BIGINT)', 120_000)}"
+            " SELECT doc_id, lang FROM ("
+            "SELECT d.doc_id, d.lang, q.quota,"
+            " sum(d.n_chars) OVER (PARTITION BY d.lang ORDER BY"
+            " substr(md5('mixb|' || CAST(d.doc_id AS VARCHAR)), 1, 8),"
+            " d.doc_id ROWS UNBOUNDED PRECEDING) AS cum"
+            " FROM documents d JOIN q ON q.lang = d.lang)"
+            " WHERE cum <= quota"
         ),
         "sample_mixture": (
             f"WITH {_mix_quota_cte()}"

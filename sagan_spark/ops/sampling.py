@@ -223,7 +223,8 @@ def stratified_sample(docs: DataFrame, quotas: dict[str, int],
 
 
 def mixture_quotas(docs: DataFrame, target: dict[str, int], budget: int,
-                   group_col: str = "lang") -> DataFrame:
+                   group_col: str = "lang",
+                   weight_col: str | None = None) -> DataFrame:
     """Availability-aware water-filling allocation: split a document
     ``budget`` across groups proportionally to ``target`` share
     weights, letting groups that cannot fill their share ("saturated":
@@ -258,6 +259,17 @@ def mixture_quotas(docs: DataFrame, target: dict[str, int], budget: int,
     group sizes to ~9·10^12 rows; both engines run ANSI/checked
     arithmetic, so an overflow fails loud, never silently wraps.
 
+    ``weight_col`` switches the allocation unit: by default a group's
+    availability is its ROW count (quotas in documents); with
+    ``weight_col`` it is the column's sum (quotas in tokens/bytes —
+    the unit training budgets are actually written in).  NULL/negative
+    weights fail loud inside the availability scan (a silent drop
+    would mis-ration the budget).  All walk arithmetic runs through
+    DECIMAL(38,0) products with integral `div` (Spark `div` on
+    decimals returns the exact truncated quotient, same as DuckDB
+    HUGEINT `//`), so token-scale budgets cannot overflow int64
+    mid-product.
+
     Returns (group, n_avail, share, saturated, quota).  Groups absent
     from ``target`` are dropped; groups in ``target`` absent from the
     corpus allocate nothing (they have no rows to take).
@@ -272,12 +284,31 @@ def mixture_quotas(docs: DataFrame, target: dict[str, int], budget: int,
     share = F.create_map(
         *[F.lit(x) for kv in target.items() for x in kv]
     )[F.col(group_col)].cast("long")
+    if weight_col is None:
+        avail = F.count(F.lit(1)).alias("n_avail")
+    else:
+        wc = F.col(weight_col).cast("long")
+        checked = F.coalesce(
+            F.when(wc >= 0, wc),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"mixture_quotas: NULL/negative {weight_col} in group "
+                    ),
+                    F.col(group_col).cast("string"),
+                )
+            ).cast("long"),
+        )
+        avail = F.sum(checked).alias("n_avail")
     w = (
         docs.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .agg(avail)
         .select(group_col, "n_avail", share.alias("share"))
         .filter(F.col("share").isNotNull())
-        .withColumn("_sg_key", F.expr("(n_avail * 1000000) div share"))
+        .withColumn(
+            "_sg_key",
+            F.expr("(cast(n_avail as decimal(38,0)) * 1000000) div share"),
+        )
     )
     order = [F.col("_sg_key").asc(), F.col(group_col).asc()]
     before = (
@@ -301,9 +332,10 @@ def mixture_quotas(docs: DataFrame, target: dict[str, int], budget: int,
         )
         .withColumn(
             "_sg_cond",
-            (
-                F.col("n_avail") * F.col("_sg_share_after")
-                <= (F.lit(budget) - F.col("_sg_cum_avail")) * F.col("share")
+            F.expr(
+                "cast(n_avail as decimal(38,0)) * _sg_share_after"
+                f" <= cast({int(budget)} - _sg_cum_avail as decimal(38,0))"
+                " * share"
             ).cast("int"),
         )
         .withColumn("saturated", F.min("_sg_cond").over(upto) == 1)
@@ -317,7 +349,10 @@ def mixture_quotas(docs: DataFrame, target: dict[str, int], budget: int,
     # intermediate columns so the integer division stays `div`
     w = w.withColumn("_sg_r", r).withColumn("_sg_s", s)
     quota = F.when(F.col("saturated"), F.col("n_avail")).otherwise(
-        F.least(F.col("n_avail"), F.expr("(_sg_r * share) div _sg_s"))
+        F.least(
+            F.col("n_avail"),
+            F.expr("(cast(_sg_r as decimal(38,0)) * share) div _sg_s"),
+        )
     )
     return w.select(
         group_col,
@@ -352,6 +387,102 @@ def mixture_sample(docs: DataFrame, target: dict[str, int], budget: int,
         [group_col], F.col("_sg_q"), id_col, salt,
     ).drop("_sg_n", "_sg_q")
     return under.unionByName(capped)
+
+
+def mixture_budget_select(docs: DataFrame, target: dict[str, int],
+                          token_budget: int, group_col: str = "lang",
+                          token_col: str = "n_tokens",
+                          id_col: str = "doc_id", salt: str = "mixb",
+                          cell_chars: int = 2) -> DataFrame:
+    """Token-denominated mixture selection: water-fill the TOKEN
+    budget across target shares (:func:`mixture_quotas` with
+    ``weight_col``), then fill each group's token quota with documents
+    in deterministic hash order — "give me 1T tokens at these source
+    weights", the fixed-compute cut a training run actually orders
+    (doc-count mixtures over-weight long-document groups;
+    :func:`budget_select` fills ONE global budget by score — this is
+    its per-group, share-aware sibling in hash order).
+
+    Per-group strict fill (the budget_select rule): keep a doc iff
+    the group's cumulative token count through it — in (md5 hash, id)
+    order — stays <= its quota; a front-of-line giant selects nothing
+    past it until smaller docs fit.  Zero-token docs at the boundary
+    survive, matching the naive rule.
+
+    Scale shape — budget_select's digit-decomposition, partitioned by
+    group: per-(group, hash-cell) token-mass histogram (map-side
+    combining; <= 16^cell_chars rows per group), ONE cumulative
+    window per group over that bounded frame, verdicts broadcast
+    back, and only each group's single boundary cell pays an exact
+    within-cell window seeded with the pre-cell mass — no corpus-
+    global sort, no per-group raw window; a Zipf-hot group's biggest
+    sort task is one hash cell.  Provably identical to the per-group
+    naive rule (the budget_select equivalence argument, per group),
+    which is how the oracle replays it.
+
+    Rows in untargeted groups drop; NULL/negative tokens fail loud.
+    Returns the selected input rows.
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if not 1 <= cell_chars <= 8:
+        raise ValueError(f"cell_chars must be in [1, 8], got {cell_chars}")
+    quotas = mixture_quotas(
+        docs, target, token_budget, group_col=group_col, weight_col=token_col
+    )
+    q = quotas.select(group_col, F.col("quota").alias("_sg_q"))
+    tok = F.col(token_col).cast("long")
+    checked = F.coalesce(
+        F.when(tok >= 0, tok),
+        F.raise_error(
+            F.concat(
+                F.lit(f"mixture_budget_select: NULL/negative {token_col}"
+                      f" at {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    )
+    base = (
+        docs.join(F.broadcast(q), group_col)
+        .withColumn("_sg_h", _hash8(F.col(id_col), salt))
+        .withColumn("_sg_cell", F.substring(F.col("_sg_h"), 1, cell_chars))
+        .withColumn("_sg_tokc", checked)
+    )
+    cells = base.groupBy(group_col, "_sg_cell").agg(
+        F.sum("_sg_tokc").alias("_sg_tok"),
+        F.max("_sg_q").alias("_sg_q"),  # constant within the group
+    )
+    cum_before = F.coalesce(
+        F.sum("_sg_tok").over(
+            Window.partitionBy(group_col)
+            .orderBy(F.col("_sg_cell").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    verdicts = cells.select(
+        group_col,
+        "_sg_cell",
+        cum_before.alias("_sg_before"),
+        (cum_before + F.col("_sg_tok")).alias("_sg_through"),
+        "_sg_q",
+    ).filter(F.col("_sg_before") <= F.col("_sg_q"))
+    joined = base.drop("_sg_q").join(
+        F.broadcast(verdicts), [group_col, "_sg_cell"], "inner"
+    )
+    kept_whole = joined.filter(F.col("_sg_through") <= F.col("_sg_q"))
+    boundary = joined.filter(F.col("_sg_through") > F.col("_sg_q"))
+    cum_doc = F.sum("_sg_tokc").over(
+        Window.partitionBy(group_col, "_sg_cell")
+        .orderBy(F.col("_sg_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary_kept = boundary.withColumn("_sg_cum", cum_doc).filter(
+        F.col("_sg_before") + F.col("_sg_cum") <= F.col("_sg_q")
+    ).drop("_sg_cum")
+    drop = ["_sg_h", "_sg_cell", "_sg_tokc", "_sg_before", "_sg_through",
+            "_sg_q"]
+    return kept_whole.unionByName(boundary_kept).drop(*drop)
 
 
 def temperature_mix(docs: DataFrame, budget: int, alpha: float = 0.5,

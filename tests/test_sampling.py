@@ -333,3 +333,71 @@ def test_mixture_sample_counts_and_determinism(spark):
     assert sorted(r.doc_id for r in sel.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_mixture_budget_select_twin(spark):
+    """Token-budget mixture fill equals the per-group prefix-rule twin
+    (water-fill in token units, hash-order cumulative <= quota);
+    invariant under repartitioning and cell width."""
+    rows = [(i, "en" if i % 3 else "de", (i % 29) + 1) for i in range(400)]
+    rows += [(1000, "en", 0), (1001, "xx", 5)]  # zero-token; untargeted
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    target = {"en": 700_000, "de": 300_000}
+    budget = 1500
+    from sagan_spark.ops.sampling import mixture_budget_select, mixture_quotas
+
+    quota = {
+        r.lang: r.quota
+        for r in mixture_quotas(
+            docs, target, budget, weight_col="n_tokens"
+        ).collect()
+    }
+    # token-unit water-fill twin
+    avail = {}
+    for _, g, t in rows:
+        if g in target:
+            avail[g] = avail.get(g, 0) + t
+    assert sum(quota.values()) <= budget
+    assert set(quota) == set(avail)
+
+    got = sorted(
+        r.doc_id for r in mixture_budget_select(docs, target, budget).collect()
+    )
+    want = []
+    for g in quota:
+        grp = sorted(
+            (
+                (hashlib.md5(f"mixb|{i}".encode()).hexdigest()[:8], i, t)
+                for i, gg, t in rows
+                if gg == g
+            ),
+        )
+        c = 0
+        for _, i, t in grp:
+            c += t
+            if c <= quota[g]:
+                want.append(i)
+    assert got == sorted(want)
+    assert 1001 not in got
+    again = mixture_budget_select(docs.repartition(13), target, budget)
+    assert sorted(r.doc_id for r in again.collect()) == got
+    cells1 = mixture_budget_select(docs, target, budget, cell_chars=1)
+    assert sorted(r.doc_id for r in cells1.collect()) == got
+
+
+def test_mixture_budget_select_validation(spark):
+    from sagan_spark.ops.sampling import mixture_budget_select, mixture_quotas
+
+    docs = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id long, lang string, n_tokens long"
+    )
+    with pytest.raises(ValueError):
+        mixture_budget_select(docs, {"a": 1}, -1)
+    with pytest.raises(ValueError):
+        mixture_budget_select(docs, {"a": 1}, 10, cell_chars=0)
+    # NULL token fails loud inside the availability scan
+    bad = spark.createDataFrame(
+        [(1, "a", None)], "doc_id long, lang string, n_tokens long"
+    )
+    with pytest.raises(Exception, match="mixture_quotas"):
+        mixture_quotas(bad, {"a": 1}, 10, weight_col="n_tokens").collect()
