@@ -2816,6 +2816,20 @@ def q_events_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_users(ev, window_days=7)
 
 
+def q_events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (ops/funnel.funnel_stages with
+    max_gap_sec=7200): stage i must land within 2h of stage i-1 or
+    the chain breaks — the sparse synthetic event stream (~11h mean
+    inter-event gap per user) breaks most chains, exercising the
+    constraint.  Greedy walk, replayed verbatim by the oracle."""
+    from sagan_spark.ops.funnel import funnel_stages
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_stages(
+        ev, ["view", "click", "purchase"], max_gap_sec=7200
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution continuous-aggregate cascade (ops/rollup.
     time_rollup): minute/hour/day per-event_type count/sum/min/max in
@@ -3813,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_verify": q_dedup_edit_verify,
         "events_actives": q_events_actives,
         "sample_mixture_budget": q_sample_mixture_budget,
+        "events_funnel_windowed": q_events_funnel_windowed,
     }
 
 
@@ -6268,6 +6283,23 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": (
             _funnel_cte
             + " SELECT s1.user_id, t1 AS view_us, t2 AS click_us,"
+            " t3 AS purchase_us FROM s1"
+            " LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
+        ),
+        "events_funnel_windowed": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us"
+            " FROM events WHERE ts IS NOT NULL),"
+            " s1 AS (SELECT user_id, min(us) AS t1 FROM e"
+            " WHERE event_type = 'view' GROUP BY 1),"
+            " s2 AS (SELECT e.user_id, min(us) AS t2 FROM e"
+            " JOIN s1 USING (user_id)"
+            " WHERE event_type = 'click' AND us >= t1"
+            " AND us <= t1 + 7200000000 GROUP BY 1),"
+            " s3 AS (SELECT e.user_id, min(us) AS t3 FROM e"
+            " JOIN s2 USING (user_id)"
+            " WHERE event_type = 'purchase' AND us >= t2"
+            " AND us <= t2 + 7200000000 GROUP BY 1)"
+            " SELECT s1.user_id, t1 AS view_us, t2 AS click_us,"
             " t3 AS purchase_us FROM s1"
             " LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"
         ),

@@ -42,7 +42,8 @@ def _us_events(events: DataFrame, key_col: str, ts_col: str,
 
 def funnel_stages(events: DataFrame, stages: list[str],
                   key_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type") -> DataFrame:
+                  type_col: str = "event_type",
+                  max_gap_sec: int | None = None) -> DataFrame:
     """Per-key stage-completion times: one row per key that completed
     stage 1, with ``<stage>_us`` columns for each stage (NULL once the
     chain breaks).  Stage i counts when its earliest event at-or-after
@@ -50,12 +51,24 @@ def funnel_stages(events: DataFrame, stages: list[str],
     event of the next type satisfies the order — documented choice,
     replayed in the oracle).
 
+    ``max_gap_sec`` adds the CONVERSION-WINDOW constraint product
+    funnels ship with: stage i must land within that many seconds of
+    stage i-1 or the chain breaks.  The walk stays GREEDY from each
+    stage's earliest qualifying event (the standard product-analytics
+    definition) — a later stage-(i-1) occurrence is never revisited,
+    so a chain the greedy walk misses is reported broken even if a
+    non-greedy pairing would connect it (documented, and exactly what
+    the oracle replays).
+
     Plan: one aggregation + one equi-join per stage, all keyed on
     ``key_col`` — the first shuffle establishes the partitioning and
     every later stage reuses it; no window ever touches the corpus.
     """
     if not stages:
         raise ValueError("stages must be non-empty")
+    if max_gap_sec is not None and max_gap_sec < 0:
+        raise ValueError(f"max_gap_sec must be >= 0, got {max_gap_sec}")
+    gap_us = None if max_gap_sec is None else int(max_gap_sec) * 1_000_000
     e = _us_events(events, key_col, ts_col, type_col)
     cols = [f"{s}_us" for s in stages]
     frame = (
@@ -65,10 +78,13 @@ def funnel_stages(events: DataFrame, stages: list[str],
     )
     out = frame
     for stage, col, prev in zip(stages[1:], cols[1:], cols):
+        cond = F.col("_sg_us") >= F.col(prev)
+        if gap_us is not None:
+            cond = cond & (F.col("_sg_us") <= F.col(prev) + F.lit(gap_us))
         frame = (
             e.filter(F.col(type_col) == stage)
             .join(frame.select(key_col, prev), key_col)
-            .filter(F.col("_sg_us") >= F.col(prev))
+            .filter(cond)
             .groupBy(key_col)
             .agg(F.min("_sg_us").alias(col))
         )
@@ -78,13 +94,15 @@ def funnel_stages(events: DataFrame, stages: list[str],
 
 def funnel_counts(events: DataFrame, stages: list[str],
                   key_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type") -> DataFrame:
+                  type_col: str = "event_type",
+                  max_gap_sec: int | None = None) -> DataFrame:
     """Funnel summary: (stage_idx, stage, keys_reached) — the count of
     keys whose chain survived through each stage.  A single pass over
     :func:`funnel_stages`' one-row-per-key output (tiny relative to
     the corpus), unpivoted via an inline stack."""
     st = funnel_stages(
-        events, stages, key_col=key_col, ts_col=ts_col, type_col=type_col
+        events, stages, key_col=key_col, ts_col=ts_col, type_col=type_col,
+        max_gap_sec=max_gap_sec,
     )
     pairs = F.array(
         *[

@@ -161,3 +161,52 @@ def test_active_users_twin(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         active_users(ev, 0)
+
+
+def test_funnel_windowed_twin(spark):
+    """Conversion-window funnel equals a greedy python twin; the
+    unbounded default is unchanged and validation fails loud."""
+    import datetime as dt
+
+    from sagan_spark.ops.funnel import funnel_stages
+
+    base = dt.datetime(2024, 1, 1)
+
+    def T(m):
+        return base + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: view 0, click 30 (inside 1h), purchase 200 (outside 1h of 30)
+        (1, 1, "view", T(0)), (2, 1, "click", T(30)), (3, 1, "purchase", T(200)),
+        # u2: full chain inside windows
+        (4, 2, "view", T(0)), (5, 2, "click", T(10)), (6, 2, "purchase", T(50)),
+        # u3: greedy trap — earliest click at +30 breaks the purchase
+        # window even though click at +120 would have connected
+        (7, 3, "view", T(0)), (8, 3, "click", T(30)), (9, 3, "click", T(120)),
+        (10, 3, "purchase", T(170)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.user_id: (r.view_us is not None, r.click_us is not None,
+                    r.purchase_us is not None)
+        for r in funnel_stages(
+            ev, ["view", "click", "purchase"], max_gap_sec=3600
+        ).collect()
+    }
+    assert got == {
+        1: (True, True, False),
+        2: (True, True, True),
+        3: (True, True, False),  # greedy: click@30 pins the window
+    }
+    # unbounded: all three complete
+    got_u = {
+        r.user_id: r.purchase_us is not None
+        for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got_u == {1: True, 2: True, 3: True}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel_stages(ev, ["view"], max_gap_sec=-1)
