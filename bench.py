@@ -105,6 +105,12 @@ HEADLINE = [
     "frontier_candidates",
     "sample_mixture",
     "vocab_spectrum",
+    # round-4 continuation, second wave: as-of enrichment (broadcast
+    # probe), the rollup cascade, degree-oriented triangles, DAU/WAU
+    "events_asof",
+    "events_rollup",
+    "link_triangles",
+    "events_actives",
 ]
 
 
