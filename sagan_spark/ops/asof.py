@@ -16,7 +16,12 @@ snapshot is ``max(struct(ts_r, payload...))`` over candidates — latest
 timestamp first, then the lexicographically greatest payload among
 equal timestamps (dimension tables should not carry duplicate
 (key, ts) rows, but when they do the result is still deterministic and
-engine-independent).  ``max_age_sec`` (optional) voids matches older
+engine-independent).  Payload columns must be NON-NULL on the
+dimension side: NULLs inside the tie-break struct order differently
+across engines (Spark sorts struct-field NULLs first, SQL ``ORDER BY
+... DESC`` puts them last), so a NULL payload forfeits the
+cross-engine tie guarantee — coalesce dimension payloads to a
+sentinel first.  ``max_age_sec`` (optional) voids matches older
 than the tolerance — the enrichment answer becomes NULL, matching the
 "stale dimension row is no dimension row" reading.  NULL left
 timestamps never match.  All timestamp math is integer microseconds.

@@ -25,9 +25,11 @@ and the pure-Python pytest twin):
 - ``anchor_chars``: total visible characters inside ``<a ...>...</a>``
   spans — each span's inner markup is stripped with the SAME
   tag/entity/whitespace chain before measuring.  Nested anchors are
-  out of spec (regex census, not a parser); an unclosed ``<a>`` or
-  one whose body contains another ``<a`` contributes nothing
-  (non-greedy match up to the nearest close tag).
+  out of spec (regex census, not a parser): a span runs from an open
+  tag to the NEAREST close tag (non-greedy), so nested content counts
+  once inside the outer span and text between that close tag and a
+  later orphan ``</a>`` contributes nothing; an ``<a>`` with no close
+  tag at all contributes nothing.
 - ``link_density_ppm`` = ``1e6 * anchor_chars div max(text_len, 1)``,
   ``markup_ratio_ppm`` = ``1e6 * text_len div max(html_len, 1)`` —
   integer parts-per-million, exact in any evaluation order, no

@@ -111,7 +111,9 @@ def shard_checksums(docs: DataFrame, n_shards: int = 64,
       sentinel (distinct from the empty string).  Columns default to
       all columns; pre-quantize floats before hashing them (the repo's
       integer-units discipline — raw double rendering is not a
-      cross-engine contract).
+      cross-engine contract), and render binary columns to hex first
+      (Spark casts bytes to a UTF-8 string, DuckDB to a \\x-escaped
+      form — raw blob casts are not a contract either).
     - ``v`` = first 60 digest bits as int64; ``shard`` = an
       INDEPENDENT 32-bit digest window mod ``n_shards`` (so checksum
       and shard assignment don't correlate).

@@ -255,9 +255,10 @@ def mixture_quotas(docs: DataFrame, target: dict[str, int], budget: int,
     100 TB shape: the corpus is touched by ONE map-side-combining
     count; every window runs over the per-group frame (one row per
     group in ``target`` — bounded by construction, broadcastable).
-    Overflow guard: products stay under 2^63 for ppm-scale shares and
-    group sizes to ~9·10^12 rows; both engines run ANSI/checked
-    arithmetic, so an overflow fails loud, never silently wraps.
+    Overflow posture: every product runs in DECIMAL(38,0)/HUGEINT;
+    only the final quotients (sort key, quota — both <= budget-scale)
+    must fit int64, and both engines run checked arithmetic, so an
+    extreme ``n_avail/share`` ratio fails loud, never silently wraps.
 
     ``weight_col`` switches the allocation unit: by default a group's
     availability is its ROW count (quotas in documents); with
