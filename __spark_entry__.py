@@ -2695,6 +2695,47 @@ def _triangles_oracle_sql() -> str:
     )
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled frontier (ops/linkgraph.frontier_schedule
+    over ops/robotstxt.crawl_delays): {source}.com domains declare a
+    Crawl-delay derived from the source name, .org/.example domains
+    fall back to the 3s default; fetch offset = (rank-1)*delay.  The
+    oracle replays the frontier chain + the delay extraction."""
+    from sagan_spark.ops.linkgraph import frontier_candidates, frontier_schedule
+    from sagan_spark.ops.robotstxt import crawl_delays
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<a href="https://'), F.col("source"), F.lit(".com/p/"),
+        (did % 7).cast("string"),
+        F.lit('">x</a><a href="https://ref'), (did % 5).cast("string"),
+        F.lit('.org/">y</a><a href="https://'), F.col("source"),
+        F.lit(".example/p/"), (did % 97).cast("string"),
+        F.lit('">z</a>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".com")).alias("domain"),
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (F.length("source") % 5 + 1).cast("string"),
+            F.lit("\nDisallow: /private\n"),
+        ).alias("robots_txt"),
+    )
+    return frontier_schedule(
+        frontier_candidates(pages, k=5),
+        crawl_delays(robots),
+        default_delay_sec=3,
+    )
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap: directive discovery from robots.txt bodies
     (ops/robotstxt.robots_sitemaps): case-insensitive field name,
@@ -3828,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_actives": q_events_actives,
         "sample_mixture_budget": q_sample_mixture_budget,
         "events_funnel_windowed": q_events_funnel_windowed,
+        "frontier_schedule": q_frontier_schedule,
     }
 
 
@@ -6684,6 +6726,24 @@ def oracle_sql() -> dict[str, str]:
         "html_stats": _html_stats_oracle_sql(),
         "charset_sniff": _charset_oracle_sql(),
         "frontier_candidates": _frontier_oracle_sql(),
+        # frontier + crawl-delay politeness schedule; the single-group
+        # scaffold lets the oracle extract the delay with one anchored
+        # multiline regex (multi-group walks carry their own pytest)
+        "frontier_schedule": (
+            f"WITH fr AS ({_frontier_oracle_sql()}),"
+            " dl AS (SELECT source || '.com' AS domain,"
+            "  CAST(regexp_extract('User-agent: *' || chr(10) ||"
+            "  'Crawl-delay: ' || CAST(length(source) % 5 + 1 AS VARCHAR)"
+            "  || chr(10) || 'Disallow: /private' || chr(10),"
+            "  '(?im)^crawl-delay:[ \t]*([0-9]+)$', 1) AS BIGINT)"
+            "  AS crawl_delay_sec"
+            "  FROM (SELECT DISTINCT source FROM documents))"
+            " SELECT fr.domain, fr.url, fr.n_refs, fr.rank,"
+            " coalesce(dl.crawl_delay_sec, 3) AS delay_sec,"
+            " (fr.rank - 1) * coalesce(dl.crawl_delay_sec, 3)"
+            "  AS fetch_offset_sec"
+            " FROM fr LEFT JOIN dl ON dl.domain = fr.domain"
+        ),
         # water-filling mixture allocation + selection
         # (ops/sampling.mixture_quotas / mixture_sample); selection
         # replays the naive global rank window the slack-prefiltered

@@ -237,6 +237,37 @@ def hits(edges: DataFrame, iterations: int = 3, scale: int = 1_000_000,
     return hubs.join(auths, "node").select("node", "hub", "auth")
 
 
+def frontier_schedule(frontier: DataFrame, delays: DataFrame,
+                      default_delay_sec: int = 1) -> DataFrame:
+    """Politeness-scheduled fetch plan: assign each frontier URL a
+    per-domain fetch offset — rank r fetches at
+    ``(r - 1) · crawl_delay`` seconds after the domain's window opens,
+    so a domain is hit at most once per declared ``Crawl-delay``
+    (ops/robotstxt.crawl_delays; ``default_delay_sec`` when the domain
+    declares none).  This closes the crawl loop operationally:
+    robots rules say WHAT may be fetched, sitemaps/frontier say what
+    SHOULD be, the schedule says WHEN.
+
+    Pure composition: one join on the domain key (delays is
+    domain-count sized; AQE-splittable) + scan-level integer
+    arithmetic.  Returns the frontier rows + ``delay_sec`` +
+    ``fetch_offset_sec``."""
+    if default_delay_sec < 0:
+        raise ValueError(
+            f"default_delay_sec must be >= 0, got {default_delay_sec}"
+        )
+    d = delays.select("domain", "crawl_delay_sec")
+    out = frontier.join(d, "domain", "left").withColumn(
+        "delay_sec",
+        F.coalesce(
+            F.col("crawl_delay_sec"), F.lit(int(default_delay_sec)).cast("long")
+        ),
+    ).drop("crawl_delay_sec")
+    return out.withColumn(
+        "fetch_offset_sec", (F.col("rank") - 1) * F.col("delay_sec")
+    )
+
+
 def triangle_stats(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Per-node triangle count + integer clustering coefficient over

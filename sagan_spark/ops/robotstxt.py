@@ -55,19 +55,12 @@ def _clean_line(line: Column) -> Column:
                                    F.lit(r"\r"), F.lit("")))
 
 
-def parse_robots(robots: DataFrame, body_col: str = "robots_txt",
-                 domain_col: str = "domain",
-                 agent: str = "*") -> DataFrame:
-    """robots.txt bodies → one row per Allow/Disallow rule:
-    (domain, group_id, applies, rule_type, prefix).
-
-    ``applies`` is true when the rule's group names ``agent`` or
-    ``*``.  Rules with an empty path are dropped (an empty Disallow
-    permits everything — it is the absence of a rule, RFC 9309
-    §2.2.2).  Group walk: ``group_id`` counts starts of User-agent
-    runs (a UA line whose previous line is not a UA line) at or before
-    each line; every line therefore carries the id of the most recent
-    UA run above it, which IS its RFC group."""
+def _group_tagged(robots: DataFrame, body_col: str, domain_col: str,
+                  agent: str) -> tuple[DataFrame, DataFrame]:
+    """Shared RFC-group walk: the per-line tagged frame (domain, pos,
+    ua_val, rule_type, prefix, line, group_id) and the per-group
+    applies set.  Windows are partitioned per FILE (bounded by its
+    line count by construction, never corpus size)."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(body_col), F.lit(LINE_SEP))).alias(
@@ -88,7 +81,7 @@ def parse_robots(robots: DataFrame, body_col: str = "robots_txt",
     )
     run_start = (is_ua & (prev_ua == 0)).cast("long")
     tagged = lines.select(
-        "domain", "pos",
+        "domain", "pos", "line",
         ua_val.alias("ua_val"),
         rule_type.alias("rule_type"),
         prefix.alias("prefix"),
@@ -103,6 +96,23 @@ def parse_robots(robots: DataFrame, body_col: str = "robots_txt",
             ).alias("applies_i")
         )
     )
+    return tagged, applies_set
+
+
+def parse_robots(robots: DataFrame, body_col: str = "robots_txt",
+                 domain_col: str = "domain",
+                 agent: str = "*") -> DataFrame:
+    """robots.txt bodies → one row per Allow/Disallow rule:
+    (domain, group_id, applies, rule_type, prefix).
+
+    ``applies`` is true when the rule's group names ``agent`` or
+    ``*``.  Rules with an empty path are dropped (an empty Disallow
+    permits everything — it is the absence of a rule, RFC 9309
+    §2.2.2).  Group walk: ``group_id`` counts starts of User-agent
+    runs (a UA line whose previous line is not a UA line) at or before
+    each line; every line therefore carries the id of the most recent
+    UA run above it, which IS its RFC group."""
+    tagged, applies_set = _group_tagged(robots, body_col, domain_col, agent)
     return (
         tagged.filter((F.col("rule_type") != "") & (F.col("prefix") != ""))
         .join(applies_set, ["domain", "group_id"])
@@ -111,6 +121,34 @@ def parse_robots(robots: DataFrame, body_col: str = "robots_txt",
             (F.col("applies_i") == 1).alias("applies"),
             "rule_type", "prefix",
         )
+    )
+
+
+CRAWL_DELAY_RE = r"(?i)^crawl-delay:[ \t]*([0-9]+)$"
+
+
+def crawl_delays(robots: DataFrame, body_col: str = "robots_txt",
+                 domain_col: str = "domain",
+                 agent: str = "*") -> DataFrame:
+    """Per-domain ``Crawl-delay`` (the de-facto politeness directive
+    robots.txt carries alongside the RFC 9309 rules): the MAXIMUM
+    delay over groups applicable to ``agent`` — the conservative
+    (most polite) reading when a file names both ``*`` and the agent;
+    this module's group model treats both as applicable (the
+    parse_robots simplification), so taking the max can never
+    under-throttle relative to either group's intent.  Integer
+    seconds only (digits-only value; the nonstandard fractional form
+    is ignored).  Domains whose file declares no applicable delay are
+    absent.  Returns (domain, crawl_delay_sec)."""
+    tagged, applies_set = _group_tagged(robots, body_col, domain_col, agent)
+    delay = F.regexp_extract(F.col("line"), CRAWL_DELAY_RE, 1)
+    return (
+        tagged.withColumn("_sg_d", delay)
+        .filter(F.col("_sg_d") != "")
+        .join(applies_set, ["domain", "group_id"])
+        .filter(F.col("applies_i") == 1)
+        .groupBy("domain")
+        .agg(F.max(F.col("_sg_d").cast("long")).alias("crawl_delay_sec"))
     )
 
 
