@@ -118,9 +118,16 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     )
     if iterations > 1:  # reused every iteration: materialize once
         e = e.localCheckpoint(eager=True)
+    # node set from the (checkpointed) edge frame, NOT from `edges`:
+    # deriving it from the raw input would re-run the upstream corpus
+    # scan (link extraction + the PSL domain ladder) a second time —
+    # the outdegree join is inner on src-with-outdegree, which every
+    # edge has by construction, so the node multiset is identical
+    # (the `hits` op already did this; measured ~one corpus pass
+    # saved per call)
     nodes = (
-        edges.select(src.alias("node"))
-        .union(edges.select(dst.alias("node")))
+        e.select(F.col("_sg_src").alias("node"))
+        .union(e.select(F.col("_sg_dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
