@@ -897,10 +897,14 @@ def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
     subtract-probes (exact, not a hash heuristic); each round
     localCheckpoints so the plan stays O(1) per round.
     """
+    # eagerly materialized: `nodes` is consumed by the FINAL join, and
+    # a lazy frame there would re-run the (typically expensive) pairs
+    # pipeline once per downstream action of the result
     nodes = (
         pairs.select(F.col(a_col).alias("node"))
         .unionByName(pairs.select(F.col(b_col).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     edges = (
         pairs.select(
