@@ -92,7 +92,15 @@ def main() -> None:
 
     def emit(name, df):
         write(df, name)
-        counters.append((name, df.count()))
+        # count the WRITTEN table, not the logical frame — counting
+        # the frame would re-execute the whole product chain a second
+        # time; the written files carry the row count in their footers
+        path = f"{args.output}/{name}"
+        if args.format == "iceberg":
+            written = spark.read.format("iceberg").load(path)
+        else:
+            written = spark.read.parquet(path)
+        counters.append((name, written.count()))
 
     emit("sessions", sessionize(events, gap_sec=args.gap_sec))
     emit("session_rollup", session_rollup(events, gap_sec=args.gap_sec))

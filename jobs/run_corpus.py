@@ -111,9 +111,16 @@ def main() -> None:
     counters = []
 
     def count_stage(name, df):
-        # one pass per stage counter: cheap relative to the writes, and
         # the ledger is the point — a curation run must account for
-        # every dropped row
+        # every dropped row.  Each stage frame is MATERIALIZED
+        # (localCheckpoint) before counting: the next stage then
+        # builds on stored blocks instead of re-executing the whole
+        # upstream chain, so k stages cost k passes, not O(k^2) — at
+        # 10^12 rows the recompute-per-count spelling is the
+        # difference between a run and a week.  (Blocks spill
+        # MEMORY_AND_DISK per executor; on a real cluster this is the
+        # standard checkpoint-between-stages posture.)
+        df = df.localCheckpoint(eager=True)
         counters.append((name, df.count()))
         return df
 
@@ -147,7 +154,7 @@ def main() -> None:
             )
         ),
     )
-    count_stage("ingest", pages)
+    pages = count_stage("ingest", pages)
 
     langs = tuple(x.strip() for x in args.langs.split(",") if x.strip())
     verdicts = filter_verdict(
@@ -156,7 +163,7 @@ def main() -> None:
     screened = pages.join(
         verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "leftsemi"
     )
-    count_stage("screen", screened)
+    screened = count_stage("screen", screened)
 
     # exact dedup: min-doc_id winner per content digest (agg + semi-join
     # — map-side combinable, no window over the corpus)
@@ -172,7 +179,7 @@ def main() -> None:
     deduped = screened.join(winners, "doc_id", "leftsemi").dropDuplicates(
         ["doc_id"]
     )
-    count_stage("dedup", deduped)
+    deduped = count_stage("dedup", deduped)
 
     # optional trained-classifier quality filter: score with the
     # broadcast weight table (train_quality_classifier output), pick
@@ -194,13 +201,13 @@ def main() -> None:
         ).collect()[0]  # ONE row — the histogram agg, not the corpus
         kept = scores.filter(F.col("score") >= th.threshold).select("doc_id")
         deduped = deduped.join(kept, "doc_id", "leftsemi")
-        count_stage("classifier", deduped)
+        deduped = count_stage("classifier", deduped)
 
     capped = domain_quota_sample(deduped, cap=args.domain_cap)
-    count_stage("quota", capped)
+    capped = count_stage("quota", capped)
 
     final = deterministic_sample(capped, args.sample, salt="corpus")
-    count_stage("sample", final)
+    final = count_stage("sample", final)
 
     write(final, args.output)
 
