@@ -2483,6 +2483,32 @@ def q_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_likelihood(docs, lm)
 
 
+def q_domain_lm_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain LM prior (ops/lmscore.domain_lm_prior): the CCNet
+    per-domain perplexity table — average lm_score_ppm per registered
+    domain over the synthetic url scaffold (same holdout-trained
+    bigram model as lm_likelihood; NULL-skipping integer mean)."""
+    from sagan_spark.ops.lmscore import domain_lm_prior, lm_train_bigrams
+    from sagan_spark.ops.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    ref = deterministic_sample(docs, 0.5, salt="split")
+    lm = lm_train_bigrams(ref, n_buckets=1 << 18)
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".org"))
+    )
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"), tld,
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+        ),
+    )
+    return domain_lm_prior(with_url, lm)
+
+
 def q_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained bigram LM model TABLES as a first-class artifact
     (kind='pair'|'prefix', bucket, n) — training is one map-side-
@@ -3870,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_budget": q_sample_mixture_budget,
         "events_funnel_windowed": q_events_funnel_windowed,
         "frontier_schedule": q_frontier_schedule,
+        "domain_lm_prior": q_domain_lm_prior,
     }
 
 
@@ -6530,6 +6557,25 @@ def oracle_sql() -> dict[str, str]:
         "lm_likelihood": _lm_likelihood_sql(),
         # trained bigram model tables (pair/prefix counts) themselves
         "lm_train": _lm_train_sql(),
+        # CCNet per-domain perplexity prior: lm_likelihood composed
+        # with the PSL domain ladder, NULL-skipping integer mean
+        "domain_lm_prior": (
+            f"WITH lm AS ({_lm_likelihood_sql()}),"
+            " u AS (SELECT doc_id,"
+            + " " + registered_domain_sql("host", "hp")
+            + " AS domain FROM (SELECT doc_id, host,"
+            " str_split(host, '.') AS hp FROM (SELECT doc_id,"
+            " lower('www.' || source ||"
+            " (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'"
+            "  WHEN doc_id % 3 = 1 THEN '.com' ELSE '.org' END))"
+            " AS host FROM documents)))"
+            " SELECT u.domain, count(*) AS n_docs,"
+            " count(lm.lm_score_ppm) AS n_scored,"
+            " CAST(CASE WHEN count(lm.lm_score_ppm) > 0 THEN"
+            "  sum(lm.lm_score_ppm) // count(lm.lm_score_ppm)"
+            " END AS BIGINT) AS prior_ppm"
+            " FROM lm JOIN u ON u.doc_id = lm.doc_id GROUP BY 1"
+        ),
         # CCNet head/middle/tail terciles (ops/lmscore.lm_buckets):
         # langid + LM score composed, exact tercile cuts off the
         # per-(lang, score) histogram — same cut rule 3*cum >= k*n

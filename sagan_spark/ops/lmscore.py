@@ -224,3 +224,44 @@ def lm_buckets(scored: DataFrame, lang_col: str = "lang",
         .withColumn("lm_bucket", bucket)
         .drop("_sg_t1", "_sg_t2")
     )
+
+
+def domain_lm_prior(docs: DataFrame, lm: BigramLM, url_col: str = "url",
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-registered-domain LM prior: the average
+    :func:`lm_likelihood` score of a domain's documents — CCNet's
+    famous per-domain perplexity table (Wenzek arXiv:1911.00359 §4.2:
+    domain-level quality priors built from LM scores drive
+    blocklists/allowlists before any per-document work).  Exact
+    integer ppm: ``prior_ppm = Σ lm_score_ppm div n_scored``
+    (NULL-skipping — unscorable <2-token docs count in ``n_docs`` but
+    not the prior; a domain with no scorable docs reports NULL).
+
+    One scoring pass + one map-side-combining per-domain aggregation;
+    the PSL ladder runs once per row.  Returns (domain, n_docs,
+    n_scored, prior_ppm)."""
+    from sagan_spark.ops.urltools import registered_domain, url_host
+
+    scored = lm_likelihood(docs, lm, text_col=text_col, id_col=id_col)
+    dom = docs.select(
+        F.col(id_col),
+        registered_domain(url_host(F.col(url_col))).alias("domain"),
+    )
+    agg = (
+        scored.join(dom, id_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("lm_score_ppm").alias("n_scored"),
+            F.sum("lm_score_ppm").alias("_sg_sum"),
+        )
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_scored",
+        F.when(
+            F.col("n_scored") > 0, F.expr("_sg_sum div n_scored")
+        ).alias("prior_ppm"),
+    )

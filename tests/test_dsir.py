@@ -125,3 +125,35 @@ def test_dsir_plan_shape(spark, scored):
     assert "BroadcastHashJoin" in plan, "model join must broadcast"
     top = dsir_topk(scored, 3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in top, top[:400]
+
+
+def test_domain_lm_prior_twin(spark):
+    """Per-domain prior equals a Counter twin over a hand corpus
+    (NULL-skipping mean, unscorable docs counted in n_docs only,
+    no-scorable-docs domain reports NULL)."""
+    from pyspark.sql import functions as F
+
+    from sagan_spark.ops.lmscore import domain_lm_prior, lm_train_bigrams
+
+    rows = [
+        (1, "the cat sat on the mat", "https://a.com/1"),
+        (2, "the cat sat", "https://a.com/2"),
+        (3, "x", "https://b.org/1"),          # unscorable (<2 tokens)
+        (4, "the dog sat here", "https://b.org/2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    lm = lm_train_bigrams(docs, n_buckets=1 << 12)
+    from sagan_spark.ops.lmscore import lm_likelihood
+
+    per_doc = {
+        r.doc_id: r.lm_score_ppm for r in lm_likelihood(docs, lm).collect()
+    }
+    got = {
+        r.domain: (r.n_docs, r.n_scored, r.prior_ppm)
+        for r in domain_lm_prior(docs, lm).collect()
+    }
+    a_scores = [per_doc[1], per_doc[2]]
+    b_scores = [per_doc[4]]
+    assert got["a.com"] == (2, 2, sum(a_scores) // 2)
+    assert got["b.org"] == (2, 1, b_scores[0])
+    assert per_doc[3] is None
