@@ -2053,6 +2053,18 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dup_groups(docs.unionByName(variants))
 
 
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granularity corpus dedup: the SAME min-struct
+    aggregation as dedup_paragraphs with sep='. ' (a declared crude
+    sentence boundary) — repeated sentences keep their first corpus
+    occurrence; finer-grained than the paragraph pass, coarser than
+    the 13-token span removal (the three exact-dedup granularities of
+    the Lee et al. arXiv:2107.06499 family)."""
+    from sagan_spark.ops.dedup import dedup_paragraphs
+
+    return dedup_paragraphs(_docs(spark, sf_dir), sep=". ")
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading ease + type/token ratio per doc — pure codegen
     regexp counts, scan-level projection, no shuffle."""
@@ -3897,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_windowed": q_events_funnel_windowed,
         "frontier_schedule": q_frontier_schedule,
         "domain_lm_prior": q_domain_lm_prior,
+        "dedup_sentences": q_dedup_sentences,
     }
 
 
@@ -6167,6 +6180,25 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT doc_id, u.idx AS idx, u.para AS para"
             "  FROM (SELECT doc_id, unnest(list_transform("
             "   str_split(text, chr(10) || chr(10)),"
+            "   (x, i) -> struct_pack(idx := i, para := x))) AS u"
+            "  FROM documents))) GROUP BY doc_id) g ON g.doc_id = d.doc_id"
+        ),
+        "dedup_sentences": (
+            "SELECT d.doc_id, g.clean_text,"
+            " CAST(coalesce(g.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,"
+            " CAST(coalesce(g.n_dropped, 0) AS BIGINT) AS n_dropped"
+            " FROM documents d LEFT JOIN ("
+            "SELECT doc_id,"
+            " coalesce(string_agg(para, '. ' ORDER BY idx)"
+            "  FILTER (WHERE keep), '') AS clean_text,"
+            " count(*) AS n_paragraphs,"
+            " sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped"
+            " FROM (SELECT doc_id, idx, para,"
+            "  regexp_matches(para, '^\\s*$') OR row_number() OVER ("
+            "   PARTITION BY para ORDER BY doc_id, idx) = 1 AS keep"
+            " FROM (SELECT doc_id, u.idx AS idx, u.para AS para"
+            "  FROM (SELECT doc_id, unnest(list_transform("
+            "   str_split(text, '. '),"
             "   (x, i) -> struct_pack(idx := i, para := x))) AS u"
             "  FROM documents))) GROUP BY doc_id) g ON g.doc_id = d.doc_id"
         ),
