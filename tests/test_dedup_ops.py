@@ -694,3 +694,25 @@ def test_edit_verify_validation(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         edit_verify_pairs(docs, prefix_chars=0)
+
+
+def test_dedup_paragraphs_custom_separator(spark):
+    """The sep parameter (the dedup_sentences gate's '. ' mode):
+    first corpus occurrence survives, later repeats drop, reassembly
+    uses the same separator."""
+    from sagan_spark.ops.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha. beta. alpha"), (2, "beta. gamma")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_paragraphs, r.n_dropped)
+        for r in dedup_paragraphs(docs, sep=". ").collect()
+    }
+    # doc 1 units: 'alpha', 'beta', 'alpha' -> trailing repeat kept?
+    # no: 'alpha' repeats WITHIN the corpus; its first occurrence is
+    # (1, 0), so (1, 2)'s 'alpha' drops.  doc 2's 'beta' drops to
+    # doc 1's; 'gamma' survives.
+    assert got[1] == ("alpha. beta", 3, 1)
+    assert got[2] == ("gamma", 2, 1)
