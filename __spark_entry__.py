@@ -1577,6 +1577,36 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("id", "n_bytes", "content_sha")
 
 
+def q_multimodal_meta_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: per-doc JPEG byte streams are synthesized
+    in-plan (unhex'd SOI/APP0/SOF0/EOI with doc_id-derived 16-bit
+    dimensions) and decoded by the registry's pure-stdlib JPEG SOF
+    kernel (ops/kernels.jpeg_decode — VERDICT r4 task #2) inside the
+    Arrow-batched mapInPandas stage.  The oracle replays the
+    dimension arithmetic directly; byte-level kernel behavior
+    (markers, fill bytes, malformed streams) carries its own exact
+    twins in tests/test_kernels.py."""
+    from sagan_spark.ops.multimodal import decode_metadata
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    w = (did % 1920 + 1).cast("long")
+    h = (did % 1080 + 1).cast("long")
+    hexstr = F.concat(
+        F.lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+        F.lpad(F.hex(h), 4, "0"), F.lpad(F.hex(w), 4, "0"),
+        F.lit("03011100021101031101FFD9"),
+    )
+    media = docs.select(
+        did.alias("id"),
+        F.unhex(hexstr).alias("payload"),
+        F.lit("image/jpeg").alias("media_type"),
+    )
+    return decode_metadata(media, kernel="registry").select(
+        "id", "n_bytes", "width", "height", "n_frames"
+    )
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample plumbing: every-30th frame index per media item
     (n_frames derived deterministically by the stub decoder)."""
@@ -2290,20 +2320,29 @@ def q_sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scaffolded pages for the anchor ops (q_link_extract
-    discipline): per doc — an absolute link carrying the text's first
-    12 chars as anchor, a relative link that must NOT extract, an
-    absolute link with a whitespace-padded anchor (trim path), and an
-    absolute link with an EMPTY anchor (drop path)."""
+    discipline), one of every claimed form per doc: an absolute
+    double-quoted link carrying the text's first 12 chars as anchor,
+    a single-quoted ROOT-RELATIVE link and an unquoted second-
+    attribute RELATIVE link (both must now resolve and extract), an
+    absolute link with a whitespace-padded anchor (trim path), one
+    with inner markup in the anchor body (tag-strip path), one with
+    an EMPTY anchor (drop path), a fragment-only link and a no-href
+    span (drop paths)."""
     docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
     html = F.concat(
         F.lit('<html><body><a href="https://'), F.col("source"),
-        F.lit(".com/p/"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p/"), (did % 7).cast("string"),
         F.lit('" class="x">'), F.substring(F.col("text"), 1, 12),
-        F.lit('</a><a href="/rel">skip</a><a href="https://ref'),
-        (F.col("doc_id") % 5).cast("string"),
-        F.lit('.org/">  Read More  </a><a href="https://empty'),
-        (F.col("doc_id") % 3).cast("string"),
-        F.lit('.net/"></a><p>'), F.col("text"),
+        F.lit("</a><a href='/rel'>Root Rel</a>"
+              "<a rel=nofollow href=../up/"), (did % 3).cast("string"),
+        F.lit('>Up Link</a><a href="https://ref'), (did % 5).cast("string"),
+        F.lit('.org/">  Read More  </a><a href="https://x'),
+        (did % 2).cast("string"),
+        F.lit('.com/b"><b>Bold</b> Text</a><a href="https://empty'),
+        (did % 3).cast("string"),
+        F.lit('.net/"></a><a href="#top">Top</a>'
+              '<a name="no-href">Plain</a><p>'), F.col("text"),
         F.lit("</p></body></html>"),
     )
     return docs.select(
@@ -2336,20 +2375,33 @@ def q_anchor_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """href edge extraction over scaffolded html (same deterministic
-    scaffold discipline as q_text_extract: the testdata table carries
-    no html column, so one is built from text + doc_id arithmetic —
-    absolute links, a relative link that must NOT extract, and the
-    document text in between)."""
+    """Real-HTML href edge extraction + resolution over scaffolded
+    html (q_text_extract scaffold discipline — the testdata table
+    carries no html column, so one is built from text + doc_id
+    arithmetic).  The scaffold exercises every extraction form the op
+    claims: double/single/unquoted values, href not the first
+    attribute, tag case, a newline inside the tag, an entity in the
+    value, relative + root-relative + scheme-relative references
+    (resolved against the page url via ops/urlresolve), and the drop
+    set (fragment-only, mailto, data-href decoy, empty value).  The
+    oracle CONSTRUCTS the expected edge set from the same arithmetic
+    — extraction mechanics carry their own urljoin-twin pytest."""
     from sagan_spark.ops.linkgraph import extract_links
 
     docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
     html = F.concat(
         F.lit('<html><body><a href="https://'), F.col("source"),
-        F.lit(".com/p/"), (F.col("doc_id") % 7).cast("string"),
-        F.lit('">x</a><a href="/rel">r</a><p>'), F.col("text"),
-        F.lit('</p><a href="https://ref'), (F.col("doc_id") % 5).cast("string"),
-        F.lit('.org/">y</a></body></html>'),
+        F.lit(".com/p/"), (did % 7).cast("string"), F.lit('">x</a>'),
+        F.lit("<A HREF='http://ref"), (did % 5).cast("string"),
+        F.lit(".org/q?a=1&amp;b=2'>y</A>"),
+        F.lit('<a class="c" href=../up/'), (did % 3).cast("string"),
+        F.lit(">z</a><a\nhref=\"//cdn"), (did % 2).cast("string"),
+        F.lit('.example/lib.js">w</a><a href="/abs/'),
+        (did % 11).cast("string"), F.lit('">r</a>'),
+        F.lit('<a href="#top">t</a><a href="mailto:a@b.c">m</a>'
+              '<a data-href="https://no.example/">d</a><a href="">e</a><p>'),
+        F.col("text"), F.lit("</p></body></html>"),
     )
     pages = docs.select(
         F.concat(
@@ -2744,13 +2796,13 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
+    # relative third link, q_frontier_candidates discipline
     html = F.concat(
         F.lit('<a href="https://'), F.col("source"), F.lit(".com/p/"),
         (did % 7).cast("string"),
         F.lit('">x</a><a href="https://ref'), (did % 5).cast("string"),
-        F.lit('.org/">y</a><a href="https://'), F.col("source"),
-        F.lit(".example/p/"), (did % 97).cast("string"),
-        F.lit('">z</a>'),
+        F.lit('.org/">y</a><a href=/p/'), (did % 97).cast("string"),
+        F.lit(">z</a>"),
     )
     pages = docs.select(
         F.concat(
@@ -3210,13 +3262,15 @@ def q_frontier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
+    # third link is ROOT-RELATIVE and unquoted: it resolves against
+    # the page url to the same {source}.example/p/{n} target space as
+    # before, proving relative navigation enters the frontier
     html = F.concat(
         F.lit('<a href="https://'), F.col("source"), F.lit(".com/p/"),
         (did % 7).cast("string"),
         F.lit('">x</a><a href="https://ref'), (did % 5).cast("string"),
-        F.lit('.org/">y</a><a href="https://'), F.col("source"),
-        F.lit(".example/p/"), (did % 97).cast("string"),
-        F.lit('">z</a>'),
+        F.lit('.org/">y</a><a href=/p/'), (did % 97).cast("string"),
+        F.lit(">z</a>"),
     )
     pages = docs.select(
         F.concat(
@@ -3811,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pack_chunk_stats": q_pack_chunk_stats,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_meta_jpeg": q_multimodal_meta_jpeg,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features_ann": q_multimodal_features_ann,
@@ -4407,35 +4462,40 @@ def _bm25_sql() -> str:
 
 
 def _anchor_sqls() -> tuple[str, str]:
-    """(anchor_extract, anchor_domain_topk) oracles: the
-    _anchor_pages scaffold in || form, the SAME ANCHOR_RE capture
-    groups paired positionally via 1-based list indexing, and the
+    """(anchor_extract, anchor_domain_topk) oracles: the expected
+    (src_url, dst_url, anchor) triples RECONSTRUCTED from the
+    _anchor_pages arithmetic — one UNION ALL branch per surviving
+    anchor form, resolved targets written directly, the text-carrying
+    anchor rendered through the SAME inner-text chain as the op
+    (ops.htmlstats._inner_text_sql, one source of truth) — then the
     domain rollup through the shared PSL CASE ladder with the plain
-    global top-k window."""
-    from sagan_spark.ops.anchors import ANCHOR_RE
+    global top-k window.  Span/attribute extraction mechanics carry
+    their own pytests (test_anchors, test_urlresolve)."""
+    from sagan_spark.ops.htmlstats import _inner_text_sql
     from sagan_spark.ops.psl import registered_domain_sql
     from sagan_spark.ops.urltools import HOST_RE
 
-    scaffold = (
-        "'<html><body><a href=\"https://' || source || '.com/p/'"
-        " || CAST(doc_id % 7 AS VARCHAR) || '\" class=\"x\">'"
-        " || substr(text, 1, 12)"
-        " || '</a><a href=\"/rel\">skip</a><a href=\"https://ref'"
-        " || CAST(doc_id % 5 AS VARCHAR)"
-        " || '.org/\">  Read More  </a><a href=\"https://empty'"
-        " || CAST(doc_id % 3 AS VARCHAR)"
-        " || '.net/\"></a><p>' || text || '</p></body></html>'"
-    )
     base = (
-        "WITH p AS (SELECT 'https://' || source || '.example/p/'"
-        " || CAST(doc_id AS VARCHAR) AS src_url,"
-        f" {scaffold} AS h FROM documents),"
-        f" e AS (SELECT src_url, regexp_extract_all(h, '{ANCHOR_RE}', 1)"
-        f" AS us, regexp_extract_all(h, '{ANCHOR_RE}', 2) AS ts FROM p),"
-        " z AS (SELECT src_url, us[CAST(i AS INT)] AS dst_url,"
-        " trim(ts[CAST(i AS INT)]) AS anchor"
-        " FROM e, LATERAL unnest(range(1, len(us) + 1)) t(i)),"
-        " a AS (SELECT src_url, dst_url, anchor FROM z WHERE anchor <> '')"
+        "WITH ap AS (SELECT doc_id, source, text,"
+        " 'https://' || source || '.example/p/'"
+        " || CAST(doc_id AS VARCHAR) AS src_url FROM documents),"
+        " raw AS ("
+        " SELECT src_url, 'https://' || source || '.com/p/'"
+        " || CAST(doc_id % 7 AS VARCHAR) AS dst_url,"
+        f" {_inner_text_sql('substr(text, 1, 12)')} AS anchor FROM ap"
+        " UNION ALL SELECT src_url, 'https://' || source"
+        " || '.example/rel', 'Root Rel' FROM ap"
+        " UNION ALL SELECT src_url, 'https://' || source"
+        " || '.example/up/' || CAST(doc_id % 3 AS VARCHAR),"
+        " 'Up Link' FROM ap"
+        " UNION ALL SELECT src_url,"
+        " 'https://ref' || CAST(doc_id % 5 AS VARCHAR) || '.org/',"
+        " 'Read More' FROM ap"
+        " UNION ALL SELECT src_url,"
+        " 'https://x' || CAST(doc_id % 2 AS VARCHAR) || '.com/b',"
+        " 'Bold Text' FROM ap),"
+        " a AS (SELECT src_url, dst_url, anchor FROM raw"
+        " WHERE anchor <> '')"
     )
     extract = base + " SELECT src_url, dst_url, anchor FROM a"
     topk = (
@@ -4579,21 +4639,23 @@ def _frontier_oracle_sql() -> str:
     from sagan_spark.ops.psl import registered_domain_sql
     from sagan_spark.ops.urltools import HOST_RE, url_canonicalize_sql
 
+    # edges RECONSTRUCTED from the scaffold arithmetic (extraction +
+    # resolution mechanics carry their own gates/pytests); the third
+    # branch is the RESOLVED form of the scaffold's relative
+    # '/p/{n}' link — same target space the crawled anti-join hits
     pages = (
-        "SELECT 'https://' || source || '.example/p/'"
-        " || CAST(doc_id AS VARCHAR) AS url,"
-        " '<a href=\"https://' || source || '.com/p/'"
-        " || CAST(doc_id % 7 AS VARCHAR)"
-        " || '\">x</a><a href=\"https://ref' || CAST(doc_id % 5 AS VARCHAR)"
-        " || '.org/\">y</a><a href=\"https://' || source || '.example/p/'"
-        " || CAST(doc_id % 97 AS VARCHAR) || '\">z</a>' AS h"
-        " FROM documents"
+        "SELECT doc_id, source, 'https://' || source || '.example/p/'"
+        " || CAST(doc_id AS VARCHAR) AS url FROM documents"
     )
     return (
         f"WITH pages AS ({pages}),"
-        " edges AS (SELECT url AS src_url,"
-        "  unnest(regexp_extract_all(h, 'href=\"(https?://[^\"#]+)\"', 1))"
-        "  AS dst_url FROM pages),"
+        " edges AS ("
+        "  SELECT url AS src_url, 'https://' || source || '.com/p/'"
+        "  || CAST(doc_id % 7 AS VARCHAR) AS dst_url FROM pages"
+        "  UNION ALL SELECT url, 'https://ref'"
+        "  || CAST(doc_id % 5 AS VARCHAR) || '.org/' FROM pages"
+        "  UNION ALL SELECT url, 'https://' || source || '.example/p/'"
+        "  || CAST(doc_id % 97 AS VARCHAR) FROM pages),"
         f" counts AS (SELECT {url_canonicalize_sql('dst_url')} AS url,"
         "  count(*) AS n_refs FROM edges GROUP BY 1),"
         f" crawled AS (SELECT DISTINCT {url_canonicalize_sql('url')} AS url"
@@ -6093,6 +6155,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,"
             " sha256(text) AS content_sha FROM documents"
         ),
+        # real JPEG SOF kernel via the registry: the synthesized
+        # stream is 41 bytes (SOI 2 + APP0 18 + SOF0 19 + EOI 2) and
+        # the kernel must read back exactly the doc_id-derived dims
+        "multimodal_meta_jpeg": (
+            "SELECT doc_id AS id, CAST(41 AS BIGINT) AS n_bytes,"
+            " CAST(doc_id % 1920 + 1 AS INT) AS width,"
+            " CAST(doc_id % 1080 + 1 AS INT) AS height,"
+            " CAST(1 AS INT) AS n_frames FROM documents"
+        ),
         "multimodal_frame_sample": (
             "WITH m AS (SELECT doc_id AS id,"
             " (('0x' || substr(sha256(text), 1, 8))::BIGINT % 300) + 1 AS n_frames"
@@ -6558,21 +6629,30 @@ def oracle_sql() -> dict[str, str]:
         # sentinel 'g' when slack >= size) then rank <= cap; under-cap
         # rows pass through untouched
         "sample_domain_quota": _dq_sql,
-        # link-graph: href extraction over the q_link_extract scaffold
-        # (same HREF_RE capture group in RE2)
+        # link-graph: real-HTML href extraction + resolution over the
+        # q_link_extract scaffold.  The oracle RECONSTRUCTS the
+        # expected resolved edge multiset from the same doc_id
+        # arithmetic (one UNION ALL branch per surviving link form) —
+        # extraction/resolution mechanics are pinned by the urljoin
+        # fuzz twin in tests/test_urlresolve.py and the form matrix in
+        # tests/test_linkgraph.py.
         "anchor_extract": _anchor_sqls()[0],
         "anchor_domain_topk": _anchor_sqls()[1],
         "link_extract": (
-            "SELECT 'https://' || source || '.example/p/'"
-            " || CAST(doc_id AS VARCHAR) AS src_url,"
-            " unnest(regexp_extract_all(h,"
-            " 'href=\"(https?://[^\"#]+)\"', 1)) AS dst_url"
-            " FROM (SELECT doc_id, source,"
-            " '<html><body><a href=\"https://' || source || '.com/p/'"
-            " || CAST(doc_id % 7 AS VARCHAR)"
-            " || '\">x</a><a href=\"/rel\">r</a><p>' || text"
-            " || '</p><a href=\"https://ref' || CAST(doc_id % 5 AS VARCHAR)"
-            " || '.org/\">y</a></body></html>' AS h FROM documents)"
+            "WITH d AS (SELECT doc_id, source,"
+            " 'https://' || source || '.example/p/'"
+            " || CAST(doc_id AS VARCHAR) AS src_url FROM documents)"
+            " SELECT src_url, 'https://' || source || '.com/p/'"
+            " || CAST(doc_id % 7 AS VARCHAR) AS dst_url FROM d"
+            " UNION ALL SELECT src_url,"
+            " 'http://ref' || CAST(doc_id % 5 AS VARCHAR)"
+            " || '.org/q?a=1&b=2' FROM d"
+            " UNION ALL SELECT src_url, 'https://' || source"
+            " || '.example/up/' || CAST(doc_id % 3 AS VARCHAR) FROM d"
+            " UNION ALL SELECT src_url, 'https://cdn'"
+            " || CAST(doc_id % 2 AS VARCHAR) || '.example/lib.js' FROM d"
+            " UNION ALL SELECT src_url, 'https://' || source"
+            " || '.example/abs/' || CAST(doc_id % 11 AS VARCHAR) FROM d"
         ),
         "domain_pagerank": _pagerank_sql(),
         # warm(2, cold(3)) == cold(5): same oracle as domain_pagerank

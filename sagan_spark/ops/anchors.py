@@ -27,38 +27,79 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: absolute-link anchors; same pattern string parses in Java regex and
-#: RE2 (no lookaround).  Group 1 = target url, group 2 = anchor text.
-ANCHOR_RE = r'<a href="(https?://[^"#]+)"[^>]*>([^<]*)</a>'
+#: anchor spans with their attribute blob (group 1, '' for bare
+#: ``<a>``) and visible body (group 2): any attribute order/quoting,
+#: case-insensitive, dot-matches-newline body (non-greedy to the
+#: first ``</a>``) — identical semantics in Java regex and RE2.
+ANCHOR_RE = r"(?is)<a([ \t\r\n\f][^>]*)?>(.*?)</a[ \t\r\n\f]*>"
+#: href attribute inside ONE span's attribute blob — the same
+#: three-alternative value grammar as linkgraph.HREF_RE, anchored to
+#: a delimiter so ``data-href=`` never matches (the blob always
+#: starts with whitespace, so '^|' is unreachable-but-safe).
+ATTR_HREF_RE = (
+    r"(?is)(?:^|[ \t\r\n\f\"'])href[ \t\r\n\f]*=[ \t\r\n\f]*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^ \t\r\n\f>\"'][^ \t\r\n\f>]*))"
+)
 
 
 def extract_anchors(pages: DataFrame, html_col: str = "html",
                     url_col: str = "url") -> DataFrame:
-    """(src_url, dst_url, anchor) triples; anchors are trimmed and
-    empty ones dropped.  Binary ``html`` is UTF-8 decoded (the pages
-    contract, BASELINE.json input_hint)."""
-    html = F.col(html_col)
-    decoded = (
-        F.decode(html, "UTF-8")
-        if dict(pages.dtypes)[html_col] == "binary"
-        else html
-    )
+    """(src_url, dst_url, anchor) triples from real-web HTML: one
+    two-group span pass (attribute blob + body, positionally zipped),
+    explode, then per-span scalar work — href pulled from the blob
+    with the three-quote-form grammar (``ATTR_HREF_RE``), RESOLVED
+    against the page url (ops/urlresolve — relative/scheme-relative
+    anchors become real targets), body reduced to visible text (the
+    ops/htmlstats inner-text chain).  Spans with no href, non-http(s)
+    targets, and empty anchors drop.  Binary ``html`` is UTF-8
+    decoded (the pages contract, BASELINE.json input_hint)."""
+    from sagan_spark.ops.htmlstats import _inner_text
+    from sagan_spark.ops.linkgraph import _decoded_html
+    from sagan_spark.ops.urlresolve import href_value, resolve_url
+
+    decoded = _decoded_html(pages, html_col)
     pairs = F.zip_with(
         F.regexp_extract_all(decoded, F.lit(ANCHOR_RE), F.lit(1)),
         F.regexp_extract_all(decoded, F.lit(ANCHOR_RE), F.lit(2)),
-        lambda u, a: F.struct(u.alias("dst_url"), a.alias("anchor")),
+        lambda attrs, body: F.struct(
+            attrs.alias("attrs"), body.alias("body")
+        ),
+    )
+    spans = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(pairs).alias("p"),
+    )
+    a = F.col("p.attrs")
+    raw_href = (
+        F.when(
+            F.regexp_extract(a, ATTR_HREF_RE, 1) != "",
+            F.regexp_extract(a, ATTR_HREF_RE, 1),
+        )
+        .when(
+            F.regexp_extract(a, ATTR_HREF_RE, 2) != "",
+            F.regexp_extract(a, ATTR_HREF_RE, 2),
+        )
+        .otherwise(F.regexp_extract(a, ATTR_HREF_RE, 3))
     )
     return (
-        pages.select(
-            F.col(url_col).alias("src_url"),
-            F.explode(pairs).alias("p"),
+        spans.select(
+            "src_url",
+            href_value(raw_href).alias("_ref"),
+            _inner_text(F.col("p.body")).alias("anchor"),
+        )
+        # no-href spans, self-references, same-page '#…' targets, and
+        # empty anchors all drop (extract_links discipline)
+        .where(
+            (F.col("_ref") != "")
+            & ~F.col("_ref").startswith("#")
+            & (F.col("anchor") != "")
         )
         .select(
             "src_url",
-            F.col("p.dst_url").alias("dst_url"),
-            F.trim(F.col("p.anchor")).alias("anchor"),
+            resolve_url(F.col("src_url"), F.col("_ref")).alias("dst_url"),
+            "anchor",
         )
-        .filter(F.col("anchor") != "")
+        .where(F.col("dst_url").rlike(r"^https?://"))
     )
 
 

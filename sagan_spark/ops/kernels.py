@@ -332,6 +332,64 @@ def png_features(raw: bytes, bins: int = 8) -> list:
 
 
 # ---------------------------------------------------------------------------
+# JPEG metadata (SOF marker walk — ITU-T T.81 / ISO 10918-1 §B)
+# ---------------------------------------------------------------------------
+
+#: SOF_n marker codes carrying the frame header (0xC0–0xCF minus
+#: DHT 0xC4, JPG 0xC8, DAC 0xCC): baseline, extended, progressive,
+#: lossless, and their arithmetic/differential variants all share the
+#: same precision/height/width/components layout (T.81 §B.2.2)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+#: parameterless markers: TEM, RST0–7, SOI, EOI (no length field)
+_JPEG_STANDALONE = frozenset({0x01, 0xD8, 0xD9} | set(range(0xD0, 0xD8)))
+
+
+def jpeg_decode(raw: bytes) -> dict:
+    """DecodeKernel for JPEG — the web's dominant image format: a
+    pure-stdlib marker walk to the first SOF segment yields
+    width/height (T.81 §B.2.2 frame header: the two 16-bit fields
+    after the precision byte).  Handles every SOF family member
+    (baseline SOF0 through the arithmetic/differential variants),
+    0xFF fill bytes between markers, and fails closed (ValueError)
+    on sync loss, truncation, a DNL-deferred zero height, or an SOS
+    reached before any SOF.  Pixel decode still needs a real codec —
+    that remains the disclosed plug-in surface of ops/multimodal."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG payload: {raw[:2]!r}")
+    i, n = 2, len(raw)
+    while i < n:
+        if raw[i] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at byte {i}")
+        while i < n and raw[i] == 0xFF:  # fill bytes
+            i += 1
+        if i >= n:
+            break
+        code = raw[i]
+        i += 1
+        if code in _JPEG_STANDALONE:
+            continue
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        seglen = int.from_bytes(raw[i : i + 2], "big")
+        if seglen < 2 or i + seglen > n:
+            raise ValueError(f"bad JPEG segment length {seglen} at byte {i}")
+        if code in _JPEG_SOF:
+            if seglen < 8:
+                raise ValueError(f"short SOF segment ({seglen} bytes)")
+            height = int.from_bytes(raw[i + 3 : i + 5], "big")
+            width = int.from_bytes(raw[i + 5 : i + 7], "big")
+            if width == 0 or height == 0:
+                # height 0 = dimensions deferred to a DNL marker after
+                # the first scan — fail closed rather than report 0
+                raise ValueError("JPEG dimensions deferred (DNL) or zero")
+            return {"width": width, "height": height, "n_frames": 1}
+        if code == 0xDA:  # entropy-coded scan began without a SOF
+            raise ValueError("JPEG SOS reached before any SOF marker")
+        i += seglen
+    raise ValueError("no SOF marker found in JPEG stream")
+
+
+# ---------------------------------------------------------------------------
 # WAV / PCM audio
 # ---------------------------------------------------------------------------
 
@@ -385,17 +443,22 @@ def wav_features(raw: bytes, n_bands: int = 8) -> list:
 
 
 #: media_type -> (DecodeKernel, FeatureKernel) for the formats with
-#: real built-in kernels; anything else needs a plug-in (or the stub)
+#: real built-in kernels; a None slot means that HALF still needs a
+#: plug-in (JPEG: metadata is real, pixel features need a codec);
+#: anything else needs a plug-in (or the stub) for both
 BUILTIN_KERNELS = {
     "image/x-portable-pixmap": (ppm_decode, ppm_features),
     "image/x-portable-graymap": (ppm_decode, ppm_features),
     "image/png": (png_decode, png_features),
+    "image/jpeg": (jpeg_decode, None),
+    "image/jpg": (jpeg_decode, None),
     "audio/wav": (wav_decode, wav_features),
     "audio/x-wav": (wav_decode, wav_features),
 }
 
 
 def builtin_kernels(media_type: str):
-    """(decode, feature) kernel pair for ``media_type``, or None when
-    only a stub/plug-in can serve it."""
+    """(decode, feature) kernel pair for ``media_type`` — either slot
+    may be None (that half is plug-in-only) — or None when no
+    built-in serves the type at all."""
     return BUILTIN_KERNELS.get(media_type)

@@ -45,30 +45,76 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: absolute http(s) links only — relative-href resolution needs the
-#: base url and is a separate enrichment; the capture group is what's
-#: extracted.  Same pattern string parses in Java regex and RE2.
-HREF_RE = r'href="(https?://[^"#]+)"'
+#: real-HTML href matcher (the ops/htmlstats.py attribute-alternation
+#: idiom): any attribute order, any of double-quoted / single-quoted /
+#: unquoted values, case-insensitive, whitespace/newlines inside the
+#: tag.  The attribute name must be preceded by a delimiter so
+#: ``data-href=`` never matches.  Three capture groups — exactly one
+#: is non-empty per match (group 1 dquote, 2 squote, 3 unquoted);
+#: RE2-compatible (no lookaround), the same string runs in DuckDB.
+HREF_RE = (
+    r"(?is)<a[ \t\r\n\f](?:[^>]*?[ \t\r\n\f\"'])?href[ \t\r\n\f]*=[ \t\r\n\f]*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^ \t\r\n\f>\"'][^ \t\r\n\f>]*))"
+)
+
+
+def _decoded_html(pages: DataFrame, html_col: str):
+    html = F.col(html_col)
+    return (
+        F.decode(html, "UTF-8")
+        if dict(pages.dtypes)[html_col] == "binary"
+        else html
+    )
+
+
+def raw_hrefs(decoded) -> "F.Column":
+    """Array of raw href attribute values in document order: three
+    group-extractions over ONE pattern, positionally zipped, the one
+    non-empty alternative picked per match.  An explicitly empty
+    ``href=""`` is indistinguishable from the unmatched-group '' and
+    is dropped by callers (an empty href is a self-reference — link
+    noise, not an edge)."""
+    g1 = F.regexp_extract_all(decoded, F.lit(HREF_RE), F.lit(1))
+    g2 = F.regexp_extract_all(decoded, F.lit(HREF_RE), F.lit(2))
+    g3 = F.regexp_extract_all(decoded, F.lit(HREF_RE), F.lit(3))
+    z = F.arrays_zip(g1.alias("d"), g2.alias("s"), g3.alias("u"))
+    return F.transform(
+        z,
+        lambda m: F.when(m["d"] != "", m["d"])
+        .when(m["s"] != "", m["s"])
+        .otherwise(m["u"]),
+    )
 
 
 def extract_links(pages: DataFrame, html_col: str = "html",
                   url_col: str = "url") -> DataFrame:
     """(src url, dst link) edge list from the raw html byte column —
-    one decoded regex pass, exploded; rows with no links drop out.
-    Binary ``html`` is UTF-8 decoded (the pages-table contract,
-    BASELINE.json input_hint)."""
-    html = F.col(html_col)
-    decoded = (
-        F.decode(html, "UTF-8")
-        if dict(pages.dtypes)[html_col] == "binary"
-        else html
+    scan-level: one three-group regex pass (:func:`raw_hrefs`),
+    explode, entity-decode + whitespace-trim each value
+    (ops/urlresolve.href_value), RESOLVE relative references against
+    the page url (ops/urlresolve.resolve_url — urljoin semantics, so
+    ``href="../x"`` and ``href='//cdn.example/y'`` become real
+    edges), and keep http(s) results only.  Binary ``html`` is UTF-8
+    decoded (the pages-table contract, BASELINE.json input_hint).
+    Rows with no links drop out."""
+    from sagan_spark.ops.urlresolve import href_value, resolve_url
+
+    refs = (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(raw_hrefs(_decoded_html(pages, html_col))).alias(
+                "_href"
+            ),
+        )
+        .select("src_url", href_value(F.col("_href")).alias("_ref"))
+        # empty href = self-reference, '#…' = same-page navigation —
+        # neither is an edge
+        .where((F.col("_ref") != "") & ~F.col("_ref").startswith("#"))
     )
-    return pages.select(
-        F.col(url_col).alias("src_url"),
-        F.explode(
-            F.regexp_extract_all(decoded, F.lit(HREF_RE), F.lit(1))
-        ).alias("dst_url"),
-    )
+    return refs.select(
+        "src_url",
+        resolve_url(F.col("src_url"), F.col("_ref")).alias("dst_url"),
+    ).where(F.col("dst_url").rlike(r"^https?://"))
 
 
 def domain_edges(links: DataFrame, src_col: str = "src_url",

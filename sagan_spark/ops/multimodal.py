@@ -102,7 +102,7 @@ def decode_metadata(
 
             def kernel_for(mt: str) -> DecodeKernel:
                 pair = builtin_kernels(mt)
-                if pair is None:
+                if pair is None or pair[0] is None:
                     raise ValueError(
                         f"no built-in decode kernel for media_type {mt!r};"
                         " pass kernel=<callable> for compressed formats"
@@ -227,10 +227,12 @@ def extract_features(
 
             def kernel_for(mt: str) -> FeatureKernel:
                 pair = builtin_kernels(mt)
-                if pair is None:
+                if pair is None or pair[1] is None:
                     raise ValueError(
                         f"no built-in feature kernel for media_type {mt!r};"
                         " pass kernel=<callable> for compressed formats"
+                        " (JPEG metadata decodes built-in, but its pixel"
+                        " features need a codec)"
                     )
                 return pair[1]
         out_dim: int | None = None

@@ -1,8 +1,8 @@
-"""Anchor mining: hand-built html pins extraction (absolute links
-only, positional url/anchor pairing, trim, empty-anchor drop), the
-domain rollup folds case and ranks (count desc, anchor asc), and
-topk_per_group is bucket-count invariant (the two-stage rank equals
-the global window for any salt_buckets)."""
+"""Anchor mining: hand-built html pins extraction (quote/order/case
+forms, relative-href resolution, inner-text anchors, no-href and
+empty-anchor drop), the domain rollup folds case and ranks (count
+desc, anchor asc), and topk_per_group is bucket-count invariant (the
+two-stage rank equals the global window for any salt_buckets)."""
 
 from __future__ import annotations
 
@@ -13,14 +13,20 @@ from sagan_spark.ops.topk import topk_per_group
 
 PAGES = [
     (
-        "https://a.example/1",
+        "https://a.example/d/1",
         '<a href="https://x.com/p">Home Page</a>'
-        '<a href="/rel">skip me</a>'
+        "<a href='/rel'>root relative</a>"
+        '<a rel=nofollow href=../up>unquoted second attr</a>'
         '<a href="https://y.co.uk/q" rel="nofollow">  Docs  </a>'
         '<a href="https://x.com/r"></a>'
-        '<a href="https://x.com/s">home page</a>',
+        '<a href="https://x.com/s"><b>home</b> page</a>'
+        '<a href="#top">same page</a>'
+        "<a name='no-href'>not a link</a>",
     ),
-    ("https://b.example/2", '<a href="https://sub.x.com/t">HOME PAGE</a><p>no links here</p>'),
+    (
+        "https://b.example/2",
+        '<A\nHREF="https://sub.x.com/t">HOME PAGE</A><p>no links here</p>',
+    ),
     ("https://c.example/3", "<p>nothing</p>"),
 ]
 
@@ -37,9 +43,12 @@ def test_extract_anchors(spark):
         for r in extract_anchors(_pages_df(spark)).collect()
     )
     assert got == [
-        ("https://a.example/1", "https://x.com/p", "Home Page"),
-        ("https://a.example/1", "https://x.com/s", "home page"),
-        ("https://a.example/1", "https://y.co.uk/q", "Docs"),
+        ("https://a.example/d/1", "https://a.example/rel", "root relative"),
+        ("https://a.example/d/1", "https://a.example/up",
+         "unquoted second attr"),
+        ("https://a.example/d/1", "https://x.com/p", "Home Page"),
+        ("https://a.example/d/1", "https://x.com/s", "home page"),
+        ("https://a.example/d/1", "https://y.co.uk/q", "Docs"),
         ("https://b.example/2", "https://sub.x.com/t", "HOME PAGE"),
     ]
 
@@ -50,8 +59,11 @@ def test_anchor_domain_topk(spark):
         for r in anchor_domain_topk(extract_anchors(_pages_df(spark)), k=5).collect()
     )
     # x.com collects both case variants and the subdomain link;
-    # y.co.uk exercises the PSL two-level suffix
+    # y.co.uk exercises the PSL two-level suffix; the resolved
+    # relative targets roll up under the page's own domain
     assert got == [
+        ("a.example", "root relative", 1, 1),
+        ("a.example", "unquoted second attr", 1, 2),
         ("x.com", "home page", 3, 1),
         ("y.co.uk", "docs", 1, 1),
     ]

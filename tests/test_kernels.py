@@ -312,11 +312,19 @@ def test_registry_dispatch_mixed_media(spark):
     assert np.allclose(list(f.embedding), png_features(_png_encode(img)))
 
     bad = spark.createDataFrame(
+        [(9, b"\x00\x00\x00\x18ftypmp42", "video/mp4")],
+        "id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="video/mp4"):
+        decode_metadata(bad, kernel="registry").collect()
+    # jpeg IS registered now (SOF metadata kernel) — garbage jpeg
+    # bytes fail inside the kernel, not at the registry
+    garbage = spark.createDataFrame(
         [(9, b"\xff\xd8jpeg", "image/jpeg")],
         "id long, payload binary, media_type string",
     )
-    with pytest.raises(Exception, match="image/jpeg"):
-        decode_metadata(bad, kernel="registry").collect()
+    with pytest.raises(Exception, match="sync lost"):
+        decode_metadata(garbage, kernel="registry").collect()
 
 
 def _palettize(png_grey: bytes, pal: np.ndarray, trns: bytes | None = None) -> bytes:
@@ -392,3 +400,85 @@ def test_png_palette_malformed_rejected():
     # tRNS longer than the palette
     with pytest.raises(ValueError, match="tRNS"):
         png_pixels(_palettize(_png_encode(idx_ok), pal, trns=bytes([1, 2, 3])))
+
+
+# ---------------------------------------------------------------------------
+# JPEG SOF metadata kernel
+# ---------------------------------------------------------------------------
+
+def _jpeg_bytes(width, height, sof=0xC0, ncomp=3, fill=0, app0=True,
+                pre_sof_extras=True):
+    """Minimal-but-valid JPEG byte stream: SOI, optional APP0/JFIF and
+    a DQT-ish opaque segment, the requested SOF marker, EOI."""
+    out = bytearray(b"\xff\xd8")
+    if app0:
+        out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if pre_sof_extras:
+        out += b"\xff\xdb" + (5).to_bytes(2, "big") + b"\x00\x01\x02"
+    out += b"\xff" * fill  # fill bytes are legal between markers
+    comps = b"".join(bytes([i + 1, 0x11, 0x00]) for i in range(ncomp))
+    payload = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") \
+        + bytes([ncomp]) + comps
+    out += bytes([0xFF, sof]) + (len(payload) + 2).to_bytes(2, "big") + payload
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_baseline_and_progressive():
+    from sagan_spark.ops.kernels import jpeg_decode
+
+    assert jpeg_decode(_jpeg_bytes(640, 480)) == {
+        "width": 640, "height": 480, "n_frames": 1}
+    # progressive (SOF2), 1-component grayscale, no APP0, fill bytes
+    assert jpeg_decode(
+        _jpeg_bytes(31, 7, sof=0xC2, ncomp=1, app0=False, fill=3)
+    ) == {"width": 31, "height": 7, "n_frames": 1}
+    # 16-bit dimensions survive (big images)
+    assert jpeg_decode(_jpeg_bytes(65500, 40000)) == {
+        "width": 65500, "height": 40000, "n_frames": 1}
+
+
+def test_jpeg_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from sagan_spark.ops.kernels import jpeg_decode
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"\x89PNG1234")
+    with _pytest.raises(ValueError, match="no SOF|truncated"):
+        jpeg_decode(b"\xff\xd8\xff\xd9")  # SOI + EOI, no frame
+    ok = _jpeg_bytes(10, 10)
+    with _pytest.raises(ValueError, match="sync lost"):
+        jpeg_decode(b"\xff\xd8junk" + ok[2:])
+    with _pytest.raises(ValueError, match="bad JPEG segment length"):
+        jpeg_decode(ok[: len(ok) - 6])  # SOF length runs past the end
+    # SOS before any SOF
+    sos = b"\xff\xd8\xff\xda\x00\x04\x01\x00"
+    with _pytest.raises(ValueError, match="SOS reached before"):
+        jpeg_decode(sos)
+    # DNL-deferred height fails closed
+    with _pytest.raises(ValueError, match="DNL"):
+        jpeg_decode(_jpeg_bytes(10, 0))
+
+
+def test_jpeg_registry_decode_and_feature_gap(spark):
+    from pyspark.sql import functions as F
+
+    from sagan_spark.ops.kernels import builtin_kernels
+    from sagan_spark.ops.multimodal import decode_metadata, extract_features
+
+    pair = builtin_kernels("image/jpeg")
+    assert pair is not None and pair[1] is None
+    rows = [(1, _jpeg_bytes(320, 200), "image/jpeg"),
+            (2, _jpeg_bytes(64, 64, sof=0xC2), "image/jpg")]
+    media = spark.createDataFrame(
+        rows, "id long, payload binary, media_type string")
+    got = {r["id"]: (r["width"], r["height"], r["n_frames"])
+           for r in decode_metadata(media, kernel="registry").collect()}
+    assert got == {1: (320, 200, 1), 2: (64, 64, 1)}
+    # the feature half stays plug-in-only and fails CLOSED with the
+    # media type named (either row's task may surface first)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="image/jpe?g"):
+        extract_features(media, kernel="registry").collect()

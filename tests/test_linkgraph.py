@@ -78,23 +78,42 @@ def test_pagerank_zero_iterations_and_guards(spark):
         pagerank(df, iterations=-1)
 
 
-def test_extract_links_vs_re(spark):
+def test_extract_links_real_html(spark):
+    """Every real-web href form extracts and resolves: quote styles,
+    attribute order, case, newlines in the tag, entities in the
+    value, relative/root-relative/scheme-relative references, and the
+    drop set (fragment-only, mailto/javascript, data-href decoy,
+    empty value)."""
     html = (
-        '<html><a href="https://a.com/x">one</a>'
-        '<a href="http://b.org/y?q=1">two</a>'
-        '<a href="/relative">skipped</a>'
-        '<a href="https://c.net/z#frag">fragment-stripped-by-charclass</a>'
+        '<html><a href="https://a.com/x">dquote</a>'
+        "<A HREF='http://b.org/y?q=1&amp;r=2'>squote+entity+case</A>"
+        "<a class='c' rel=nofollow href=/rel/p>unquoted, href not first</a>"
+        '<a href="../up/../q">relative with dots</a>'
+        '<a\n\thref="//cdn.example/lib.js">scheme-relative, newline</a>'
+        '<a href=" https://pad.example/t ">padded value</a>'
+        '<a href="#frag">same-page</a>'
+        '<a href="mailto:x@y.z">mail</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a data-href="https://no.example/">decoy</a>'
+        '<a href="">empty</a>'
         "</html>"
     )
     import pyspark.sql.functions as F
 
     pages = spark.createDataFrame(
-        [("https://me.com/", html)], "url string, html string"
+        [("https://me.com/d/e", html)], "url string, html string"
     ).select("url", F.encode("html", "UTF-8").alias("html"))
-    got = [(r.src_url, r.dst_url) for r in extract_links(pages).collect()]
-    want = [("https://me.com/", m) for m in re.findall(HREF_RE, html)]
-    assert sorted(got) == sorted(want)
-    assert all(not u.startswith("/") for _s, u in got)
+    got = sorted(r.dst_url for r in extract_links(pages).collect())
+    assert got == sorted(
+        [
+            "https://a.com/x",
+            "http://b.org/y?q=1&r=2",
+            "https://me.com/rel/p",
+            "https://me.com/q",
+            "https://cdn.example/lib.js",
+            "https://pad.example/t",
+        ]
+    )
 
 
 def test_domain_edges_collapses_and_drops_self_loops(spark):
