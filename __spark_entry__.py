@@ -4881,6 +4881,7 @@ def _robots_screen_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     # same pattern strings on both contract sides (RE2-compatible)
+    from sagan_spark.ops.profile import render_value_sql as _render_value_sql
     from sagan_spark.ops.psl import registered_domain_sql
     from sagan_spark.ops.sampling import frac_to_hex8
     from sagan_spark.ops.similarity import _hyperplanes, fixed_centroids
@@ -6922,7 +6923,8 @@ def oracle_sql() -> dict[str, str]:
             " dau AS (SELECT d AS day, count(*) AS dau FROM dk"
             "  GROUP BY 1),"
             " span AS (SELECT DISTINCT d + g.x AS day, user_id FROM dk"
-            "  CROSS JOIN (SELECT unnest(range(0, 7)) AS x) g),"
+            "  CROSS JOIN (SELECT unnest(range(0, 7)) AS x) g"
+            "  WHERE d + g.x <= (SELECT max(d) FROM dk)),"
             " wau AS (SELECT day, count(*) AS wau FROM span GROUP BY 1)"
             " SELECT w.day, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,"
             " w.wau FROM wau w LEFT JOIN dau ON dau.day = w.day"
@@ -6936,11 +6938,17 @@ def oracle_sql() -> dict[str, str]:
         # render order matches docs.columns
         "corpus_checksums": (
             "WITH d AS (SELECT md5("
-            " coalesce(CAST(doc_id AS VARCHAR), chr(0)) || chr(31) ||"
-            " coalesce(text, chr(0)) || chr(31) ||"
-            " coalesce(lang, chr(0)) || chr(31) ||"
-            " coalesce(source, chr(0)) || chr(31) ||"
-            " coalesce(CAST(n_chars AS VARCHAR), chr(0))) AS g"
+            + " || chr(31) || ".join(
+                _render_value_sql(e)
+                for e in (
+                    "CAST(doc_id AS VARCHAR)",
+                    "text",
+                    "lang",
+                    "source",
+                    "CAST(n_chars AS VARCHAR)",
+                )
+            )
+            + ") AS g"
             " FROM documents),"
             " v AS (SELECT ('0x' || substr(g, 1, 15))::BIGINT AS v,"
             "  ('0x' || substr(g, 17, 8))::BIGINT % 16 AS shard FROM d)"

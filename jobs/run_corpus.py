@@ -112,15 +112,20 @@ def main() -> None:
 
     def count_stage(name, df):
         # the ledger is the point — a curation run must account for
-        # every dropped row.  Each stage frame is MATERIALIZED
-        # (localCheckpoint) before counting: the next stage then
+        # every dropped row.  Each stage frame is persisted
+        # (MEMORY_AND_DISK) before counting: the next stage then
         # builds on stored blocks instead of re-executing the whole
         # upstream chain, so k stages cost k passes, not O(k^2) — at
         # 10^12 rows the recompute-per-count spelling is the
-        # difference between a run and a week.  (Blocks spill
-        # MEMORY_AND_DISK per executor; on a real cluster this is the
-        # standard checkpoint-between-stages posture.)
-        df = df.localCheckpoint(eager=True)
+        # difference between a run and a week.  persist, NOT
+        # localCheckpoint: checkpointing truncates lineage to
+        # non-replicated executor-local blocks, so a single executor
+        # loss on a real cluster kills the job instead of recomputing
+        # the lost partitions — persist keeps the lineage fallback
+        # while giving the same avoid-recompute benefit.
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         counters.append((name, df.count()))
         return df
 

@@ -171,7 +171,9 @@ def active_users(events: DataFrame, window_days: int = 7,
     count.  Integer epoch-day arithmetic (``div``, the funnel/cohort
     discipline); NULL timestamps are dropped.  Only report days with
     at least one active day in range appear — including pure
-    carry-forward days inside a gap (a day with WAU > 0 but DAU 0).
+    carry-forward days inside a gap (a day with WAU > 0 but DAU 0) —
+    and the report range ends at the LAST OBSERVED day: trailing
+    windows never extend past the end of the data.
 
     Returns (day, dau, wau) with ``day`` = epoch-day index.
     """
@@ -190,14 +192,28 @@ def active_users(events: DataFrame, window_days: int = 7,
     dau = dk.groupBy(F.col("_sg_day").alias("day")).agg(
         F.count(F.lit(1)).alias("dau")
     )
-    span = dk.select(
-        F.explode(
-            F.sequence(
-                F.col("_sg_day"), F.col("_sg_day") + F.lit(window_days - 1)
-            )
-        ).alias("day"),
-        "_sg_k",
-    ).distinct()
+    # report days are clamped to the last OBSERVED day: without the
+    # clamp every (day, key) row extends up to window_days-1 phantom
+    # report days past the end of the data (wau > 0, dau = 0 days
+    # that never happened).  Single-row broadcast join, the shared
+    # totals idiom.
+    last = dk.agg(F.max("_sg_day").alias("_sg_last"))
+    span = (
+        dk.join(F.broadcast(last))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("_sg_day"),
+                    F.least(
+                        F.col("_sg_day") + F.lit(window_days - 1),
+                        F.col("_sg_last"),
+                    ),
+                )
+            ).alias("day"),
+            "_sg_k",
+        )
+        .distinct()
+    )
     wau = span.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
     return (
         wau.join(dau, "day", "left")

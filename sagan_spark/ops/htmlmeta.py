@@ -175,8 +175,15 @@ def page_meta_sql(expr: str) -> str:
 META_CHARSET_RE = (
     r"(?i)<meta[^>]*charset[ \t\r\n\f]*=[ \t\r\n\f]*[\"']?([A-Za-z0-9._:-]+)"
 )
-#: charset parameter on a Content-Type transport header line
-HTTP_CHARSET_RE = r"(?i)content-type[^\r\n]*charset=[\"']?([A-Za-z0-9._:-]+)"
+#: charset parameter on a Content-Type transport header line —
+#: anchored to the LINE START ((?im)^...:) so 'content-type' appearing
+#: inside another header's value (a Via/Link/cookie value,
+#: X-Content-Type-Options context) can never supply the charset that
+#: outranks the in-document meta declaration (ADVICE r4); the same
+#: constant feeds charset_sql, so op and oracle move together
+HTTP_CHARSET_RE = (
+    r"(?im)^content-type:[^\r\n]*charset=[\"']?([A-Za-z0-9._:-]+)"
+)
 
 _BIG = 2147483647  # substring length for "rest of the bytes"
 

@@ -106,14 +106,20 @@ def shard_checksums(docs: DataFrame, n_shards: int = 64,
     fingerprinting on reload (a config checksum gating dynamic rules).
 
     Spec (bit-identical on both contract engines):
-    - row digest = md5 over the selected columns rendered as strings,
-      joined by the 0x1f unit separator, NULL rendered as a 0x00
-      sentinel (distinct from the empty string).  Columns default to
-      all columns; pre-quantize floats before hashing them (the repo's
-      integer-units discipline — raw double rendering is not a
-      cross-engine contract), and render binary columns to hex first
-      (Spark casts bytes to a UTF-8 string, DuckDB to a \\x-escaped
-      form — raw blob casts are not a contract either).
+    - row digest = md5 over the selected columns, each rendered
+      INJECTIVELY as ``N`` for NULL or ``<char-length>:<value>``
+      otherwise, joined by the 0x1f unit separator.  The length
+      prefix makes the rendering self-delimiting, so values that
+      themselves contain 0x1f/0x00 can never make two distinct rows
+      render identically (('a\\x1fb','c') vs ('a','b\\x1fc')) — the
+      manifest's collision bound stays the documented 60-bit one
+      (ADVICE r4).  NULL's ``N`` cannot collide with a real value:
+      length-prefixed renderings always start with a digit.  Columns
+      default to all columns; pre-quantize floats before hashing them
+      (the repo's integer-units discipline — raw double rendering is
+      not a cross-engine contract), and render binary columns to hex
+      first (Spark casts bytes to a UTF-8 string, DuckDB to a
+      \\x-escaped form — raw blob casts are not a contract either).
     - ``v`` = first 60 digest bits as int64; ``shard`` = an
       INDEPENDENT 32-bit digest window mod ``n_shards`` (so checksum
       and shard assignment don't correlate).
@@ -127,10 +133,14 @@ def shard_checksums(docs: DataFrame, n_shards: int = 64,
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     cols = list(cols) if cols is not None else list(docs.columns)
-    rendered = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
-    ]
-    digest = F.md5(F.concat_ws("\x1f", *rendered))
+
+    def _render(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    digest = F.md5(F.concat_ws("\x1f", *[_render(c) for c in cols]))
     v = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
     shard = F.pmod(
         F.conv(F.substring(digest, 17, 8), 16, 10).cast("long"),
@@ -148,4 +158,15 @@ def shard_checksums(docs: DataFrame, n_shards: int = 64,
             .cast("long")
             .alias("checksum"),
         )
+    )
+
+
+def render_value_sql(expr: str) -> str:
+    """DuckDB twin of the :func:`shard_checksums` row-digest value
+    rendering (one source of truth for the manifest contract):
+    ``N`` for NULL, else ``<char-length>:<value>``.  ``expr`` must
+    already be a VARCHAR expression."""
+    return (
+        f"CASE WHEN {expr} IS NULL THEN 'N'"
+        f" ELSE CAST(length({expr}) AS VARCHAR) || ':' || {expr} END"
     )

@@ -34,6 +34,12 @@ def test_charset_precedence_and_forms(spark):
          " CONTENT='text/html; charset=windows-1252'>", None),
         # nothing declared
         ("non", "", "plain", "Content-Type: text/plain"),
+        # 'content-type ... charset=' inside ANOTHER header's value
+        # must NOT supply the header charset (line-start anchoring) —
+        # the meta declaration wins instead
+        ("dcy", "", "<meta charset=utf-8>",
+         "X-Content-Type-Options: nosniff; see content-type charset=evil\r\n"
+         "Via: proxy"),
     ]
     got = {r["url"]: r for r in charset_sniff(
         _pages(spark, rows), headers_col="headers").collect()}
@@ -43,6 +49,8 @@ def test_charset_precedence_and_forms(spark):
     assert got["hdr"]["meta_charset"] == "utf-8"
     assert got["leg"]["charset"] == "windows-1252"
     assert got["non"]["charset"] == "unspecified"
+    assert got["dcy"]["http_charset"] == ""
+    assert got["dcy"]["charset"] == "utf-8"
 
 
 def test_charset_utf16_not_decoded(spark):

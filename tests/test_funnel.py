@@ -148,13 +148,17 @@ def test_active_users_twin(spark):
         days.setdefault(d, set()).add(k)
     want = {}
     all_days = set()
+    maxd = max(days)
     for d in days:
-        all_days.update(range(d, d + 3))
+        # report range clamps at the last observed day (no phantom
+        # trailing wau>0/dau=0 days past the end of the data)
+        all_days.update(range(d, min(d + 3, maxd + 1)))
     for rd in all_days:
         w = set().union(*[days.get(d, set()) for d in range(rd - 2, rd + 1)])
         if w:
             want[rd] = (len(days.get(rd, set())), len(w))
     assert got == want
+    assert max(got) == maxd  # the day-9 event emits no day-10/11 rows
     d0 = int(base.timestamp()) // 86400
     assert got[d0 + 2] == (0, 2)  # pure carry-forward day
 

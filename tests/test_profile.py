@@ -116,3 +116,25 @@ def test_shard_checksums_order_insensitive_and_sensitive_to_content(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         shard_checksums(df, n_shards=0)
+
+
+def test_shard_checksums_injective_rendering(spark):
+    """The ADVICE-r4 ambiguity: values containing the 0x1f separator
+    (or the old 0x00 NULL sentinel) must not let distinct rows render
+    to the same digest — the length prefix keeps the manifest's
+    collision bound at the documented 60-bit one."""
+    from sagan_spark.ops.profile import shard_checksums
+
+    def manifest(rows):
+        df = spark.createDataFrame(rows, "a string, b string")
+        return sorted(
+            (r.shard, r.n_rows, r.checksum)
+            for r in shard_checksums(df, n_shards=1).collect()
+        )
+
+    assert manifest([("a\x1fb", "c")]) != manifest([("a", "b\x1fc")])
+    # NULL vs the old 0x00 sentinel string, and NULL vs 'N' literal
+    assert manifest([(None, "x")]) != manifest([("\x00", "x")])
+    assert manifest([(None, "x")]) != manifest([("N", "x")])
+    # empty string is still distinct from NULL
+    assert manifest([("", "x")]) != manifest([(None, "x")])
