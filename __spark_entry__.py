@@ -1455,27 +1455,26 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_trained_weights() -> list[tuple[str, str, int]]:
-    """Deterministic stand-in model table for the lang_id trained path:
-    each marker token weighted 1500 - 50·rank for its language (a real
-    fastText-style export drops into the same (token, lang,
-    weight_milli) shape).  ONE source of truth for the Spark DataFrame
-    and the oracle's VALUES literal."""
-    from sagan_spark.ops.textstats import LANG_MARKERS
+    """The VENDORED 26-language model table
+    (sagan_spark.ops.langid_data — public frequency-list derivation,
+    provenance in its module docstring; replaced the r4 stand-in).
+    ONE source of truth for the Spark DataFrame and the oracle's
+    VALUES literal."""
+    from sagan_spark.ops.langid_data import langid_weight_rows
 
-    return [
-        (tok, lang, 1500 - 50 * i)
-        for lang, markers in LANG_MARKERS.items()
-        for i, tok in enumerate(markers)
-    ]
+    return langid_weight_rows()
 
 
 def q_text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained lang-id over the vendored public-data model (the
+    default a user gets from load_langid_weights); real-sentence
+    accuracy is pinned separately in tests/test_langid_vendored.py."""
+    from sagan_spark.ops.langid_data import load_langid_weights
     from sagan_spark.ops.textstats import lang_id
 
-    w = spark.createDataFrame(
-        _langid_trained_weights(), "token string, lang string, weight_milli long"
+    return lang_id(
+        _docs(spark, sf_dir), marker_weights=load_langid_weights(spark)
     )
-    return lang_id(_docs(spark, sf_dir), marker_weights=w)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
