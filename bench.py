@@ -185,6 +185,56 @@ def run_engine_bench(spark) -> dict:
     }
 
 
+#: flagship windows with a noise bound above this are treated as
+#: contaminated (this host's neighbor-steal phases show 2-3x swings on
+#: identical trees, BASELINE.md) and re-measured
+NOISE_THRESHOLD = float(os.environ.get("SAGAN_BENCH_NOISE_BOUND", "1.5"))
+MAX_WINDOWS = int(os.environ.get("SAGAN_BENCH_MAX_WINDOWS", "3"))
+
+
+def pick_quiet_window(measure, noise_threshold: float = NOISE_THRESHOLD,
+                      max_windows: int = MAX_WINDOWS) -> dict:
+    """Artifact self-defense (VERDICT r4 'what's wrong' #1: the
+    driver's r4 bench ran inside a neighbor-steal phase and recorded
+    a contaminated window as the round's official flagship number).
+
+    ``measure()`` produces one engine window (the dict
+    :func:`run_engine_bench` builds).  While the flagship's own noise
+    bound says the window was contaminated (max/min of the three
+    steady runs above ``noise_threshold``), re-measure — bounded at
+    ``max_windows`` total.  The QUIETEST window (lowest noise bound,
+    then lowest steady median) provides the headline steady fields;
+    EVERY window stays in the artifact under ``engine_windows`` so a
+    reader can see what was rejected and why.  The true cold-start
+    figures always come from the FIRST window (later windows run in a
+    JIT-warmed JVM, their 'cold' is not cold)."""
+    windows = [measure()]
+    while (
+        windows[-1]["engine_noise_bound"] > noise_threshold
+        and len(windows) < max_windows
+    ):
+        windows.append(measure())
+    head = dict(
+        min(
+            windows,
+            key=lambda w: (w["engine_noise_bound"], w["engine_steady_sec"]),
+        )
+    )
+    for k in ("engine_sec", "engine_events", "events_per_sec",
+              "routed_rows_per_sec"):
+        head[k] = windows[0][k]
+    head["engine_windows"] = [
+        {
+            "steady_runs": w["engine_steady_runs"],
+            "noise_bound": w["engine_noise_bound"],
+            "steady_sec": w["engine_steady_sec"],
+        }
+        for w in windows
+    ]
+    head["engine_rebenches"] = len(windows) - 1
+    return head
+
+
 def main() -> None:
     from sagan_spark.session import build_spark
 
@@ -212,7 +262,7 @@ def main() -> None:
         n: [round(min(r), 3), round(max(r), 3)] for n, r in runs.items()
     }
 
-    engine_stats = run_engine_bench(spark)
+    engine_stats = pick_quiet_window(lambda: run_engine_bench(spark))
     total = round(sum(times.values()) + engine_stats["engine_sec"], 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
