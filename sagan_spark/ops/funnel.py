@@ -179,7 +179,16 @@ def active_users(events: DataFrame, window_days: int = 7,
     """
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
-    dk = (
+    return actives_from_daykeys(daykeys(events, key_col, ts_col), window_days)
+
+
+def daykeys(events: DataFrame, key_col: str = "user_id",
+            ts_col: str = "ts") -> DataFrame:
+    """The distinct (day, key) frame active_users runs on — exposed so
+    the streaming ledger (streaming/actives.py) can accumulate it
+    per batch (distinct-of-union == union-of-distincts, the property
+    that makes the ledger exact)."""
+    return (
         events.filter(F.col(ts_col).isNotNull())
         .select(
             F.expr(
@@ -189,6 +198,11 @@ def active_users(events: DataFrame, window_days: int = 7,
         )
         .distinct()
     )
+
+
+def actives_from_daykeys(dk: DataFrame, window_days: int) -> DataFrame:
+    """The DAU/WAU tail over a distinct (_sg_day, _sg_k) frame (shared
+    by the batch op and the streaming ledger reader)."""
     dau = dk.groupBy(F.col("_sg_day").alias("day")).agg(
         F.count(F.lit(1)).alias("dau")
     )

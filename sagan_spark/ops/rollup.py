@@ -41,26 +41,32 @@ from pyspark.sql import functions as F
 from sagan_spark.ops.bursts import trunc_div_long
 
 
-def time_rollup(events: DataFrame,
-                resolutions: Sequence[int] = (60, 3600, 86400),
-                key_col: str = "event_type", ts_col: str = "ts",
-                value_col: str = "value") -> DataFrame:
-    """(resolution_sec, key, bucket_us, n_events, sum_milli,
-    min_milli, max_milli) for every resolution — one raw scan, coarser
-    levels cascaded from the finest."""
+def check_resolutions(resolutions: Sequence[int]) -> list[int]:
+    """Validated ascending resolution list (every coarser level must
+    be a multiple of the finest for the cascade to be exact)."""
     res = sorted(int(r) for r in resolutions)
     if not res or res[0] <= 0:
         raise ValueError(f"resolutions must be positive, got {resolutions}")
-    base = res[0]
-    off = [r for r in res[1:] if r % base != 0]
+    off = [r for r in res[1:] if r % res[0] != 0]
     if off:
         raise ValueError(
-            f"every resolution must be a multiple of the finest ({base}s) "
+            f"every resolution must be a multiple of the finest ({res[0]}s) "
             f"for the cascade to be exact; offending: {off}"
         )
-    base_us = base * 1_000_000
+    return res
+
+
+def fine_rollup(events: DataFrame, base_sec: int,
+                key_col: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """The finest-resolution partial: (key, _sg_fb, n_events,
+    sum_milli, min_milli, max_milli) — every field DECOMPOSABLE
+    (count/sum add, min/max fold), so partials from disjoint event
+    subsets merge exactly via :func:`merge_fine` — the property the
+    streaming ledger (streaming/rollup.py) is built on."""
+    base_us = int(base_sec) * 1_000_000
     milli = F.floor(F.col(value_col).cast("double") * F.lit(1000.0)).cast("long")
-    fine = (
+    return (
         events.filter(F.col(ts_col).isNotNull())
         .select(
             F.col(key_col).alias("key"),
@@ -78,6 +84,35 @@ def time_rollup(events: DataFrame,
         )
     )
 
+
+def merge_fine(partials: DataFrame) -> DataFrame:
+    """Merge fine partials from disjoint event subsets — exact
+    (integer adds / min / max in any order)."""
+    return partials.groupBy("key", "_sg_fb").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_milli").alias("sum_milli"),
+        F.min("min_milli").alias("min_milli"),
+        F.max("max_milli").alias("max_milli"),
+    )
+
+
+def time_rollup(events: DataFrame,
+                resolutions: Sequence[int] = (60, 3600, 86400),
+                key_col: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """(resolution_sec, key, bucket_us, n_events, sum_milli,
+    min_milli, max_milli) for every resolution — one raw scan, coarser
+    levels cascaded from the finest."""
+    res = check_resolutions(resolutions)
+    fine = fine_rollup(events, res[0], key_col, ts_col, value_col)
+    return cascade(fine, res)
+
+
+def cascade(fine: DataFrame, res: Sequence[int]) -> DataFrame:
+    """Cascade a finest-level frame (the :func:`fine_rollup` schema)
+    up through every resolution in ``res`` (ascending, validated)."""
+    res = list(res)
+    base = res[0]
     # one row per (fine bucket, resolution) via explode — NOT a union
     # of per-level plans: AQE compiles union branches as independent
     # query stages (no exchange reuse), which would rescan the corpus

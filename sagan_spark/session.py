@@ -30,11 +30,14 @@ def build_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str = "16g",
+    extra: dict | None = None,
 ) -> SparkSession:
+    """``extra`` overrides/adds spark confs AFTER the tuned defaults
+    (tools use it to e.g. re-enable the UI for metrics scraping)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
     _ensure_worker_pythonpath()
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -78,5 +81,7 @@ def build_spark(
         # slice of driver-side plan-build time (tools/bench_rulecount.py)
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -157,7 +157,7 @@ def test_langid_trained_weights_injection(spark):
 def test_langid_trained_plan_shape(spark):
     """Trained path pins: broadcast model join, min(struct) argmax
     with map-side partials, no window, no Python node."""
-    from __spark_entry__ import _langid_trained_weights
+    from sagan_spark.contracts.queries_corpus import _langid_trained_weights
 
     w = spark.createDataFrame(
         _langid_trained_weights(), "token string, lang string, weight_milli long"
