@@ -2177,4 +2177,5 @@ def oracle_sql() -> dict[str, str]:
     # bit-identical to the batch cascade - SAME oracle
     sqls["streaming_rollup"] = sqls["events_rollup"]
     sqls["streaming_actives"] = sqls["events_actives"]
+    sqls["streaming_quantiles"] = sqls["events_quantiles"]
     return sqls

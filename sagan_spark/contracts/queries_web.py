@@ -1552,3 +1552,34 @@ def q_streaming_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact quantiles (streaming/rollup.py quantile
+    ledger): per-batch (key, value) histogram partials merge by
+    integer addition, the serve read runs the shared quantile tail —
+    FULL-oracle on the events_quantiles SQL."""
+    import shutil
+    import tempfile
+
+    from sagan_spark.streaming.rollup import (
+        quantiles_from_ledger,
+        start_quantiles_query,
+    )
+
+    work = tempfile.mkdtemp(prefix="sagan_q_contract_")
+    try:
+        inp = _staged_events_dir(spark, sf_dir, work)
+        q = start_quantiles_query(
+            spark, inp, f"{work}/ledger", f"{work}/ckpt",
+            max_files_per_trigger=1,
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("streaming drain did not finish in 180s")
+        out = quantiles_from_ledger(
+            spark, f"{work}/ledger", quantiles_ppm=(500000, 950000, 990000)
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

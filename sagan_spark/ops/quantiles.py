@@ -38,6 +38,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def value_hist(events: DataFrame, key_col: str = "event_type",
+               value_col: str = "value") -> DataFrame:
+    """The (key, value, _sg_c) histogram quantiles run on — ADDITIVE
+    across disjoint event subsets (counts sum), which is what lets the
+    streaming ledger (streaming/rollup.py) accumulate it per batch and
+    still serve exact quantiles."""
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_sg_c"))
+    )
+
+
+def merge_value_hist(partials: DataFrame, key_col: str = "event_type",
+                     value_col: str = "value") -> DataFrame:
+    """Merge histogram partials from disjoint event subsets (exact
+    integer adds in any order)."""
+    return partials.groupBy(key_col, value_col).agg(
+        F.sum("_sg_c").alias("_sg_c")
+    )
+
+
 def quantile_rollup(events: DataFrame,
                     quantiles_ppm: Sequence[int] = (500000, 950000, 990000),
                     key_col: str = "event_type",
@@ -46,12 +68,20 @@ def quantile_rollup(events: DataFrame,
     ``q_value`` is the lower empirical quantile of ``value_col`` and
     ``n_events`` the key's non-NULL value count.  NULL values are
     dropped; a key with no non-NULL values is absent."""
-    spark = events.sparkSession
-    hist = (
-        events.filter(F.col(value_col).isNotNull())
-        .groupBy(key_col, value_col)
-        .agg(F.count(F.lit(1)).alias("_sg_c"))
+    return quantiles_from_hist(
+        value_hist(events, key_col, value_col), quantiles_ppm,
+        key_col, value_col,
     )
+
+
+def quantiles_from_hist(hist: DataFrame,
+                        quantiles_ppm: Sequence[int] = (500000, 950000,
+                                                        990000),
+                        key_col: str = "event_type",
+                        value_col: str = "value") -> DataFrame:
+    """The quantile tail over a merged value histogram (shared by the
+    batch op and the streaming ledger reader)."""
+    spark = hist.sparkSession
     w_cum = (
         Window.partitionBy(key_col)
         .orderBy(value_col)

@@ -169,3 +169,61 @@ def start_actives_query(spark: SparkSession, input_dir: str, ledger_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# quantile ledger
+# ---------------------------------------------------------------------------
+
+def merge_quantiles_batch(batch_df: DataFrame, batch_id: int,
+                          ledger_dir: str, key_col: str = "event_type",
+                          value_col: str = "value") -> None:
+    """foreachBatch body: this batch's (key, value) count histogram
+    (ops/quantiles.value_hist — additive partial) lands in its own
+    ledger partition."""
+    from sagan_spark.ops.quantiles import value_hist
+
+    _write_ledger_partition(
+        value_hist(batch_df, key_col, value_col), batch_id, ledger_dir
+    )
+
+
+def quantiles_from_ledger(spark: SparkSession, ledger_dir: str,
+                          quantiles_ppm=(500000, 950000, 990000),
+                          key_col: str = "event_type",
+                          value_col: str = "value") -> DataFrame:
+    """Serve exact per-key quantiles from the ledger: merge histogram
+    partials (integer adds) and run the SAME tail as the batch op —
+    bit-identical to quantile_rollup over all ingested events."""
+    from sagan_spark.ops.quantiles import merge_value_hist, quantiles_from_hist
+
+    hist = merge_value_hist(
+        spark.read.parquet(ledger_dir).drop("batch_id"), key_col, value_col
+    )
+    return quantiles_from_hist(hist, quantiles_ppm, key_col, value_col)
+
+
+def start_quantiles_query(spark: SparkSession, input_dir: str,
+                          ledger_dir: str, checkpoint: str,
+                          key_col: str = "event_type",
+                          value_col: str = "value",
+                          max_files_per_trigger: int | None = None,
+                          trigger_available_now: bool = True):
+    """File-source runner for the quantile ledger (start_rollup_query
+    shape)."""
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(input_dir)
+    writer = (
+        events.writeStream.foreachBatch(
+            lambda df, bid: merge_quantiles_batch(
+                df, bid, ledger_dir, key_col, value_col
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

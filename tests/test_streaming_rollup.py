@@ -110,3 +110,22 @@ def test_actives_ledger_window_guard(spark, tmp_path):
     merge_actives_batch(_events(spark, _rows()[:10]), 0, ledger)
     with pytest.raises(ValueError):
         actives_from_ledger(spark, ledger, window_days=0)
+
+
+def test_quantiles_ledger_matches_batch(spark, tmp_path):
+    from sagan_spark.ops.quantiles import quantile_rollup
+    from sagan_spark.streaming.rollup import (
+        merge_quantiles_batch,
+        quantiles_from_ledger,
+    )
+
+    ev = _events(spark, _rows())
+    half1, half2 = _events(spark, _rows()[:120]), _events(spark, _rows()[120:])
+    ledger = str(tmp_path / "ledger")
+    merge_quantiles_batch(half1, 0, ledger)
+    merge_quantiles_batch(half2, 1, ledger)
+    got = quantiles_from_ledger(spark, ledger)
+    want = quantile_rollup(ev)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    merge_quantiles_batch(half2, 1, ledger)  # replay: idempotent
+    assert _sorted_rows(quantiles_from_ledger(spark, ledger)) == _sorted_rows(want)
