@@ -51,7 +51,13 @@ def url_host(url: Column) -> Column:
 def registered_domain(host: Column) -> Column:
     """eTLD+1 via the vendored public-suffix tables (ops/psl.py):
     longest-match PSL algorithm with wildcard and exception rules.
-    Plain array/when arithmetic over the split host — no Python."""
+    Plain array/when arithmetic over the split host — no Python.
+    NOTE: do NOT let-bind ``host`` through a higher-order function
+    here — that would evict the whole ladder from whole-stage codegen
+    into interpreted eval (measured 1.5x slower end-to-end); Catalyst
+    already refuses to collapse an expensive multi-referenced
+    projection into the ladder, so composed host expressions (e.g.
+    resolver outputs) stay single-evaluation anyway."""
     return registered_domain_col(host)
 
 

@@ -93,21 +93,34 @@ def main() -> None:
 
     import __spark_entry__ as E
 
-    spark = (
-        build_spark(app="scale_probe", cores=32, driver_memory="48g",
-                    extra={"spark.ui.enabled": "true",
-                           "spark.ui.port": str(UI_PORT)})
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    app_id = spark.sparkContext.applicationId
     if "--skip-gen" not in sys.argv:
+        spark = build_spark(app="scale_probe_gen", cores=32,
+                            driver_memory="48g")
+        spark.sparkContext.setLogLevel("ERROR")
         gen_sf1(spark)
-    n01 = spark.read.parquet(f"{SF01}/documents.parquet").count()
-    n1 = spark.read.parquet(f"{SF1}/documents.parquet").count()
+        spark.stop()
+
     qs = E.queries()
     probe: dict[str, dict] = {}
+    n01 = n1 = 0
+    # one FRESH JVM per query: the heavy queries' intermediates (the
+    # sf1 minhash pair set above all) otherwise leave GC pressure that
+    # contaminates the next query's small leg.  Within a query the
+    # sf0.1 leg runs once untimed first (codegen/JIT warmup — the
+    # generated source is plan-shaped, so the sf1 leg reuses the
+    # compiled stage from the warmed cache too).
     for name in PROBES:
+        spark = build_spark(app=f"scale_probe_{name}", cores=32,
+                            driver_memory="48g",
+                            extra={"spark.ui.enabled": "true",
+                                   "spark.ui.port": str(UI_PORT)})
+        spark.sparkContext.setLogLevel("ERROR")
+        app_id = spark.sparkContext.applicationId
+        n01 = spark.read.parquet(f"{SF01}/documents.parquet").count()
+        n1 = spark.read.parquet(f"{SF1}/documents.parquet").count()
         fn = qs[name]
+        fn(spark, SF01).count()  # warmup, untimed
+        spark.catalog.clearCache()
         row: dict[str, dict] = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
             rd0, wr0 = _app_shuffle_totals(app_id)
@@ -127,6 +140,7 @@ def main() -> None:
             row["sf1"]["wall_sec"] / max(row["sf0.1"]["wall_sec"], 1e-9), 2
         )
         probe[name] = row
+        spark.stop()
 
     path = Path(__file__).parent / "scaling_results.json"
     snap = json.loads(path.read_text())
@@ -143,7 +157,6 @@ def main() -> None:
     }
     path.write_text(json.dumps(snap, indent=1) + "\n")
     print(json.dumps(snap["sf_probe_r5"], indent=1))
-    spark.stop()
 
 
 if __name__ == "__main__":
