@@ -111,6 +111,16 @@ HEADLINE = [
     "events_rollup",
     "link_triangles",
     "events_actives",
+    # round-5 additions: real-HTML link/anchor extraction with RFC 3986
+    # resolution, the registry-dispatched JPEG SOF kernel, the vendored
+    # 26-language trained lang-id, and one streaming-ledger twin (the
+    # rollup — its actives/quantiles siblings share the same drain
+    # machinery and stay in the correctness gate)
+    "link_extract",
+    "anchor_domain_topk",
+    "multimodal_meta_jpeg",
+    "text_langid_trained",
+    "streaming_rollup",
 ]
 
 
